@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's crown-jewel
+SCD2 hash-delta full-outer-join classification) on sf0.001.
+``queries()`` maps every implemented SURVEY.md §2 operator (and the
+LLM-pipeline extensions) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL per key.
 """
 
 from __future__ import annotations
@@ -13,26 +13,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dht11_data_pipeline_spark.plans import queries as Q
+from dht11_data_pipeline_spark.plans.oracles import ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hash-based SCD2 delta detection (SURVEY §2.4 J2)."""
+    return Q.j2_scd2_delta_classify(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "a1_latest_order_per_customer": Q.a1_latest_order_per_customer,
+        "a2_high_water_marks": Q.a2_high_water_marks,
+        "j1_interface_registration": Q.j1_interface_registration,
+        "j6_semi_join_latest": Q.j6_semi_join_latest,
+        "j_anti_customers_without_orders": Q.j_anti_customers_without_orders,
+        "q3_unshipped_revenue": Q.q3_unshipped_revenue,
+        "j2_scd2_delta_classify": Q.j2_scd2_delta_classify,
+        "w1_surrogate_key_mint": Q.w1_surrogate_key_mint,
+        "f6_legacy_key_guard": Q.f6_legacy_key_guard,
+        "p1_incremental_watermark": Q.p1_incremental_watermark,
+        "s10_load_stamp": Q.s10_load_stamp,
+        "f_scalar_normalization": Q.f_scalar_normalization,
+        "o_set_ops_snapshot_diff": Q.o_set_ops_snapshot_diff,
+        "w_running_user_value": Q.w_running_user_value,
+        "t5_tumbling_window_agg": Q.t5_tumbling_window_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,202 @@
+"""ANSI-SQL oracle for every query in plans/queries.py, runnable by
+DuckDB over the same parquet tables (driver pre-registers the views).
+
+The SQL mirrors the *semantics and column aliases* of the DataFrame
+side exactly; money math goes through DECIMAL(18,2) (exact, so parallel
+Spark sums equal DuckDB's sequential sums bit-for-bit once cast to
+double), hashes are sha256 over chr(31)-separated normalized strings —
+identical to functions/hashing.delta_hash.
+"""
+
+from __future__ import annotations
+
+# chr(31) == unit separator, functions/hashing.SEP
+_HASH4 = (
+    "sha256(concat_ws(chr(31), "
+    "coalesce({c1}, ''), "
+    "coalesce(CAST(CAST({c2} AS DECIMAL(18,2)) AS VARCHAR), ''), "
+    "coalesce(CAST(CAST({c3} AS DATE) AS VARCHAR), ''), "
+    "coalesce({c4}, '')))"
+)
+
+_STG = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+_TGT = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 3 <> 0
+"""
+
+_STG_HASHED = f"""
+SELECT o_orderkey,
+       {_HASH4.format(c1='o_orderstatus', c2='o_totalprice', c3='o_orderdate', c4='o_orderpriority')} AS delta_hash
+FROM ({_STG})
+"""
+
+_TGT_HASHED = f"""
+SELECT o_orderkey,
+       {_HASH4.format(c1='o_orderstatus', c2='o_totalprice', c3='o_orderdate', c4='o_orderpriority')} AS delta_hash
+FROM ({_TGT})
+"""
+
+_J2 = f"""
+SELECT coalesce(stg.o_orderkey, tgt.o_orderkey) AS natural_key,
+       CASE WHEN tgt.o_orderkey IS NULL THEN 'I'
+            WHEN stg.o_orderkey IS NULL THEN 'PD'
+            WHEN stg.delta_hash <> tgt.delta_hash THEN 'U'
+            ELSE 'NC' END AS upsert_cd,
+       stg.delta_hash AS stg_hash,
+       tgt.delta_hash AS tgt_hash
+FROM ({_STG_HASHED}) stg
+FULL OUTER JOIN ({_TGT_HASHED}) tgt ON stg.o_orderkey = tgt.o_orderkey
+"""
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+
+    "a1_latest_order_per_customer": """
+SELECT o_custkey,
+       o_orderkey AS latest_orderkey,
+       o_orderdate AS latest_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS latest_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+
+    "a2_high_water_marks": """
+SELECT o.o_orderkey, o.o_custkey, m.max_key, m.max_price
+FROM orders o
+CROSS JOIN (
+  SELECT MAX(o_orderkey) AS max_key,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+  FROM orders
+) m
+WHERE o.o_orderstatus = 'O'
+""",
+
+    "j1_interface_registration": """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+
+    "j6_semi_join_latest": """
+SELECT o_orderkey, o_custkey, o_orderdate
+FROM orders
+WHERE o_orderdate IN (SELECT MAX(o_orderdate) FROM orders)
+""",
+
+    "j_anti_customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+
+    "q3_unshipped_revenue": """
+SELECT l.l_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+
+    "j2_scd2_delta_classify": _J2,
+
+    "w1_surrogate_key_mint": f"""
+SELECT natural_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY natural_key) + 1000000 AS BIGINT) AS surrogate_key
+FROM ({_J2})
+WHERE upsert_cd = 'I'
+""",
+
+    "f6_legacy_key_guard": """
+SELECT o_orderkey,
+       CASE WHEN SUBSTRING(CAST(o_orderkey AS VARCHAR), 1, 4) <> '9999' THEN o_orderkey
+            ELSE TRY_CAST(SUBSTRING(CAST(o_orderkey AS VARCHAR), 5, 18) AS BIGINT) END AS effective_key,
+       CASE WHEN SUBSTRING(CAST(o_orderkey AS VARCHAR), 1, 4) = '9999' THEN 'Y' ELSE 'N' END AS legacy_flag
+FROM orders
+""",
+
+    "p1_incremental_watermark": """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+""",
+
+    "s10_load_stamp": """
+SELECT event_id, user_id, value, CAST(42 AS BIGINT) AS load_key
+FROM events
+WHERE event_type = 'purchase'
+""",
+
+    "f_scalar_normalization": """
+SELECT event_id,
+       coalesce(event_type, 'N/A') AS etype,
+       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str,
+       CASE WHEN value >= 100 THEN 'HIGH' WHEN value >= 10 THEN 'MID' ELSE 'LOW' END AS value_band,
+       UPPER(SUBSTRING(event_type, 1, 3)) AS etype_prefix,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM events
+""",
+
+    "o_set_ops_snapshot_diff": f"""
+SELECT o_orderkey, 'both' AS membership FROM (
+  SELECT o_orderkey FROM ({_STG}) INTERSECT SELECT o_orderkey FROM ({_TGT})
+)
+UNION ALL
+SELECT o_orderkey, 'staging_only' AS membership FROM (
+  SELECT o_orderkey FROM ({_STG}) EXCEPT ALL SELECT o_orderkey FROM ({_TGT})
+)
+UNION ALL
+SELECT o_orderkey, 'target_only' AS membership FROM (
+  SELECT o_orderkey FROM ({_TGT}) EXCEPT ALL SELECT o_orderkey FROM ({_STG})
+)
+""",
+
+    "w_running_user_value": """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       LAG(event_id) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INTEGER) AS event_seq
+FROM events
+""",
+
+    "t5_tumbling_window_agg": """
+SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       COUNT(CASE WHEN value > 50 THEN 1 END) AS n_high
+FROM events
+GROUP BY 1, 2
+""",
+}

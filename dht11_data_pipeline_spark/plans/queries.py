@@ -1,0 +1,383 @@
+"""Named reference-parity queries (PySpark DataFrame side).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the
+matching ANSI-SQL oracle lives in plans/oracles.py under the same key.
+Keys are prefixed with the SURVEY.md §2 operator id they exercise.
+
+Determinism rules (so DuckDB hash-compare passes):
+- money math goes through DECIMAL(18,2) before aggregation (exact,
+  association-order independent), final cast to double;
+- every computed column is aliased identically on both sides;
+- hashes use sha2/sha256 lowercase hex (identical in both engines).
+
+Scale notes are inline per query — each one is written as the plan
+you'd want at 100 TB (broadcast small dims, partial aggs, pushed
+filters), not just the plan that passes at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dht11_data_pipeline_spark.functions.hashing import SEP, delta_hash
+from dht11_data_pipeline_spark.sources.tables import load_table
+
+
+def _money(c: str | Column) -> Column:
+    """Exact money: doubles carry 2 decimals in the fixtures; DECIMAL
+    aggregation is associative-exact so parallel sums match any engine."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+def _one() -> Column:
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# ---------------------------------------------------------------- A: aggregates
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — exercises groupBy partial/final
+    agg, decimal-exact sums, pushed-down timestamp filter.
+
+    Scale: map-side partial aggregation on (returnflag, linestatus)
+    (6 groups) makes the shuffle tiny regardless of input size; the
+    shipdate predicate is pushed to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _money("l_discount")
+    price = _money("l_extendedprice")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (_one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (_one() - disc) * (_one() + _money("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(_money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def a1_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax latest-run lookup (reference A1: ``load_key IN (SELECT
+    MAX(load_key) ...)``, CheckInterface_Metadata.py:21-25) re-shaped as
+    latest order per customer via a ranking window — avoids the
+    correlated subquery's double scan.
+
+    Scale: one shuffle on o_custkey; window is per-key so no global sort.
+    Ties on o_orderdate broken by o_orderkey for determinism.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+            _money("o_totalprice").cast("double").alias("latest_totalprice"),
+        )
+    )
+
+
+def a2_high_water_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global MAX high-water-mark attached to every row via cross join
+    (reference A2+J3, Delta_detection_query_gen.py:37-41,89-98).
+
+    Scale: the 1-row aggregate side is broadcast — literally a
+    BroadcastNestedLoopJoin over one row; no shuffle of the big side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    maxes = orders.agg(
+        F.max("o_orderkey").alias("max_key"),
+        F.max(_money("o_totalprice")).cast("double").alias("max_price"),
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(maxes))
+        .select("o_orderkey", "o_custkey", "max_key", "max_price")
+    )
+
+
+# -------------------------------------------------------------------- J: joins
+
+def j1_interface_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key INNER equi-join validating registration (reference J1,
+    CheckInterface_Metadata.py:17-20) shaped as customer⋈nation⋈region.
+
+    Scale: nation (25) and region (5) are broadcast — zero shuffle of
+    the customer side; Catalyst folds the two joins into one stage.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_money("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def j6_semi_join_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery semi-join (reference J6/A1): orders whose orderdate
+    equals the global latest orderdate — LEFT SEMI against a 1-row agg.
+
+    Scale: the aggregate side is 1 row → broadcast semi-join, no shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    latest = orders.agg(F.max("o_orderdate").alias("o_orderdate"))
+    return (
+        orders.join(F.broadcast(latest), "o_orderdate", "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+
+
+def j_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (engine surface beyond reference: NOT EXISTS).
+
+    Scale: broadcast the distinct-key side when small; otherwise a
+    shuffled left-anti on the join key — one shuffle each side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + agg + deterministic top-k.
+
+    Scale: lineitem⋈orders shuffles on orderkey (the natural key both
+    sides are already clustered by in real layouts — bucketing keeps it
+    shuffle-free); customer side is reduced by the segment filter before
+    the join; top-k is a per-partition limit + merge, not a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_money("l_extendedprice") * (_one() - _money("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------- SCD2 core (J2/F4/F5/W1/F6)
+
+def _orders_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'incoming batch': ~half the orders, with 1-in-7
+    rows content-perturbed so delta detection sees real updates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+         .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+
+
+def _orders_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'current target snapshot': orders not divisible by 3."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+
+
+_DELTA_COLS = ["o_orderstatus", "o_totalprice_s", "o_orderdate_s", "o_orderpriority"]
+
+
+def _with_delta_hash(df: DataFrame) -> DataFrame:
+    """Reference F3/F4 hash: sha256 over normalized column strings.
+    Money→DECIMAL(18,2)→string and date→string so the text fed to the
+    hash is identical in Spark and the DuckDB oracle."""
+    return df.select(
+        "o_orderkey",
+        delta_hash([
+            F.col("o_orderstatus"),
+            _money("o_totalprice").cast("string").alias("o_totalprice_s"),
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate_s"),
+            F.col("o_orderpriority"),
+        ]).alias("delta_hash"),
+    )
+
+
+def j2_scd2_delta_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's crown-jewel operator: hash-based delta detection
+    via FULL OUTER JOIN on the natural key + I/U/NC/PD classification
+    (Delta_detection_query_gen.py:42-59,83-102).
+
+    Scale: the full outer join shuffles both sides on the natural key —
+    at 100 TB you bucket both staging and target by the key so this is
+    a zero-shuffle sort-merge; AQE skew-join splits hot keys. The hash
+    compare keeps the row comparison O(1)-width no matter how wide the
+    payload is.
+    """
+    stg = _with_delta_hash(_orders_staging(spark, sf_dir)).alias("stg")
+    tgt = _with_delta_hash(_orders_target(spark, sf_dir)).alias("tgt")
+    joined = stg.join(tgt, F.col("stg.o_orderkey") == F.col("tgt.o_orderkey"), "full_outer")
+    upsert = (
+        F.when(F.col("tgt.o_orderkey").isNull(), F.lit("I"))
+        .when(F.col("stg.o_orderkey").isNull(), F.lit("PD"))
+        .when(F.col("stg.delta_hash") != F.col("tgt.delta_hash"), F.lit("U"))
+        .otherwise(F.lit("NC"))
+    )
+    return joined.select(
+        F.coalesce(F.col("stg.o_orderkey"), F.col("tgt.o_orderkey")).alias("natural_key"),
+        upsert.alias("upsert_cd"),
+        F.col("stg.delta_hash").alias("stg_hash"),
+        F.col("tgt.delta_hash").alias("tgt_hash"),
+    )
+
+
+def w1_surrogate_key_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key allocation for the insert set (reference W1:
+    ``max + ROW_NUMBER() OVER (ORDER BY 'JP')``,
+    Delta_detection_query_gen.py:250-285).
+
+    The reference's ORDER BY <constant> funnels every row through one
+    partition. Downstream only needs *unique keys above the high-water
+    mark* (SURVEY §7.4.1), so ordering by the natural key keeps the
+    result deterministic for the oracle while the production allocator
+    (operators/scd2.py) uses a distributed per-partition-offset scheme
+    with no global sort at all.
+    """
+    delta = j2_scd2_delta_classify(spark, sf_dir).filter(F.col("upsert_cd") == "I")
+    high_water = F.lit(1_000_000)
+    w = Window.orderBy("natural_key")
+    return delta.select(
+        "natural_key",
+        (F.row_number().over(w) + high_water).alias("surrogate_key"),
+    )
+
+
+def f6_legacy_key_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 999999-prefix legacy-key quirk (reference F6,
+    Delta_detection_query_gen.py:254-265): IF substr(key,1,4) <> '9999'
+    → keep, ELSE strip prefix. Replicated faithfully over order keys —
+    including the reference's dead-branch flavor — as a pure projection
+    (whole-stage codegen, no shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    key_s = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        F.when(F.substring(key_s, 1, 4) != F.lit("9999"), F.col("o_orderkey"))
+         .otherwise(F.substring(key_s, 5, 18).try_cast("bigint")).alias("effective_key"),
+        F.when(F.substring(key_s, 1, 4) == F.lit("9999"), F.lit("Y"))
+         .otherwise(F.lit("N")).alias("legacy_flag"),
+    )
+
+
+# ----------------------------------------------------- P/F/S: filters, scalars
+
+def p1_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental timestamp-cursor filter (reference P1/T1,
+    STG_Firebase2Oracle.py:52-58): keep events at/after the previous
+    successful run's start. Pushed to the parquet scan; at scale the
+    events table is date-partitioned so this is partition pruning."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def s10_load_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing→intermediate copy with constant load_key stamp (reference
+    S10, STG_to_INT.py:16-20): pure projection + literal; at scale the
+    write is partitionBy(load_key) so downstream batch reads prune."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value",
+        F.lit(42).cast("bigint").alias("load_key"),
+    )
+
+
+def f_scalar_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function suite in one projection (reference F1/F2/F5/F7/
+    F11): COALESCE defaulting, CAST normalization, CASE classification,
+    string ops. No shuffle — pure codegen map stage."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("event_type"), F.lit("N/A")).alias("etype"),
+        _money("value").cast("string").alias("value_str"),
+        F.when(F.col("value") >= 100, F.lit("HIGH"))
+         .when(F.col("value") >= 10, F.lit("MID"))
+         .otherwise(F.lit("LOW")).alias("value_band"),
+        F.upper(F.substring("event_type", 1, 3)).alias("etype_prefix"),
+        F.col("ts").cast("date").cast("string").alias("event_date"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("props_k"),
+    )
+
+
+# ------------------------------------------------------------ O/set operations
+
+def o_set_ops_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT surface (SURVEY §2.6 — absent in the
+    reference, exposed by the engine; the SCD2 union-rewrite fallback is
+    built on unionByName). Tags each natural key with its snapshot
+    membership: both / staging_only / target_only."""
+    stg = _orders_staging(spark, sf_dir).select("o_orderkey")
+    tgt = _orders_target(spark, sf_dir).select("o_orderkey")
+    both = stg.intersect(tgt).select("o_orderkey", F.lit("both").alias("membership"))
+    s_only = stg.exceptAll(tgt).select("o_orderkey", F.lit("staging_only").alias("membership"))
+    t_only = tgt.exceptAll(stg).select("o_orderkey", F.lit("target_only").alias("membership"))
+    return both.unionByName(s_only).unionByName(t_only)
+
+
+# ------------------------------------------------------------ window analytics
+
+def w_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window surface (lag + running frame sum) over the events
+    stream — per-user cumulative value and gap-to-previous-event.
+
+    Scale: single shuffle on user_id; frames evaluated per partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(_money("value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("double").alias("running_value"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+def t5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over events (SURVEY §2.9 T5) — the
+    batch twin of the streaming windowed agg: 6-hour buckets per
+    event_type. Bucketing via epoch arithmetic (identical in any SQL
+    engine) rather than Spark's window() struct so the oracle matches.
+
+    Scale: partial agg per (bucket,type) then one small shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("bigint")
+    return (
+        ev.groupBy(bucket.alias("bucket_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_money("value")).cast("double").alias("total_value"),
+            F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
+        )
+    )

@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Single place where execution knobs live so tests, bench, and the driver
+contract all run the same configuration. Tuned for local[N] testing but
+every setting is the one you'd want on a 1000-executor cluster too:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+shuffle partitions sized to the parallelism at hand, Arrow enabled for
+the few Pandas-UDF paths, UTC session timezone so timestamp semantics
+are stable across engines (the DuckDB differential oracle runs UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dht11_data_pipeline_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale you'd set this to 2-3x total executor cores (or rely on AQE
+    coalescing from a high initial number, which is what we do: AQE
+    shrinks post-shuffle partitions to ``advisoryPartitionSizeInBytes``).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
