@@ -1,0 +1,139 @@
+"""End-to-end batch pipeline — reference E1 lifecycle (main.py:25-82)
+rebuilt as one Spark driver program.
+
+Flow (reference stage → here):
+  interface existence gate      → ControlTable.interface_exists
+  previous-run 'Success' gate   → ControlTable.assert_previous_success
+  mint load_key, run-row insert → ControlTable.next_load_key/add_run_entry
+  Firebase subtree fetch+flatten→ sources.firebase_tree (distributed)
+  landing delete+reload         → layers.write_landing (atomic overwrite)
+  landing→intermediate + stamp  → layers.load_to_intermediate
+  SCD2 historization            → operators.scd2.apply_scd2 (atomic swap)
+  status updates                → ControlTable.update_run_status
+
+The XCom dataset hand-off and the cross-DAG trigger (reference E2,
+Airflow-DAG.py:299-307,529-555) disappear: every stage passes lazy
+DataFrames inside one process, and 'trigger historization' is a
+function call.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.operators.control import ControlTable
+from dht11_data_pipeline_spark.operators.layers import (
+    load_to_intermediate, read_intermediate, write_landing,
+)
+from dht11_data_pipeline_spark.operators.scd2 import SCD2Config, apply_scd2
+from dht11_data_pipeline_spark.sources.firebase_tree import flatten_readings, read_tree
+
+HIST_CFG = SCD2Config(
+    natural_keys=["device_id", "ts"],
+    ak_col="hist_dht11_data_ak",
+    key_col="hist_dht11_data_key",
+    exclude_from_delta=["timezone"],
+    exclude_from_load=["load_key"],
+)
+
+
+def _hist_path(warehouse_dir: str) -> str:
+    return os.path.join(warehouse_dir, "hist_dht11_data")
+
+
+def read_history(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    path = _hist_path(warehouse_dir)
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    # empty target with the full SCD2 schema
+    landing_like = "device_id string, timezone string, humidity string, temperature string, ts timestamp"
+    audit = (f"{HIST_CFG.ak_col} decimal(18,0), {HIST_CFG.key_col} decimal(18,0), "
+             "da_current_flag string, da_deleted_flag string, "
+             "da_valid_from_date timestamp, da_valid_to_date timestamp, "
+             "da_inserted_datetime timestamp, da_updated_datetime timestamp")
+    return spark.createDataFrame([], f"{landing_like}, {audit}")
+
+
+def historize(spark: SparkSession, warehouse_dir: str, load_key: int,
+              load_ts: str | None = None) -> DataFrame:
+    """SCD2 apply over the intermediate batch → atomic target swap
+    (reference Historization DAG, Delta_detection_query_gen.py:335-351).
+
+    Atomicity: the new state is fully materialized to a staging dir,
+    then moved over the target path — replaces the reference's
+    non-atomic MERGE-then-INSERT two-phase commit (SURVEY §7.4.2).
+    """
+    staging = read_intermediate(spark, warehouse_dir, load_key)
+    target = read_history(spark, warehouse_dir)
+    new_state = apply_scd2(staging, target, HIST_CFG, load_ts=load_ts,
+                           deterministic_keys=True)
+    tmp = _hist_path(warehouse_dir) + "_staged"
+    new_state.write.mode("overwrite").parquet(tmp)
+    final = _hist_path(warehouse_dir)
+    import shutil
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return spark.read.parquet(final)
+
+
+def run_batch(spark: SparkSession, warehouse_dir: str, tree_json_path: str,
+              device_id: str, interface_nm: str = "DHT11_SENSOR_DATA_LOAD",
+              interface_cd: str = "STG_1020",
+              load_ts: str | None = None,
+              since_ts: str | None = None) -> dict:
+    """One full incremental batch (reference `python main.py`).
+
+    ``since_ts`` overrides the watermark (normally the previous
+    successful run's start time — reference main.py:7-23); the
+    reference exposes the same override through the DAG conf payload.
+    """
+    ctl = ControlTable(spark, warehouse_dir)
+
+    if not ctl.interface_exists(interface_nm, interface_cd):
+        raise RuntimeError(f"interface {interface_cd}/{interface_nm} not registered")
+    prev_ts, prev_key = ctl.assert_previous_success(interface_cd)
+    if since_ts is not None:
+        prev_ts = since_ts
+    load_key = prev_key + 1
+
+    ctl.add_run_entry(interface_nm, interface_cd, load_key, "APP SPECIFIC LOADING")
+
+    tree = read_tree(spark, tree_json_path)
+    readings = flatten_readings(tree, device_id=device_id, since_ts=prev_ts)
+
+    if readings.isEmpty():  # empty-batch short-circuit (reference T3)
+        ctl.update_run_status(interface_cd, load_key, "Success", complete=True)
+        return {"load_key": load_key, "rows": 0, "skipped": True}
+
+    write_landing(readings, warehouse_dir, device_id)
+    ctl.update_run_status(interface_cd, load_key, "APP SPECIFIC LOADING COMPLETED")
+
+    load_to_intermediate(spark, warehouse_dir, load_key, device_id)
+    ctl.update_run_status(interface_cd, load_key, "INTEGRATION LOAD COMPLETED")
+
+    hist = historize(spark, warehouse_dir, load_key, load_ts=load_ts)
+    ctl.update_run_status(interface_cd, load_key, "Success", complete=True)
+
+    n = read_intermediate(spark, warehouse_dir, load_key).count()
+    return {"load_key": load_key, "rows": n, "skipped": False,
+            "hist_rows": hist.count()}
+
+
+def bootstrap(spark: SparkSession, warehouse_dir: str,
+              interface_nm: str = "DHT11_SENSOR_DATA_LOAD",
+              interface_cd: str = "STG_1020",
+              seed_start_ts: str = "1970-01-01 00:00:00") -> None:
+    """Seed the control plane: register the interface and write the
+    initial 'Success' row the prev-run gate requires (FIXTURES.md B4)."""
+    ctl = ControlTable(spark, warehouse_dir)
+    ctl.register_interface(interface_cd, interface_nm)
+    df = spark.sql(
+        f"SELECT '{interface_nm}' interface_name, '{interface_cd}' interface_cd, "
+        f"'Success' load_status, CAST('{seed_start_ts}' AS TIMESTAMP) load_start_dt_tm, "
+        "current_timestamp() load_complete_dt_tm, CAST(1 AS BIGINT) load_key"
+    )
+    df.write.mode("append").parquet(ctl.control_path)
