@@ -14,6 +14,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dht11_data_pipeline_spark.plans import queries as Q
+from dht11_data_pipeline_spark.plans.ext_oracles import EXT_ORACLES
+from dht11_data_pipeline_spark.plans.ext_queries import EXT_QUERIES
 from dht11_data_pipeline_spark.plans.oracles import ORACLES
 
 
@@ -40,8 +42,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_set_ops_snapshot_diff": Q.o_set_ops_snapshot_diff,
         "w_running_user_value": Q.w_running_user_value,
         "t5_tumbling_window_agg": Q.t5_tumbling_window_agg,
+        **EXT_QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {**ORACLES, **EXT_ORACLES}

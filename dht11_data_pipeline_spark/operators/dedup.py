@@ -1,0 +1,211 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, cheapest first — the standard cascade at 100 TB is
+exact → minhash-LSH candidates → verify, with simhash as the
+bit-sketch alternative:
+
+- exact: sha256 content hash → groupBy — one shuffle on a 64-char key,
+  map-side partial agg; canonical = min doc_id.
+- n-gram Jaccard: inverted-index self-join on distinct shingles →
+  per-pair intersection counts → Jaccard. Exact but O(pairs-sharing-a-
+  shingle); used as the verify stage.
+- minhash-LSH: k seeded min-hashes per doc (narrow, no shuffle), bands
+  of r rows → bucket join. Only docs sharing a band bucket become
+  candidate pairs (sub-quadratic); pairs are then verified with true
+  Jaccard. At 100 TB: the band explode is xB rows, the bucket join
+  shuffles on (band, bucket-hash) — skew-safe because buckets are
+  hash-random by construction.
+- simhash: 16-bit sign sketch of the token multiset; near-dups =
+  pairs within Hamming distance d (bit_count(xor)). Joined by sketch
+  chunks at scale (pigeonhole); brute pair compare at test scale.
+
+All pure column expressions + joins; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.functions.hashing import SEP, seeded_hex_hash
+from dht11_data_pipeline_spark.functions.text import distinct_shingles, tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Group identical content by sha256; emit one row per content
+    group with the canonical (min) id and the multiplicity."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # filter on token count (cheap split), NOT on size(shingle_set):
+    # a filter over the projected set makes Catalyst evaluate the whole
+    # shingle expression twice (once for the predicate, once for the
+    # projection) — measured 3x slower at sf0.1
+    return df.filter(F.size(F.split(F.col(text_col), " ")) >= n).select(
+        F.col(id_col), distinct_shingles(text_col, n).alias("shingle_set")
+    )
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, threshold: float = 0.2) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via inverted-index self-join.
+
+    Explode distinct shingles → join on shingle (pairs that share ≥1
+    shingle) → count common → J = common / (|A|+|B|-common). The join
+    key is the shingle string; at scale hash it first and pre-filter
+    stop-shingles (df frequency cap) to bound fan-out.
+    """
+    # materialize the inverted index once: it feeds the self-join twice
+    # plus the per-doc sizes — without persist every branch re-runs the
+    # shingle expression (the CTAS-parity pattern, SURVEY §4.1)
+    inv = _doc_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingle_set").alias("shingle")
+    ).persist()
+    sizes = inv.groupBy(F.col(id_col).alias("sid")).agg(
+        F.count(F.lit(1)).cast("int").alias("set_size"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("sid", "doc_a").withColumnRenamed("set_size", "size_a")
+    sb = sizes.withColumnRenamed("sid", "doc_b").withColumnRenamed("set_size", "size_b")
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, num_hashes: int = 8) -> DataFrame:
+    """k seeded min-hashes per document. Each h_s(doc) = min over
+    shingles of sha256(s || shingle) (first 16 hex chars — fixed-width
+    hex compares like the integer it encodes, identically in any
+    engine).
+
+    Shape: explode shingles → ONE codegen'd groupBy computing all k
+    mins (map-side partial agg). The higher-order-function variant
+    (k transforms over the array) is shuffle-free but interpreted —
+    k× sha256 passes per doc made it 4× slower at sf0.1; the explode
+    pays one shuffle on id and hashes each shingle exactly k times in
+    whole-stage codegen."""
+    inv = _doc_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingle_set").alias("shingle"))
+    mins = [
+        F.min(F.substring(
+            F.sha2(F.concat_ws(SEP, F.lit(str(seed)), F.col("shingle")), 256), 1, 16,
+        )).alias(f"_h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return (
+        inv.groupBy(id_col).agg(*mins)
+        .select(F.col(id_col),
+                F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("signature"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        band_size: int = 2) -> DataFrame:
+    """Band the signature (r rows/band), bucket-join: docs agreeing on
+    ALL rows of any band become candidates. P(candidate) ≈ 1-(1-J^r)^b.
+    One shuffle on (band_idx, band_key); dedup pairs found in >1 band."""
+    num_hashes = None  # derived below from the first row's array length
+    sig_len = F.size("signature")
+    bands = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (sig_len / band_size).cast("int") - 1),
+                lambda b: F.concat_ws(
+                    "|", F.slice(F.col("signature"), b * band_size + 1, band_size)),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            num_hashes: int = 8, band_size: int = 2,
+                            threshold: float = 0.5) -> DataFrame:
+    """Full cascade: LSH candidates → exact-Jaccard verify ≥ threshold.
+
+    The verify computes Jaccard ONLY for candidate pairs, via
+    array_intersect of the two (distinct) shingle sets — O(candidates),
+    not the all-pairs inverted-index join; that's the whole point of
+    LSH at scale."""
+    sigs = minhash_signature(df, text_col, id_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, band_size)
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("set_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("set_b"))
+    common = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    common / (F.size("set_a") + F.size("set_b") - common))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over the token multiset: token → 16-bit hash
+    (first 4 hex chars of sha256); sketch bit b = sign of Σ_tokens
+    (±1 per token's bit b). Integer-exact → engine-portable.
+
+    Shape: explode tokens → hash once per token in codegen → ONE
+    groupBy with 16 signed-bit sums (map-side partial agg, single
+    shuffle on id). The array-aggregate variant re-evaluated the
+    sha256 transform for each of the 16 bits — 16x the hashing."""
+    tok_rows = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
+    h = F.conv(F.substring(F.sha2(F.col("tk"), 256), 1, 4), 16, 10).cast("int")
+    sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"_s{b}")
+        for b in range(16)
+    ]
+    agg = tok_rows.groupBy(id_col).agg(*sums)
+    sketch = None
+    for b in range(16):
+        term = F.when(F.col(f"_s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sketch = term if sketch is None else sketch + term
+    return agg.select(F.col(id_col), sketch.cast("int").alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance d of the 16-bit sketch. Test-scale
+    pair compare is a self-join; at 100 TB, split the sketch into d+1
+    chunks and join on exact-matching chunks (pigeonhole) first."""
+    sk = simhash16(df, text_col, id_col)
+    a, b = sk.alias("a"), sk.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: queries × corpus cross join — exact,
+  O(Q·N). Right answer for small Q (the reranker / eval path). The
+  corpus side streams; only Q rows broadcast.
+- LSH-bucketed ANN: random-hyperplane signs → bucket id; candidates =
+  same-bucket rows; top-k within candidates. Sub-linear scan at scale:
+  the bucket join shuffles on the bucket id; with p planes, expected
+  bucket population is N/2^p. Planes are deterministic ±1 literals
+  (functions/vectors.make_planes) so results are engine-reproducible.
+
+Embedding near-duplicate detection (dedup tier 5) = brute-force pairs
+with cosine ≥ threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dht11_data_pipeline_spark.functions.vectors import (
+    cosine, hyperplane_sign_bits, make_planes,
+)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self).
+
+    Similarity is rounded to 4 decimals *for the ranking* so that
+    cross-engine float jitter can't reorder near-ties; rank ties break
+    on neighbor id — fully deterministic output.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_planes: int = 4, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Recall is tunable via n_planes (fewer planes → bigger
+    buckets → higher recall, more compute)."""
+    planes = make_planes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "sim", "rank")
+    )
+
+
+def _normalized(corpus: DataFrame, id_col: str, vec_col: str,
+                out_id: str, out_vec: str) -> DataFrame:
+    """Pre-normalize once per row so the pair loop is a single dot
+    product instead of dot + two norms (3× less array work — the pair
+    stage is the O(N²) part, the normalize pass is O(N))."""
+    from dht11_data_pipeline_spark.functions.vectors import norm
+    with_norm = corpus.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    return with_norm.select(
+        out_id,
+        F.transform("_v", lambda x: x.cast("double") / F.col("_n")).alias(out_vec),
+    )
+
+
+def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup tier for semantic dups).
+    Test-scale pair scan; at 100 TB run lsh_ann buckets first and only
+    pair-compare within buckets."""
+    from dht11_data_pipeline_spark.functions.vectors import dot
+    a = _normalized(corpus, id_col, vec_col, "id_a", "va")
+    b = _normalized(corpus, id_col, vec_col, "id_b", "vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

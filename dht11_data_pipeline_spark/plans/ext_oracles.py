@@ -1,0 +1,246 @@
+"""DuckDB oracle SQL for the extension queries — generated
+programmatically so algorithm constants (seeds, planes, bit widths)
+stay in one place and provably match the DataFrame side.
+"""
+
+from __future__ import annotations
+
+from dht11_data_pipeline_spark.functions.text import LANG_MARKERS, STOPWORDS
+from dht11_data_pipeline_spark.functions.vectors import make_planes
+
+# word-3-gram distinct shingle set per doc (mirrors functions/text.shingles)
+_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t)-1)]) AS shingle_set
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+_JACCARD_CORE = _SHINGLES + """
+, sizes AS (SELECT doc_id, len(shingle_set) AS set_size FROM sh)
+, inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sh)
+, common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+, pairs AS (
+  SELECT doc_a, doc_b, n_common,
+         CAST(sa.set_size AS INTEGER) AS size_a,
+         CAST(sb.set_size AS INTEGER) AS size_b,
+         n_common / (sa.set_size + sb.set_size - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+def _minhash_sql(num_hashes: int = 8, band_size: int = 2,
+                 threshold: float = 0.5) -> str:
+    sig_items = ", ".join(
+        "list_aggregate(list_transform(shingle_set, "
+        f"x -> substr(sha256('{s}' || chr(31) || x), 1, 16)), 'min')"
+        for s in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || '|' || ".join(f"signature[{b * band_size + r + 1}]" for r in range(band_size))
+        + " AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return (_SHINGLES + f"""
+, sigs AS (SELECT doc_id, [{sig_items}] AS signature FROM sh)
+, bands AS ({band_selects})
+, cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(sa.shingle_set, sb.shingle_set))
+         / (len(sa.shingle_set) + len(sb.shingle_set)
+            - len(list_intersect(sa.shingle_set, sb.shingle_set))) AS jaccard
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.shingle_set, sb.shingle_set))
+        / (len(sa.shingle_set) + len(sb.shingle_set)
+           - len(list_intersect(sa.shingle_set, sb.shingle_set))) >= {threshold}
+""")
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    # sha256 recomputed per nibble: DuckDB forbids subqueries inside
+    # lambdas, and 4 extra hashes/token is nothing at oracle scale
+    nib = "(instr('0123456789abcdef', substr(sha256(tk), {pos}, 1)) - 1)"
+    hv = " + ".join(
+        f"{nib.format(pos=p + 1)} * {16 ** (3 - p)}" for p in range(4)
+    )
+    bit_sums = ", ".join(
+        f"list_sum(list_transform(hashes, h2 -> CASE WHEN (h2 >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) AS s{b}"
+        for b in range(16)
+    )
+    sketch = " + ".join(f"CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hashed AS (
+  SELECT doc_id, list_transform(t, tk -> {hv}) AS hashes
+  FROM toks
+),
+bitsums AS (SELECT doc_id, {bit_sums} FROM hashed),
+sk AS (SELECT doc_id, CAST({sketch} AS INTEGER) AS simhash FROM bitsums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _lang_id_sql() -> str:
+    langs = list(LANG_MARKERS)
+    score_exprs = ", ".join(
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"tk -> list_contains({LANG_MARKERS[lang]!r}, tk))) AS INTEGER) AS score_{lang}"
+        .replace("'", "'").replace("[", "[").replace("]", "]")
+        for lang in langs
+    )
+    # python list repr uses single quotes — valid DuckDB list literal
+    m = "greatest(" + ", ".join(f"score_{x}" for x in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{x} = {m} THEN '{x}'" for x in langs) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, {score_exprs} FROM documents)
+SELECT doc_id, {', '.join('score_' + x for x in langs)},
+       {pred} AS predicted_lang,
+       CAST({m} AS INTEGER) AS predicted_score
+FROM scored
+"""
+
+
+def _lsh_ann_sql(k: int = 5, n_planes: int = 4, dim: int = 64) -> str:
+    planes = make_planes(n_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{[float(v) for v in plane]}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  CAST({bucket} AS INTEGER) AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, e.v), 4) AS sim
+  FROM q JOIN e ON q.bucket = e.bucket AND q.query_id <> e.vec_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, bucket, neighbor_id, sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= {k}
+"""
+
+
+EXT_ORACLES: dict[str, str] = {
+    "dedup_exact": """
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+
+    "dedup_ngram_jaccard": _JACCARD_CORE + """
+SELECT doc_a, doc_b, n_common, size_a, size_b, jaccard
+FROM pairs WHERE jaccard >= 0.2
+""",
+
+    "dedup_minhash_lsh": _minhash_sql(),
+
+    "dedup_simhash": _simhash_sql(),
+
+    "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         CAST(length(text) AS INTEGER) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       (n_chars - len(toks) + 1) / len(toks) AS avg_token_len,
+       len(list_filter(toks, tk -> list_contains({STOPWORDS!r}, tk))) / len(toks) AS stopword_ratio,
+       (n_chars - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n_chars AS punct_ratio,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+       len(list_distinct(toks)) / len(toks) AS ttr
+FROM t
+""",
+
+    "text_lang_id": _lang_id_sql(),
+
+    "text_fingerprint": _SHINGLES + """
+SELECT d.doc_id,
+       list_aggregate(list_transform(sh.shingle_set, s -> substr(sha256(s),1,16)), 'min') AS fp_min,
+       list_aggregate(list_transform(sh.shingle_set, s -> substr(sha256(s),1,16)), 'max') AS fp_max,
+       CAST(len(sh.shingle_set) AS INTEGER) AS n_shingles
+FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+""",
+
+    "sim_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 4) AS sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 5
+""",
+
+    "sim_lsh_ann": _lsh_ann_sql(),
+
+    "sim_embedding_near_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+""",
+
+    "mm_binary_features": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 256 AS INTEGER) AS fake_width,
+       CAST((octet_length(encode(text)) // 256) % 256 AS INTEGER) AS fake_height,
+       sha256(text) AS checksum
+FROM documents
+""",
+
+    "t_sessionize": """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessioned AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sessioned
+GROUP BY 1, 2
+""",
+}
