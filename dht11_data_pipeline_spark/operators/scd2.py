@@ -78,12 +78,20 @@ def delta_columns(staging: DataFrame, cfg: SCD2Config) -> list[str]:
 
 
 def detect_delta(staging: DataFrame, target_current: DataFrame,
-                 cfg: SCD2Config) -> DataFrame:
+                 cfg: SCD2Config, incremental: bool = False) -> DataFrame:
     """Hash-based delta detection (reference phase 1, the composed FULL
     OUTER JOIN query at Delta_detection_query_gen.py:87-102).
 
     Returns one row per natural key seen on either side with
     ``upsert_cd`` ∈ {I, U, NC, PD} plus the key columns.
+
+    ``incremental=True`` switches to incremental-batch semantics: the
+    staging set is a partial feed (only keys that arrived this batch),
+    so a key absent from staging means "no news", never a delete — the
+    join becomes a LEFT join from staging and PD is never emitted.
+    This is the correct mode for streaming micro-batches
+    (streaming/historize.py); the default full-outer/PD mode matches
+    the reference's snapshot-compare (which can classify deletes).
     """
     dcols = delta_columns(staging, cfg)
     stg = staging.select(
@@ -98,7 +106,7 @@ def detect_delta(staging: DataFrame, target_current: DataFrame,
         c = F.col(f"stg.{k}").eqNullSafe(F.col(f"tgt.{k}"))
         cond = c if cond is None else cond & c
 
-    joined = stg.join(tgt, cond, "full_outer")
+    joined = stg.join(tgt, cond, "left_outer" if incremental else "full_outer")
     first_key = cfg.natural_keys[0]
     upsert = (
         F.when(F.col(f"tgt.{first_key}").isNull(), F.lit("I"))
@@ -140,7 +148,8 @@ def allocate_surrogate_keys(df: DataFrame, high_water: int, out_col: str,
 
 def apply_scd2(staging: DataFrame, target: DataFrame, cfg: SCD2Config,
                load_ts: str | None = None,
-               deterministic_keys: bool = False) -> DataFrame:
+               deterministic_keys: bool = False,
+               incremental: bool = False) -> DataFrame:
     """Full SCD2 apply: returns the COMPLETE new target state.
 
     new_target = closed-history rows (as-is)
@@ -165,7 +174,7 @@ def apply_scd2(staging: DataFrame, target: DataFrame, cfg: SCD2Config,
     current = target.filter(F.col(cfg.current_flag) == "Y")
     history = target.filter(F.col(cfg.current_flag) != "Y")
 
-    delta = detect_delta(staging, current, cfg).persist()
+    delta = detect_delta(staging, current, cfg, incremental=incremental).persist()
 
     # high-water marks (reference A2 cross-join clause :37-41)
     hw_row = target.agg(

@@ -1,0 +1,160 @@
+"""Structured Streaming surface: ingest typing, watermarked windows,
+in-stream dedup, and the foreachBatch SCD2 sink (SURVEY §2.9 T1-T5).
+
+Strategy: file-source streams over tmpdir JSON lines, drained with
+``trigger(availableNow=True)`` into memory/parquet sinks; results are
+asserted against the equivalent *batch* computation on the same data —
+streaming and batch must agree (same engine, same semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.operators.scd2 import SCD2Config
+from dht11_data_pipeline_spark.streaming.historize import start_scd2_stream
+from dht11_data_pipeline_spark.streaming.ingest import (
+    READING_SCHEMA, deduplicated_readings, read_reading_stream, typed_readings,
+)
+from dht11_data_pipeline_spark.streaming.windows import (
+    session_stats, sliding_stats, tumbling_stats,
+)
+
+R1 = [
+    {"device_id": "D1", "TimeZone": "IST", "Humidity": "61",
+     "Temperature": "29", "Timestamp": "2024-05-05 11:30:35"},
+    {"device_id": "D1", "TimeZone": "IST", "Humidity": "62",
+     "Temperature": "30", "Timestamp": "2024-05-05 11:35:35"},
+    {"device_id": "D1", "Humidity": "N/A",
+     "Temperature": "31", "Timestamp": "2024-05-05 11:44:00"},
+    {"device_id": "D2", "TimeZone": "UTC", "Humidity": "50",
+     "Temperature": "20", "Timestamp": "2024-05-05 13:00:00"},
+    {"device_id": "D2", "TimeZone": "UTC", "Humidity": "51",
+     "Temperature": "21"},  # missing Timestamp -> epoch sentinel
+]
+
+R2 = [  # second file: one duplicate of R1[0], one changed, one new
+    {"device_id": "D1", "TimeZone": "IST", "Humidity": "61",
+     "Temperature": "29", "Timestamp": "2024-05-05 11:30:35"},
+    {"device_id": "D1", "TimeZone": "IST", "Humidity": "99",
+     "Temperature": "29", "Timestamp": "2024-05-05 11:35:35"},
+    {"device_id": "D3", "TimeZone": "IST", "Humidity": "70",
+     "Temperature": "31", "Timestamp": "2024-05-06 08:00:00"},
+]
+
+
+def _write_jsonl(dirpath: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _drain_to_memory(stream_df, spark, name: str) -> None:
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def _batch_readings(spark, src_dir: str):
+    raw = spark.read.schema(READING_SCHEMA).json(src_dir)
+    return typed_readings(raw, watermark=None)
+
+
+def test_typed_reading_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "feed")
+    _write_jsonl(src, "r1.json", R1)
+    stream = typed_readings(read_reading_stream(spark, src))
+    q = (stream.writeStream.format("memory").queryName("typed_feed")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("typed_feed").collect()}
+    want = {tuple(r) for r in _batch_readings(spark, src).collect()}
+    assert got == want and len(got) == 5
+    # sentinel defaulting applied in-stream
+    by_dev = {(r["device_id"], str(r["ts"])): r for r in spark.table("typed_feed").collect()}
+    assert by_dev[("D1", "2024-05-05 11:44:00")]["timezone"] == "N/A"
+    assert ("D2", "1970-01-01 00:00:00") in by_dev
+
+
+@pytest.mark.parametrize("mk_window,qname", [
+    (lambda df: tumbling_stats(df, "10 minutes"), "tumbling"),
+    (lambda df: sliding_stats(df, "10 minutes", "5 minutes"), "sliding"),
+    (lambda df: session_stats(df, "30 minutes"), "session"),
+])
+def test_windowed_aggs_match_batch(spark, tmp_path, mk_window, qname):
+    src = str(tmp_path / "feed")
+    _write_jsonl(src, "r1.json", R1)
+    _write_jsonl(src, "r2.json", R2)
+    stream = mk_window(typed_readings(read_reading_stream(spark, src)))
+    _drain_to_memory(stream, spark, f"win_{qname}")
+    got = {tuple(r) for r in spark.table(f"win_{qname}").collect()}
+    want = {tuple(r) for r in mk_window(_batch_readings(spark, src)).collect()}
+    assert got == want
+    assert got, "window agg produced no rows"
+
+
+def test_stream_dedup_drops_natural_key_duplicates(spark, tmp_path):
+    src = str(tmp_path / "feed")
+    _write_jsonl(src, "r1.json", R1)
+    _write_jsonl(src, "r2.json", R2)  # R2[0] duplicates R1[0]'s (device, ts)
+    # R1[1] and R2[1] share (D1, 11:35:35) too -> 8 rows, 6 unique keys
+    stream = deduplicated_readings(
+        typed_readings(read_reading_stream(spark, src)))
+    q = (stream.writeStream.format("memory").queryName("deduped")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.table("deduped")
+    # 6 unique natural keys arrive, but the epoch-sentinel row (missing
+    # Timestamp -> 1970-01-01, reference STG_Firebase2Oracle.py:57) is
+    # maximally-late by definition and the watermark drops it — the
+    # streaming-native answer to the reference's sentinel convention
+    assert out.count() == 5
+    assert out.select("device_id", "ts").distinct().count() == 5
+    assert out.filter(F.col("ts") == "1970-01-01 00:00:00").count() == 0
+
+
+def test_scd2_stream_two_batches(spark, tmp_path):
+    """Two micro-batches through the foreachBatch SCD2 sink reproduce
+    the reference's I/U/NC historization states (B5 scenario of
+    tests/test_scd2.py, driven through streaming)."""
+    src = str(tmp_path / "feed")
+    target = str(tmp_path / "hist_target")
+    ckpt1 = str(tmp_path / "ckpt1")
+    cfg = SCD2Config(natural_keys=["device_id", "ts"], ak_col="ak",
+                     key_col="key", exclude_from_delta=["timezone"],
+                     exclude_from_load=["load_key"])
+
+    _write_jsonl(src, "b1.json", R1)
+    readings = typed_readings(read_reading_stream(spark, src), watermark=None)
+    q = start_scd2_stream(readings, target, ckpt1, cfg)
+    q.awaitTermination(120)
+
+    state1 = spark.read.parquet(target)
+    assert state1.count() == 5
+    assert state1.filter(F.col("da_current_flag") == "Y").count() == 5
+    # capture eagerly: the batch-2 swap replaces the files state1 points at
+    hw1 = int(state1.agg(F.max("key")).first()[0])
+
+    # batch 2: the checkpoint makes the stream pick up only the new file
+    _write_jsonl(src, "b2.json", R2)
+    q = start_scd2_stream(readings, target, ckpt1, cfg)
+    q.awaitTermination(120)
+
+    state2 = spark.read.parquet(target)
+    cur = state2.filter(F.col("da_current_flag") == "Y")
+    # 6 distinct natural keys live: 5 from B1 + new D3 row
+    assert cur.count() == 6
+    # the humidity change closed one old version
+    closed = state2.filter(F.col("da_current_flag") == "N")
+    assert closed.count() == 1
+    assert closed.first()["humidity"] == "62"
+    new_version = cur.filter(
+        (F.col("device_id") == "D1") & (F.col("humidity") == "99"))
+    assert new_version.count() == 1
+    # surrogate keys minted above batch-1 high-water mark
+    assert int(new_version.first()["key"]) > hw1
