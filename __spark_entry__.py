@@ -33,6 +33,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_semi_join_latest": Q.j6_semi_join_latest,
         "j_anti_customers_without_orders": Q.j_anti_customers_without_orders,
         "q3_unshipped_revenue": Q.q3_unshipped_revenue,
+        "q5_region_supplier_volume": Q.q5_region_supplier_volume,
+        "a_rollup_status_priority": Q.a_rollup_status_priority,
+        "a_cube_type_band": Q.a_cube_type_band,
+        "a_distinct_counts": Q.a_distinct_counts,
+        "w_rank_suite": Q.w_rank_suite,
+        "f_date_arithmetic": Q.f_date_arithmetic,
+        "f_string_suite": Q.f_string_suite,
+        "n_props_extract": Q.n_props_extract,
+        "t_sliding_window_agg": Q.t_sliding_window_agg,
+        "j_asof_latest_event_before_order": Q.j_asof_latest_event_before_order,
         "j2_scd2_delta_classify": Q.j2_scd2_delta_classify,
         "w1_surrogate_key_mint": Q.w1_surrogate_key_mint,
         "f6_legacy_key_guard": Q.f6_legacy_key_guard,

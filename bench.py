@@ -20,11 +20,15 @@ from dht11_data_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_unshipped_revenue",
+    "q5_region_supplier_volume",
     "j2_scd2_delta_classify",
     "a1_latest_order_per_customer",
     "j1_interface_registration",
+    "j_asof_latest_event_before_order",
     "t5_tumbling_window_agg",
+    "t_sliding_window_agg",
     "w_running_user_value",
+    "w_rank_suite",
 ]
 
 

@@ -53,6 +53,28 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways (the LLM-pipeline budget signals):
+    whitespace tokens, BPE-ish regex tokens (word / non-space-punct
+    splits — the GPT-2 pre-tokenizer shape), plus a subword-budget
+    estimate (ceil(wordlen/4) per word ≈ bytes-per-token heuristic).
+    All codegen'd regex + higher-order array math — no shuffle."""
+    ws = F.split(F.col(text_col), " ")
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(r"\w+|[^\w\s]"), 0)
+    subword = F.aggregate(
+        ws, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        subword.alias("est_subword_tokens"),
+        (F.length(text_col) / F.size(bpe)).alias("chars_per_token"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 n: int = 3) -> DataFrame:
     """Content fingerprint: min/max hex-hash over the document's word

@@ -181,6 +181,21 @@ FROM t
 
     "text_lang_id": _lang_id_sql(),
 
+    "text_token_stats": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS ws,
+         regexp_extract_all(text, '\w+|[^\w\s]') AS bpe
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS INTEGER) AS n_ws_tokens,
+       CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+       CAST(list_sum(list_transform(ws, tk -> CAST(ceil(length(tk) / 4.0) AS BIGINT))) AS BIGINT) AS est_subword_tokens,
+       length(text) / len(bpe) AS chars_per_token
+FROM t
+""",
+
     "text_fingerprint": _SHINGLES + """
 SELECT d.doc_id,
        list_aggregate(list_transform(sh.shingle_set, s -> substr(sha256(s),1,16)), 'min') AS fp_min,
@@ -217,6 +232,44 @@ SELECT doc_id,
        CAST((octet_length(encode(text)) // 256) % 256 AS INTEGER) AS fake_height,
        sha256(text) AS checksum
 FROM documents
+""",
+
+    # the corpus is pure ASCII, so byte slicing == char slicing and the
+    # oracle can mirror the python stubs with string functions
+    "mm_resize": """
+WITH t AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS INTEGER) AS n
+  FROM documents
+),
+s AS (SELECT doc_id, text, n, greatest(1, n // 64) AS stride FROM t),
+sliced AS (
+  SELECT doc_id, n,
+         list_aggregate(
+           list_transform(
+             list_filter(range(0, 64), i -> i * stride < n),
+             i -> substr(text, CAST(i * stride + 1 AS INT), 1)),
+           'string_agg', '') AS out_str
+  FROM s
+)
+SELECT doc_id, n AS n_bytes_in,
+       CAST(length(out_str) AS INTEGER) AS n_bytes_out,
+       sha256(out_str) AS out_checksum
+FROM sliced
+""",
+
+    "mm_frame_sample": """
+WITH t AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS INTEGER) AS n
+  FROM documents
+),
+f AS (SELECT doc_id, text, n, CAST((n + 255) // 256 AS INTEGER) AS n_frames FROM t),
+idx AS (
+  SELECT doc_id, text, n, unnest(range(0, n_frames, 4)) AS frame_idx FROM f
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS INTEGER) AS frame_len,
+       sha256(substr(text, CAST(frame_idx * 256 + 1 AS INT), 256)) AS frame_checksum
+FROM idx
 """,
 
     "t_sessionize": """

@@ -51,6 +51,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(docs)
 
 
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.token_stats(docs)
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for query vectors (vec_id%50==0)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -76,6 +81,21 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature extraction (stubbed decoder)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_binary_payload(docs))
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:1 binary transform plumbing (resize/resample shape, stubbed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_payloads(
+        multimodal.attach_binary_payload(docs), target=64)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:N frame-sampling plumbing (video/audio keyframe shape):
+    256-byte frames, every 4th."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.attach_binary_payload(docs), frame_size=256, every=4)
 
 
 def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,9 +128,12 @@ EXT_QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_token_stats": text_token_stats,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "mm_binary_features": mm_binary_features,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
     "t_sessionize": t_sessionize,
 }

@@ -190,6 +190,127 @@ SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
 FROM events
 """,
 
+    "q5_region_supplier_volume": """
+SELECT n.n_name AS nation_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+
+    "a_rollup_status_priority": """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+
+    "a_cube_type_band": """
+WITH banded AS (
+  SELECT event_type,
+         CASE WHEN value >= 100 THEN 'HIGH' WHEN value >= 10 THEN 'MID' ELSE 'LOW' END AS value_band,
+         value
+  FROM events
+)
+SELECT event_type, value_band,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(GROUPING(event_type, value_band) AS BIGINT) AS gid
+FROM banded
+GROUP BY CUBE (event_type, value_band)
+""",
+
+    "a_distinct_counts": """
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+
+    "w_rank_suite": """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER det AS INTEGER) AS rn,
+       CAST(RANK() OVER tie AS INTEGER) AS rk,
+       CAST(DENSE_RANK() OVER tie AS INTEGER) AS drk,
+       CAST(NTILE(4) OVER det AS INTEGER) AS quartile,
+       LEAD(o_orderkey) OVER det AS next_orderkey
+FROM orders
+WINDOW det AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC),
+       tie AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC)
+""",
+
+    "f_date_arithmetic": """
+SELECT o_orderkey,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_1995,
+       CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+       CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sun0
+FROM orders
+""",
+
+    "f_string_suite": """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+       TRY_CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
+       UPPER(p_type) || '-' || lpad(CAST(p_size AS VARCHAR), 2, '0') AS type_size,
+       CAST(length(p_name) AS INTEGER) AS name_len
+FROM part
+""",
+
+    "n_props_extract": """
+SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+
+    "t_sliding_window_agg": """
+WITH b AS (
+  SELECT event_type, value,
+         CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS b0
+  FROM events
+),
+expanded AS (
+  SELECT event_type, value, unnest([b0, b0 - 21600]) AS window_start FROM b
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2
+""",
+
+    "j_asof_latest_event_before_order": """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       event_id AS asof_event_id,
+       ts AS asof_ts,
+       event_type AS asof_event_type
+FROM (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+         e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
+  FROM orders o
+  JOIN events e ON o.o_custkey = e.user_id AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate
+)
+WHERE rn = 1
+""",
+
     "t5_tumbling_window_agg": """
 SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start,
        event_type,

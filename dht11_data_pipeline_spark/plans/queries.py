@@ -363,6 +363,208 @@ def w_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join chain: revenue by nation where the
+    supplier and the ordering customer share a nation, one region.
+
+    Scale: nation/region/supplier are broadcast (small dims) so the only
+    shuffles are lineitem⋈orders on orderkey and orders⋈customer on
+    custkey; Catalyst reorders the dim joins behind the fact joins.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_money("l_extendedprice") * (_one() - _money("l_discount")))
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+def a_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP hierarchy totals (engine surface beyond the
+    reference's scalar MAX aggregates — SURVEY §2.3 note).
+
+    Scale: rollup expands each row into its grouping sets map-side;
+    partial aggs keep the shuffle at O(groups), not O(rows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(_money("o_totalprice")).cast("double").alias("total_price"),
+             F.grouping_id().cast("bigint").alias("gid"))
+    )
+
+
+def a_cube_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (event_type, value band) — all 4 grouping-set
+    combinations in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") >= 100, F.lit("HIGH"))
+        .when(F.col("value") >= 10, F.lit("MID"))
+        .otherwise(F.lit("LOW"))
+    )
+    return (
+        ev.withColumn("value_band", band)
+        .cube("event_type", "value_band")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(_money("value")).cast("double").alias("total_value"),
+             F.grouping_id().cast("bigint").alias("gid"))
+    )
+
+
+def a_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates per group (count-distinct expands to a
+    two-phase agg in Spark: dedup shuffle then count — exact, unlike
+    approx_count_distinct which trades 2% error for one pass)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+             F.count(F.lit(1)).alias("n_customers"),
+             (F.sum(_money("c_acctbal")).cast("double") / F.count(F.lit(1)))
+             .alias("avg_acctbal"))
+    )
+
+
+def w_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window suite: row_number / rank / dense_rank / ntile /
+    lead in one pass (SURVEY §2.5 — the reference only uses ROW_NUMBER;
+    the engine exposes the full surface).
+
+    rank/dense_rank run over the date alone so ties genuinely tie
+    (deterministic by SQL semantics); ntile/lead use the fully
+    deterministic (date, key) order.
+
+    Scale: one shuffle on o_custkey serves all five functions — Catalyst
+    collapses same-partitioning windows into one exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    det = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    tie = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc())
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(det).alias("rn"),
+        F.rank().over(tie).alias("rk"),
+        F.dense_rank().over(tie).alias("drk"),
+        F.ntile(4).over(det).alias("quartile"),
+        F.lead("o_orderkey").over(det).alias("next_orderkey"),
+    )
+
+
+def f_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function suite (beyond the reference's TO_DATE/SYSDATE
+    — SURVEY §2.7 F7/F8): truncation, field extraction, date diff and
+    interval arithmetic. Pure projection, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("int").alias("days_since_1995"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due_date"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sun0"),
+    )
+
+
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex function suite over part names (SURVEY §2.7 note:
+    the reference has no regex at all; the engine exposes the standard
+    surface). Pure projection — codegen, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).try_cast("int").alias("brand_num"),
+        F.concat_ws("-", F.upper("p_type"),
+                    F.lpad(F.col("p_size").cast("string"), 2, "0")).alias("type_size"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+def n_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction + aggregation (the batch twin of
+    the tree-source flattening, SURVEY §2.8): pull props.k out of the
+    JSON string, bucket it, aggregate per bucket.
+
+    Scale: get_json_object is a codegen'd path expression — no UDF; the
+    agg shuffles only the 10 bucket rows after map-side partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k_bucket", (k % 10).cast("bigint"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(k).alias("sum_k"),
+             F.sum(_money("value")).cast("double").alias("total_value"))
+    )
+
+
+def t_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (12 h windows every 6 h) — each event
+    belongs to 2 overlapping windows, materialized map-side by exploding
+    the window-start array (exactly how Spark's window() expands sliding
+    windows internally; spelled out so the SQL oracle can mirror it).
+
+    Scale: fan-out factor == overlap (2), then partial aggs; shuffle
+    carries O(windows × types) rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.floor(F.unix_timestamp("ts") / 21600) * 21600).cast("bigint")
+    return (
+        ev.withColumn("window_start", F.explode(F.array(b, b - 21600)))
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(_money("value")).cast("double").alias("total_value"))
+    )
+
+
+def j_asof_latest_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (range join + argmax): for each order, the customer's
+    latest event at-or-before the order date. The reference has nothing
+    like it (SURVEY §2.4 'not present' list) — it's the canonical
+    time-series enrichment operator.
+
+    Implementation: range-condition join then per-order row_number — at
+    scale, pre-bucket both sides by the user key and sort within
+    buckets so the join is shuffle-free, and the window is per-order
+    (no global sort). Ties on ts break by event_id for determinism.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    joined = o.join(
+        ev,
+        (o.o_custkey == ev.user_id) & (ev.ts <= o.o_orderdate),
+        "inner",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+                F.col("event_id").alias("asof_event_id"),
+                F.col("ts").alias("asof_ts"),
+                F.col("event_type").alias("asof_event_type"))
+    )
+
+
 def t5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over events (SURVEY §2.9 T5) — the
     batch twin of the streaming windowed agg: 6-hour buckets per
