@@ -31,18 +31,29 @@ def tokens(col: str | Column = "text") -> Column:
 
 
 def shingles(tok: Column, n: int = 3) -> Column:
-    """Word n-grams as an array column: transform over an index sequence
-    (1-based element_at) — no explode, no shuffle."""
-    joined = {
-        2: lambda i: F.concat_ws(" ", F.element_at(tok, i), F.element_at(tok, i + 1)),
-        3: lambda i: F.concat_ws(" ", F.element_at(tok, i), F.element_at(tok, i + 1),
-                                 F.element_at(tok, i + 2)),
-    }[n]
-    # guard: sequence(1, 0) would DESCEND in Spark, so short docs need an
-    # explicit empty array (mirrors range(1, len-1) semantics in SQL)
+    """Word n-grams as an array column: zip_with over offset slices of
+    the token array — no explode, no shuffle.
+
+    Deliberately NOT transform(sequence, i -> element_at(tok, i)):
+    higher-order functions are interpreted (no codegen), and there each
+    element_at re-evaluates the whole ``tok`` child expression — O(len²)
+    splits per document; measured 6x slower at sf0.1. zip_with walks
+    the three pre-sliced arrays once."""
+    m = F.size(tok) - (n - 1)  # shingle count
+    if n == 2:
+        joined = F.zip_with(F.slice(tok, 1, m), F.slice(tok, 2, m),
+                            lambda a, b: F.concat_ws(" ", a, b))
+    elif n == 3:
+        tail = F.zip_with(F.slice(tok, 2, m), F.slice(tok, 3, m),
+                          lambda b, c: F.concat_ws(" ", b, c))
+        joined = F.zip_with(F.slice(tok, 1, m), tail,
+                            lambda a, bc: F.concat_ws(" ", a, bc))
+    else:
+        raise ValueError(f"unsupported shingle width {n}")
+    # guard: negative slice lengths error for docs shorter than n tokens
     return F.when(
         F.size(tok) < n, F.array().cast("array<string>")
-    ).otherwise(F.transform(F.sequence(F.lit(1), F.size(tok) - (n - 1)), joined))
+    ).otherwise(joined)
 
 
 def distinct_shingles(col: str | Column = "text", n: int = 3) -> Column:

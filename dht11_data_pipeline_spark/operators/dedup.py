@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dht11_data_pipeline_spark.functions.hashing import SEP, seeded_hex_hash
+from dht11_data_pipeline_spark.functions.partitioning import right_size
 from dht11_data_pipeline_spark.functions.text import distinct_shingles, tokens
 
 
@@ -43,6 +44,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    df = right_size(df)
     # filter on token count (cheap split), NOT on size(shingle_set):
     # a filter over the projected set makes Catalyst evaluate the whole
     # shingle expression twice (once for the predicate, once for the
@@ -177,7 +179,7 @@ def simhash16(df: DataFrame, text_col: str = "text",
     groupBy with 16 signed-bit sums (map-side partial agg, single
     shuffle on id). The array-aggregate variant re-evaluated the
     sha256 transform for each of the 16 bits — 16x the hashing."""
-    tok_rows = df.select(
+    tok_rows = right_size(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
     h = F.conv(F.substring(F.sha2(F.col("tk"), 256), 1, 4), 16, 10).cast("int")
     sums = [

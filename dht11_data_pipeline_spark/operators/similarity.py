@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from dht11_data_pipeline_spark.functions.vectors import (
     cosine, hyperplane_sign_bits, make_planes,
 )
+from dht11_data_pipeline_spark.functions.partitioning import right_size
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -34,7 +35,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     on neighbor id — fully deterministic output.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = right_size(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -55,7 +56,7 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored. Recall is tunable via n_planes (fewer planes → bigger
     buckets → higher recall, more compute)."""
     planes = make_planes(n_planes, dim)
-    c = corpus.select(
+    c = right_size(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
     )
@@ -82,7 +83,7 @@ def _normalized(corpus: DataFrame, id_col: str, vec_col: str,
     product instead of dot + two norms (3× less array work — the pair
     stage is the O(N²) part, the normalize pass is O(N))."""
     from dht11_data_pipeline_spark.functions.vectors import norm
-    with_norm = corpus.select(
+    with_norm = right_size(corpus).select(
         F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
     )

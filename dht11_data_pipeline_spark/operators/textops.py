@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dht11_data_pipeline_spark.functions.hashing import stable_hex_hash
+from dht11_data_pipeline_spark.functions.partitioning import right_size
 from dht11_data_pipeline_spark.functions.text import (
     LANG_MARKERS, distinct_shingles, marker_score, punct_count,
     stopword_count, token_count, tokens,
@@ -83,7 +84,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # explode → codegen'd sha256 → one groupBy (map-side partial min/
     # max/count): the HOF-transform variant hashes in the interpreted
     # expression walker — 2-3x slower at sf0.1
-    exploded = df.filter(F.size(F.split(F.col(text_col), " ")) >= n).select(
+    exploded = right_size(df).filter(
+        F.size(F.split(F.col(text_col), " ")) >= n
+    ).select(
         F.col(id_col),
         F.explode(distinct_shingles(text_col, n)).alias("_sh"),
     )
