@@ -109,3 +109,54 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_mod: int = 40,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flavored ANN: inverted file over a deterministic centroid
+    sample (every ``centroid_mod``-th vector = a centroid — IVF with
+    random-sample centroids and no Lloyd refinement, kept deterministic
+    so the SQL oracle can reproduce it bit-for-bit).
+
+    Build: every vector is assigned to its nearest centroid (argmax
+    cosine) — one broadcast pass over the corpus, N x C dot products.
+    Probe (nprobe=1): a query searches only its centroid's inverted
+    list — expected N/C candidates instead of N.
+
+    Scale: C grows with N (N/centroid_mod), so both build and probe are
+    ~N·N/centroid_mod total work spread over partitions; the inverted
+    lists are a plain DataFrame keyed by centroid id — at 100 TB you
+    persist them bucketed by cent_id and probes become pruned scans.
+    """
+    cent = right_size(corpus).filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
+
+    def nearest_centroid(df: DataFrame, out_id: str) -> DataFrame:
+        scored = (
+            right_size(df).select(F.col(id_col).alias(out_id),
+                                  F.col(vec_col).alias("_v"))
+            .crossJoin(F.broadcast(cent))
+            .withColumn("_csim", F.round(cosine(F.col("_v"), F.col("cent_v")), 4))
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_csim").desc(), F.col("cent_id"))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(out_id, "cent_id", "_v"))
+
+    lists = nearest_centroid(corpus, "neighbor_id")
+    probes = nearest_centroid(queries, "query_id")
+    scored = (
+        probes.select("query_id", "cent_id", F.col("_v").alias("qv"))
+        .join(lists.select("neighbor_id", "cent_id", F.col("_v").alias("cv")),
+              "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cent_id", "neighbor_id", "sim", "rank")
+    )

@@ -218,6 +218,29 @@ FROM r WHERE rk <= 5
 
     "sim_lsh_ann": _lsh_ann_sql(),
 
+    "sim_ivf_ann": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 40 = 0),
+assign AS (
+  SELECT vec_id, cent_id, v FROM (
+    SELECT e.vec_id, c.cent_id, e.v,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS query_id, cent_id, v AS qv FROM assign WHERE vec_id % 50 = 0),
+lists AS (SELECT vec_id AS neighbor_id, cent_id, v AS cv FROM assign),
+s AS (
+  SELECT p.query_id, p.cent_id, l.neighbor_id,
+         round(list_cosine_similarity(p.qv, l.cv), 4) AS sim
+  FROM probes p JOIN lists l ON p.cent_id = l.cent_id AND p.query_id <> l.neighbor_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, cent_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 5
+""",
+
     "sim_embedding_near_dup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim

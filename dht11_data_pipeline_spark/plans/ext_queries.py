@@ -70,6 +70,14 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (nprobe=1, deterministic
+    random-sample centroids) for the same query set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, queries, k=5, centroid_mod=40)
+
+
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.4)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -131,6 +139,7 @@ EXT_QUERIES = {
     "text_token_stats": text_token_stats,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_ann": sim_lsh_ann,
+    "sim_ivf_ann": sim_ivf_ann,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "mm_binary_features": mm_binary_features,
     "mm_resize": mm_resize,

@@ -237,6 +237,15 @@ FROM customer
 GROUP BY c_mktsegment
 """,
 
+    "a_percentiles": """
+SELECT o_orderstatus,
+       round(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.5), 2) AS p50,
+       round(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 0.9), 2) AS p90,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+
     "w_rank_suite": """
 SELECT o_custkey, o_orderkey,
        CAST(ROW_NUMBER() OVER det AS INTEGER) AS rn,

@@ -439,6 +439,22 @@ def a_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` —
+    the exact sort-based one, not approx_percentile; rounded to cents
+    so cross-engine interpolation float jitter can't leak into the
+    hash). At 100 TB you'd switch to approx_percentile and accept the
+    documented error bound; the exact form is the correctness anchor."""
+    o = load_table(spark, sf_dir, "orders")
+    v = _money("o_totalprice").cast("double")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.round(F.percentile(v, 0.5), 2).alias("p50"),
+             F.round(F.percentile(v, 0.9), 2).alias("p90"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def w_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window suite: row_number / rank / dense_rank / ntile /
     lead in one pass (SURVEY §2.5 — the reference only uses ROW_NUMBER;
