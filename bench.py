@@ -41,7 +41,8 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n.startswith(("dedup_", "sim_", "text_")) and n not in HEADLINE
+        n for n in qs
+        if n.startswith(("dedup_", "sim_", "text_", "mm_")) and n not in HEADLINE
     ]
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up

@@ -295,6 +295,14 @@ SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
 FROM idx
 """,
 
+    "a_salted_event_totals": """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       COUNT(event_id) AS event_id_count
+FROM events
+GROUP BY event_type
+""",
+
     "t_sessionize": """
 WITH ordered AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

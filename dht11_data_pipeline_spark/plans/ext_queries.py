@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dht11_data_pipeline_spark.operators import dedup, multimodal, similarity, textops
+from dht11_data_pipeline_spark.operators.skew import salted_aggregate
 from dht11_data_pipeline_spark.sources.tables import load_table
 
 
@@ -106,6 +107,20 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.attach_binary_payload(docs), frame_size=256, every=4)
 
 
+def a_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) aggregation — results identical to
+    the plain groupBy (decimal sums are association-order exact), but a
+    hot event_type spreads over 16 reducers instead of one."""
+    ev = load_table(spark, sf_dir, "events")
+    prepped = ev.select("event_type", "event_id",
+                        F.col("value").cast("decimal(18,2)").alias("value"))
+    agg = salted_aggregate(prepped, ["event_type"],
+                           {"value": "sum", "event_id": "count"}, n_salts=16)
+    return agg.select("event_type",
+                      F.col("value_sum").cast("double").alias("value_sum"),
+                      "event_id_count")
+
+
 def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-min timeout) —
     the batch twin of streaming session_window (SURVEY §2.9 T5).
@@ -144,5 +159,6 @@ EXT_QUERIES = {
     "mm_binary_features": mm_binary_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "a_salted_event_totals": a_salted_event_totals,
     "t_sessionize": t_sessionize,
 }

@@ -123,6 +123,38 @@ def test_replay_idempotency(spark):
     assert {r.upsert_cd for r in delta.collect()} == {"NC"}
 
 
+def test_incremental_mode_never_deletes(spark):
+    """incremental=True (streaming micro-batch semantics): keys absent
+    from staging are untouched — no PD, no closed rows."""
+    t1 = apply_scd2(_df(spark, B1), _empty_target(spark), CFG,
+                    load_ts="2024-05-05 12:00:00", deterministic_keys=True)
+    b2_partial = _df(spark, [B2[1], B2[3]])  # only the U and the I rows
+    delta = detect_delta(b2_partial, t1.filter(F.col("da_current_flag") == "Y"),
+                         CFG, incremental=True)
+    assert {r.upsert_cd for r in delta.collect()} == {"U", "I"}
+    t2 = apply_scd2(b2_partial, t1, CFG, load_ts="2024-05-06 12:00:00",
+                    deterministic_keys=True, incremental=True)
+    cur = t2.filter(F.col("da_current_flag") == "Y")
+    # all 4 original keys still current (one re-versioned) + 1 new
+    assert cur.count() == 5
+    assert t2.filter(F.col("da_deleted_flag") == "Y").count() == 0
+
+
+def test_empty_staging_snapshot_deletes_all(spark):
+    """Snapshot mode with an empty batch = everything deleted (the
+    full-outer diff semantics); incremental mode = no-op."""
+    t1 = apply_scd2(_df(spark, B1), _empty_target(spark), CFG,
+                    load_ts="2024-05-05 12:00:00", deterministic_keys=True)
+    empty = _df(spark, B1).limit(0)
+    snap = apply_scd2(empty, t1, CFG, load_ts="2024-05-06 12:00:00",
+                      deterministic_keys=True)
+    assert snap.filter(F.col("da_current_flag") == "Y").count() == 0
+    assert snap.filter(F.col("da_deleted_flag") == "Y").count() == 4
+    inc = apply_scd2(empty, t1, CFG, load_ts="2024-05-06 12:00:00",
+                     deterministic_keys=True, incremental=True)
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in t1.collect()}
+
+
 def test_schema_gate(spark):
     """Insert-vs-target schema equality gate (reference
     Delta_detection_query_gen.py:312-316)."""
