@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cube_type_band": Q.a_cube_type_band,
         "a_distinct_counts": Q.a_distinct_counts,
         "a_percentiles": Q.a_percentiles,
+        "a_grouping_sets_sql": Q.a_grouping_sets_sql,
         "w_rank_suite": Q.w_rank_suite,
         "f_date_arithmetic": Q.f_date_arithmetic,
         "f_string_suite": Q.f_string_suite,

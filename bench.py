@@ -45,7 +45,14 @@ def main() -> None:
         if n.startswith(("dedup_", "sim_", "text_", "mm_")) and n not in HEADLINE
     ]
 
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+    # warm-up: JVM/codegen via a trivial job, then one pass over each
+    # input table (file listing, parquet footers, scan codegen) so the
+    # timings below measure query compute on a warm engine rather than
+    # billing one-time startup to whichever query runs first
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from dht11_data_pipeline_spark.sources.tables import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in names:

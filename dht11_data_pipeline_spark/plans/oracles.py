@@ -246,6 +246,14 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 
+    "a_grouping_sets_sql": """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+
     "w_rank_suite": """
 SELECT o_custkey, o_orderkey,
        CAST(ROW_NUMBER() OVER det AS INTEGER) AS rn,

@@ -455,6 +455,25 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL interface — the
+    same Catalyst plan the DataFrame rollup/cube queries get, declared
+    in SQL (the engine exposes both APIs over one optimizer).
+
+    The two sets here ((status), (priority)) are NOT a rollup — they're
+    the 'independent dimension totals' shape that only GROUPING SETS
+    expresses.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
 def w_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window suite: row_number / rank / dense_rank / ntile /
     lead in one pass (SURVEY §2.5 — the reference only uses ROW_NUMBER;

@@ -1,0 +1,58 @@
+"""Plan-level scale evidence: partition pruning on partitioned layouts
+and corrupt-record tolerance at the JSON ingest boundary."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.sources.tables import load_table
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become PartitionFilters
+    (pruned directory listing), not a data filter over all files —
+    the load_key/date layout every layer write uses."""
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = _physical_plan(back)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:160], plan
+    # pruning proof by effect: only one partition directory is read
+    n_all = spark.read.parquet(out).count()
+    n_pruned = back.count()
+    assert 0 < n_pruned < n_all
+
+
+def test_ingest_tolerates_corrupt_records(spark, tmp_path):
+    """Schema-on-read with PERMISSIVE mode: malformed JSON lines become
+    all-null rows rather than failing the batch (the streaming feed
+    shares this reader path). The reference's dict.get defaulting has
+    no notion of malformed input at all — this is strictly stronger."""
+    from dht11_data_pipeline_spark.streaming.ingest import READING_SCHEMA
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    rows = [
+        json.dumps({"device_id": "D1", "Humidity": "60",
+                    "Temperature": "30", "Timestamp": "2024-05-05 10:00:00"}),
+        "{not valid json at all",
+        json.dumps({"device_id": "D2"}),
+    ]
+    with open(os.path.join(src, "r.json"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    df = spark.read.schema(READING_SCHEMA).json(src)
+    out = df.collect()
+    assert len(out) == 3
+    ok = [r for r in out if r["device_id"] == "D1"]
+    assert ok and ok[0]["Humidity"] == "60"
+    # the corrupt line yields an all-null row, it does not kill the read
+    nulls = [r for r in out if r["device_id"] is None]
+    assert len(nulls) == 1
