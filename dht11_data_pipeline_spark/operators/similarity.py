@@ -160,3 +160,27 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "cent_id", "neighbor_id", "sim", "rank")
     )
+
+
+def embedding_near_duplicates_lsh(corpus: DataFrame, threshold: float = 0.95,
+                                  n_planes: int = 4, dim: int = 64,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding") -> DataFrame:
+    """The 100 TB near-dup path: LSH-bucket first, pair-compare only
+    within buckets — candidate generation drops from N² to Σ bucket².
+    Approximate by design (a pair split across buckets is missed; with
+    p planes the recall for similarity s is (1 - acos(s)/π)^p, ~0.95+
+    for true near-dups at p=4), deterministic given the fixed planes."""
+    planes = make_planes(n_planes, dim)
+    from dht11_data_pipeline_spark.functions.vectors import dot
+    a = _normalized(corpus, id_col, vec_col, "id_a", "va").withColumn(
+        "bucket", hyperplane_sign_bits(F.col("va"), planes))
+    b = _normalized(corpus, id_col, vec_col, "id_b", "vb").withColumn(
+        "bucket", hyperplane_sign_bits(F.col("vb"), planes))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "bucket", "sim")
+    )

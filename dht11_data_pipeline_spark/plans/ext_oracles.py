@@ -146,6 +146,24 @@ FROM r WHERE rk <= {k}
 """
 
 
+def _bucketed_near_dup_sql(threshold: float = 0.4, n_planes: int = 4,
+                           dim: int = 64) -> str:
+    planes = make_planes(n_planes, dim)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{[float(v) for v in plane]}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  CAST({bucket} AS INTEGER) AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}
+"""
+
+
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact": """
 SELECT sha256(text) AS content_hash,
@@ -247,6 +265,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
 """,
+
+    "sim_embedding_near_dup_lsh": _bucketed_near_dup_sql(threshold=0.4),
 
     "mm_binary_features": """
 SELECT doc_id,

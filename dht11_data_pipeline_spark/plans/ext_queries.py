@@ -85,6 +85,14 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates(emb, threshold=0.4)
 
 
+def sim_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (the N²→Σbucket² scale path;
+    approximate recall, deterministic buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates_lsh(
+        emb, threshold=0.4, n_planes=4, dim=64)
+
+
 def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas feature extraction (stubbed decoder)."""
@@ -156,6 +164,7 @@ EXT_QUERIES = {
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
     "sim_embedding_near_dup": sim_embedding_near_dup,
+    "sim_embedding_near_dup_lsh": sim_embedding_near_dup_lsh,
     "mm_binary_features": mm_binary_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
