@@ -164,7 +164,33 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}
 """
 
 
+def _profile_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    """Mirror of operators/profile: per-column stats UNION ALL, same
+    post-aggregation normalization (num → DECIMAL(18,2) → VARCHAR)."""
+    norm = {
+        "num": "CAST(CAST({m} AS DECIMAL(18,2)) AS VARCHAR)",
+        "other": "CAST({m} AS VARCHAR)",
+    }
+    parts = []
+    for c, kind in cols:
+        mn = norm[kind].format(m=f"MIN({c})")
+        mx = norm[kind].format(m=f"MAX({c})")
+        parts.append(f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_value, {mx} AS max_value
+FROM {table}""")
+    return " UNION ALL ".join(parts)
+
+
 EXT_ORACLES: dict[str, str] = {
+    "meta_profile_orders": _profile_sql("orders", [
+        ("o_orderkey", "num"), ("o_custkey", "num"),
+        ("o_orderstatus", "other"), ("o_totalprice", "num"),
+        ("o_orderdate", "other"), ("o_orderpriority", "other"),
+    ]),
+
     "dedup_exact": """
 SELECT sha256(text) AS content_hash,
        MIN(doc_id) AS canonical_id,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dht11_data_pipeline_spark.operators import dedup, multimodal, similarity, textops
+from dht11_data_pipeline_spark.operators.profile import profile
 from dht11_data_pipeline_spark.operators.skew import salted_aggregate
 from dht11_data_pipeline_spark.sources.tables import load_table
 
@@ -115,6 +116,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.attach_binary_payload(docs), frame_size=256, every=4)
 
 
+def meta_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven one-pass column profiler over orders — the query
+    is GENERATED from df.schema at runtime (the reference's
+    all_tab_cols pattern, re-expressed)."""
+    return profile(load_table(spark, sf_dir, "orders"))
+
+
 def a_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase (salted) aggregation — results identical to
     the plain groupBy (decimal sums are association-order exact), but a
@@ -168,6 +176,7 @@ EXT_QUERIES = {
     "mm_binary_features": mm_binary_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "meta_profile_orders": meta_profile_orders,
     "a_salted_event_totals": a_salted_event_totals,
     "t_sessionize": t_sessionize,
 }
