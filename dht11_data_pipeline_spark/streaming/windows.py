@@ -60,6 +60,31 @@ def sliding_stats(readings: DataFrame, size: str = "10 minutes",
     )
 
 
+def enrich_with_alerts(readings: DataFrame, alerts: DataFrame,
+                       tolerance: str = "10 minutes") -> DataFrame:
+    """Stream-stream inner join: pair each reading with alerts for the
+    same device raised within ``tolerance`` BEFORE the reading — the
+    interval-join shape (matching a measurement to its active alert).
+
+    Both inputs must carry watermarks; the time-range condition lets
+    Spark bound the join state on both sides (a reading older than
+    alert_ts + tolerance can never match future alerts, so its state is
+    evicted). One shuffle per side on device_id.
+    """
+    a = alerts.select(
+        F.col("device_id").alias("alert_device"),
+        F.col("ts").alias("alert_ts"),
+        "alert_kind",
+    )
+    cond = (
+        (F.col("device_id") == F.col("alert_device"))
+        & (F.col("ts") >= F.col("alert_ts"))
+        & (F.col("ts") <= F.col("alert_ts") + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return readings.join(a, cond, "inner").select(
+        "device_id", "ts", "temperature", "alert_ts", "alert_kind")
+
+
 def session_stats(readings: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows per device (``session_window`` —
     dynamic, closes when no reading arrives for ``gap``). The batch twin
