@@ -149,7 +149,8 @@ def allocate_surrogate_keys(df: DataFrame, high_water: int, out_col: str,
 def apply_scd2(staging: DataFrame, target: DataFrame, cfg: SCD2Config,
                load_ts: str | None = None,
                deterministic_keys: bool = False,
-               incremental: bool = False) -> DataFrame:
+               incremental: bool = False,
+               high_water: tuple[int, int] | None = None) -> DataFrame:
     """Full SCD2 apply: returns the COMPLETE new target state.
 
     new_target = closed-history rows (as-is)
@@ -176,12 +177,18 @@ def apply_scd2(staging: DataFrame, target: DataFrame, cfg: SCD2Config,
 
     delta = detect_delta(staging, current, cfg, incremental=incremental).persist()
 
-    # high-water marks (reference A2 cross-join clause :37-41)
-    hw_row = target.agg(
-        F.coalesce(F.max(F.col(cfg.ak_col)), F.lit(0)).alias("ak"),
-        F.coalesce(F.max(F.col(cfg.key_col)), F.lit(0)).alias("key"),
-    ).first()
-    hw_ak, hw_key = int(hw_row["ak"]), int(hw_row["key"])
+    # high-water marks (reference A2 cross-join clause :37-41).
+    # ``high_water`` lets callers operating on a SLICE of the target
+    # (scd2_partitioned) pass the GLOBAL maxima — slice-local maxima
+    # would mint keys that collide with rows outside the slice.
+    if high_water is not None:
+        hw_ak, hw_key = high_water
+    else:
+        hw_row = target.agg(
+            F.coalesce(F.max(F.col(cfg.ak_col)), F.lit(0)).alias("ak"),
+            F.coalesce(F.max(F.col(cfg.key_col)), F.lit(0)).alias("key"),
+        ).first()
+        hw_ak, hw_key = int(hw_row["ak"]), int(hw_row["key"])
 
     changed_keys = delta.filter(F.col("upsert_cd").isin("U", "PD"))
     unchanged = current.join(changed_keys, nk, "left_anti")
