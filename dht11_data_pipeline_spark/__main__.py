@@ -1,0 +1,66 @@
+"""CLI — the reference's ``python main.py`` entry point (main.py:81-82)
+as a module command:
+
+    python -m dht11_data_pipeline_spark bootstrap --warehouse W
+    python -m dht11_data_pipeline_spark run-batch --warehouse W --tree T --device D
+    python -m dht11_data_pipeline_spark historize --warehouse W --load-key N
+    python -m dht11_data_pipeline_spark compact --path P [--target-mb M] [--sort-by c1,c2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dht11_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bootstrap", help="seed the control plane")
+    b.add_argument("--warehouse", required=True)
+
+    r = sub.add_parser("run-batch", help="one incremental batch end-to-end")
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--tree", required=True, help="tree-JSON path")
+    r.add_argument("--device", required=True)
+    r.add_argument("--since-ts", default=None)
+
+    h = sub.add_parser("historize", help="SCD2 apply for one load key")
+    h.add_argument("--warehouse", required=True)
+    h.add_argument("--load-key", type=int, required=True)
+
+    c = sub.add_parser("compact", help="compact a parquet directory")
+    c.add_argument("--path", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--sort-by", default=None, help="comma-separated columns")
+
+    args = p.parse_args(argv)
+
+    from dht11_data_pipeline_spark.session import get_spark
+    spark = get_spark("cli")
+
+    if args.cmd == "bootstrap":
+        from dht11_data_pipeline_spark.pipeline import bootstrap
+        bootstrap(spark, args.warehouse)
+        print(json.dumps({"ok": True}))
+    elif args.cmd == "run-batch":
+        from dht11_data_pipeline_spark.pipeline import run_batch
+        out = run_batch(spark, args.warehouse, args.tree, args.device,
+                        since_ts=args.since_ts)
+        print(json.dumps(out))
+    elif args.cmd == "historize":
+        from dht11_data_pipeline_spark.pipeline import historize
+        hist = historize(spark, args.warehouse, args.load_key)
+        print(json.dumps({"hist_rows": hist.count()}))
+    elif args.cmd == "compact":
+        from dht11_data_pipeline_spark.operators.compact import compact
+        sort_by = args.sort_by.split(",") if args.sort_by else None
+        n = compact(spark, args.path, args.target_mb, sort_by)
+        print(json.dumps({"files": n}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
