@@ -24,10 +24,10 @@ All pure column expressions + joins; no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dht11_data_pipeline_spark.functions.hashing import SEP, seeded_hex_hash
+from dht11_data_pipeline_spark.functions.hashing import SEP
 from dht11_data_pipeline_spark.functions.partitioning import right_size
 from dht11_data_pipeline_spark.functions.text import distinct_shingles, tokens
 
@@ -122,7 +122,6 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     """Band the signature (r rows/band), bucket-join: docs agreeing on
     ALL rows of any band become candidates. P(candidate) ≈ 1-(1-J^r)^b.
     One shuffle on (band_idx, band_key); dedup pairs found in >1 band."""
-    num_hashes = None  # derived below from the first row's array length
     sig_len = F.size("signature")
     bands = signatures.select(
         F.col(id_col),

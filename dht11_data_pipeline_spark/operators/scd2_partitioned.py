@@ -27,8 +27,6 @@ file-level pruning; this is the engine's parquet-native equivalent.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from dht11_data_pipeline_spark.operators.control import ControlTable
 from dht11_data_pipeline_spark.operators.layers import (

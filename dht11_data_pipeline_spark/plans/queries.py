@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dht11_data_pipeline_spark.functions.hashing import SEP, delta_hash
+from dht11_data_pipeline_spark.functions.hashing import delta_hash
 from dht11_data_pipeline_spark.sources.tables import load_table
 
 

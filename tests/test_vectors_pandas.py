@@ -1,0 +1,26 @@
+"""The Arrow/numpy cosine pandas_udf agrees with the higher-order-
+function implementation (rounded to the 4 decimals every similarity
+operator ranks on), and is exercised end-to-end through a join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.functions.vectors import cosine, cosine_pandas_udf
+from dht11_data_pipeline_spark.sources.tables import load_table
+
+
+def test_pandas_cosine_matches_hof(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
+    cos_udf = cosine_pandas_udf()
+    both = pairs.select(
+        "qid", "cid",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("hof"),
+        F.round(cos_udf(F.col("qv"), F.col("cv")), 4).alias("np"),
+    )
+    assert both.filter(F.col("hof") != F.col("np")).count() == 0
+    assert both.count() > 0
