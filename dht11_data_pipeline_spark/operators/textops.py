@@ -76,6 +76,51 @@ def token_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def winnowing_fingerprint(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 3,
+                          w: int = 4) -> DataFrame:
+    """Winnowing document fingerprint (the MOSS scheme): hash every
+    k-gram along the token stream, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum — guaranteeing any shared run of
+    ≥ w+k-1 tokens between two documents shares a fingerprint hash.
+
+    The classic char-level formulation uses a Rabin-Karp ROLLING hash so
+    each next k-gram costs O(1); in a vectorized engine every k-gram is
+    hashed independently in one codegen pass, so the rolling recurrence
+    buys nothing — the selection semantics (windowed minima) are what
+    matter and are preserved exactly.
+
+    Shape: posexplode tokens → per-position k-gram hash → sliding min
+    via a window frame (one shuffle on doc id) → distinct. Output: one
+    row per (doc, fingerprint hash) with its first selection position.
+    """
+    from pyspark.sql.window import Window
+
+    toks = right_size(df).filter(
+        F.size(F.split(F.col(text_col), " ")) >= k + w - 1
+    ).select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tk"))
+    wlead = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(" ", F.col("tk"),
+                       *[F.lead("tk", i).over(wlead) for i in range(1, k)])
+    grams = toks.select(
+        F.col(id_col), F.col("pos"), gram.alias("gram")
+    ).filter(F.size(F.split(F.col("gram"), " ")) == k)
+    hashed = grams.select(
+        F.col(id_col), F.col("pos"),
+        stable_hex_hash(F.col("gram")).alias("gh"))
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    # only full windows select (standard winnowing): last start = n-k-w+2
+    selected = (
+        hashed.withColumn("win_min", F.min("gh").over(frame))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .filter(F.col("pos") <= F.col("_n") - w)
+    )
+    return (
+        selected.groupBy(id_col, F.col("win_min").alias("fingerprint"))
+        .agg(F.min("pos").alias("first_pos"))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 n: int = 3) -> DataFrame:
     """Content fingerprint: min/max hex-hash over the document's word

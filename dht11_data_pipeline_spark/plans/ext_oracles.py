@@ -248,6 +248,31 @@ SELECT d.doc_id,
 FROM documents d JOIN sh ON sh.doc_id = d.doc_id
 """,
 
+    "text_winnowing": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(range(0, len(t) - 2)) AS pos, t
+  FROM toks WHERE len(t) >= 6
+),
+h AS (
+  SELECT doc_id, pos,
+         substr(sha256(t[CAST(pos+1 AS INT)] || ' ' || t[CAST(pos+2 AS INT)] || ' ' || t[CAST(pos+3 AS INT)]), 1, 16) AS gh
+  FROM g
+),
+sel AS (
+  SELECT doc_id, pos, gh,
+         MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM h
+)
+SELECT doc_id, win_min AS fingerprint, CAST(MIN(pos) AS INTEGER) AS first_pos
+FROM sel WHERE pos <= n - 4
+GROUP BY doc_id, win_min
+""",
+
     "sim_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

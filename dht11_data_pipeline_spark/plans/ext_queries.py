@@ -58,6 +58,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_stats(docs)
 
 
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.winnowing_fingerprint(docs, k=3, w=4)
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for query vectors (vec_id%50==0)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -168,6 +173,7 @@ EXT_QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_token_stats": text_token_stats,
+    "text_winnowing": text_winnowing,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
