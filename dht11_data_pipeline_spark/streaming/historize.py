@@ -74,33 +74,52 @@ def swap_target(new_state: DataFrame, target_path: str) -> None:
 
 def scd2_batch_writer(target_path: str, cfg: SCD2Config,
                       load_key_base: int = 0,
-                      deterministic_keys: bool = True):
+                      deterministic_keys: bool = True,
+                      control=None,
+                      interface: tuple[str, str] | None = None):
     """Build the ``foreachBatch`` function: micro-batch = one reference
     daily run. Empty batches short-circuit (reference T3 branch,
     Airflow-DAG.py:563-569).
 
     SCD2 runs in *incremental* mode: a micro-batch carries only the keys
     that arrived, so absence is "no news", never a physical delete —
-    the snapshot/PD mode of the batch pipeline doesn't apply here."""
+    the snapshot/PD mode of the batch pipeline doesn't apply here.
+
+    ``control`` (a ControlTable) + ``interface`` (name, cd) add the
+    reference's run-ledger rows per micro-batch: inserted as
+    'HISTORIZATION' when the batch starts, updated to 'Success' on
+    commit — the same status progression the batch pipeline writes
+    (CheckInterface_Metadata.py:68-121), keyed by load_key =
+    base + batch_id so replays update the same ledger row instead of
+    duplicating it."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        load_key = load_key_base + batch_id
+        if control is not None and interface is not None:
+            nm, cd = interface
+            control.add_run_entry(nm, cd, load_key, "HISTORIZATION")
         staging = batch_df.withColumn(
-            "load_key", F.lit(load_key_base + batch_id).cast("bigint"))
+            "load_key", F.lit(load_key).cast("bigint"))
         target = read_target(spark, target_path, staging, cfg)
         new_state = apply_scd2(staging, target, cfg,
                                deterministic_keys=deterministic_keys,
                                incremental=True)
         swap_target(new_state, target_path)
+        if control is not None and interface is not None:
+            control.update_run_status(interface[1], load_key, "Success",
+                                      complete=True)
 
     return _write
 
 
 def start_scd2_stream(readings: DataFrame, target_path: str,
                       checkpoint_dir: str, cfg: SCD2Config,
-                      available_now: bool = True) -> StreamingQuery:
+                      available_now: bool = True,
+                      control=None,
+                      interface: tuple[str, str] | None = None) -> StreamingQuery:
     """Wire a readings stream into the SCD2 sink.
 
     ``available_now=True`` drains everything currently in the source
@@ -108,7 +127,8 @@ def start_scd2_stream(readings: DataFrame, target_path: str,
     micro-batches."""
     writer = (
         readings.writeStream
-        .foreachBatch(scd2_batch_writer(target_path, cfg))
+        .foreachBatch(scd2_batch_writer(target_path, cfg,
+                                        control=control, interface=interface))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

@@ -165,17 +165,23 @@ def test_stream_stream_interval_join(spark, tmp_path):
 def test_scd2_stream_two_batches(spark, tmp_path):
     """Two micro-batches through the foreachBatch SCD2 sink reproduce
     the reference's I/U/NC historization states (B5 scenario of
-    tests/test_scd2.py, driven through streaming)."""
+    tests/test_scd2.py, driven through streaming), with run-ledger rows
+    written per batch."""
+    from dht11_data_pipeline_spark.operators.control import ControlTable
+
     src = str(tmp_path / "feed")
     target = str(tmp_path / "hist_target")
     ckpt1 = str(tmp_path / "ckpt1")
     cfg = SCD2Config(natural_keys=["device_id", "ts"], ak_col="ak",
                      key_col="key", exclude_from_delta=["timezone"],
                      exclude_from_load=["load_key"])
+    ctl = ControlTable(spark, str(tmp_path / "warehouse"))
+    iface = ("DHT11_STREAM", "STG_STREAM")
 
     _write_jsonl(src, "b1.json", R1)
     readings = typed_readings(read_reading_stream(spark, src), watermark=None)
-    q = start_scd2_stream(readings, target, ckpt1, cfg)
+    q = start_scd2_stream(readings, target, ckpt1, cfg,
+                          control=ctl, interface=iface)
     q.awaitTermination(120)
 
     state1 = spark.read.parquet(target)
@@ -184,9 +190,14 @@ def test_scd2_stream_two_batches(spark, tmp_path):
     # capture eagerly: the batch-2 swap replaces the files state1 points at
     hw1 = int(state1.agg(F.max("key")).first()[0])
 
+    # ledger row for batch 0, completed
+    run0 = ctl.previous_run("STG_STREAM")
+    assert run0["load_status"] == "Success" and run0["load_key"] == 0
+
     # batch 2: the checkpoint makes the stream pick up only the new file
     _write_jsonl(src, "b2.json", R2)
-    q = start_scd2_stream(readings, target, ckpt1, cfg)
+    q = start_scd2_stream(readings, target, ckpt1, cfg,
+                          control=ctl, interface=iface)
     q.awaitTermination(120)
 
     state2 = spark.read.parquet(target)
@@ -202,3 +213,6 @@ def test_scd2_stream_two_batches(spark, tmp_path):
     assert new_version.count() == 1
     # surrogate keys minted above batch-1 high-water mark
     assert int(new_version.first()["key"]) > hw1
+    # ledger has a completed row per micro-batch
+    run1 = ctl.previous_run("STG_STREAM")
+    assert run1["load_status"] == "Success" and run1["load_key"] == 1
