@@ -197,16 +197,50 @@ def simhash16(df: DataFrame, text_col: str = "text",
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance d of the 16-bit sketch. Test-scale
-    pair compare is a self-join; at 100 TB, split the sketch into d+1
-    chunks and join on exact-matching chunks (pigeonhole) first."""
-    sk = simhash16(df, text_col, id_col)
-    a, b = sk.alias("a"), sk.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    """Pairs within Hamming distance d of the 16-bit sketch, via the
+    pigeonhole chunk-join: split the sketch into d+1 bit-chunks — a
+    pair differing in ≤ d bits must agree EXACTLY on at least one
+    chunk — equi-join per chunk, then verify bit_count(xor) on the
+    (much smaller) candidate set. Exact: same pairs as the brute
+    O(n²) theta-join (the DuckDB oracle), but the only non-equi
+    condition left is the cheap id ordering, so the join is a hash
+    join on (chunk_idx, chunk_val) instead of a nested-loop over all
+    pairs. At 100 TB the same shape holds with a 64/128-bit sketch
+    (more chunk entropy); chunk buckets are hash-random → no skew."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 16:
+        raise ValueError("max_hamming must be < 16 for a 16-bit sketch")
+    # contiguous chunks, as even as possible: first (16 % k) chunks one bit wider
+    base, extra = divmod(16, n_chunks)
+    spec, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        spec.append((off, w))
+        off += w
+    # persist the per-doc sketches: both sides of the self-join (and the
+    # verify) reuse them — without it the token-explode aggregate runs twice
+    sk = simhash16(df, text_col, id_col).persist()
+    chunk_rows = sk.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), o).bitwiseAND(F.lit((1 << w) - 1))
+            for o, w in spec
+        ])).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunk_rows.alias("a"), chunk_rows.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
-                ham.cast("int").alias("hamming"))
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"))
+        .distinct()  # a pair can match in more than one chunk
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
