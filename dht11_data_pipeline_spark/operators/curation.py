@@ -1,0 +1,157 @@
+"""Training-data curation operators: deterministic splits, stratified
+sampling, token chunking, sequence packing, PII scrubbing.
+
+These are the ops a 100 TB LLM-data pipeline runs after dedup and
+before tokenization. Design rules:
+
+- Determinism over randomness: every "sample" is a pure function of a
+  content/id hash, so re-runs (and the DuckDB oracle) reproduce the
+  exact same subset — the same idempotency-by-content discipline the
+  reference's SCD2 hash gives it (Delta_detection_query_gen.py:42-44).
+  No rand()/sample(): those are seed- and partitioning-dependent.
+- Narrow where possible: hash_split / chunk_tokens / pii_scrub are
+  per-row expressions (no shuffle, whole-stage codegen). The only
+  shuffles are the per-stratum window in stratified_quota and the
+  per-group running sum in pack_sequences — both key on the column
+  the semantics demand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dht11_data_pipeline_spark.functions.hashing import SEP
+
+
+def _hash_bucket(col: Column, salt: str, buckets: int) -> Column:
+    """Engine-portable uniform bucket: first 8 hex chars of
+    sha256(salt <US> value) read as an integer, mod buckets. DuckDB
+    reproduces it as ('0x' || substr(sha256(...),1,8))::BIGINT."""
+    h = F.sha2(F.concat_ws(SEP, F.lit(salt), col.cast("string")), 256)
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets)
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id", salt: str = "split1",
+               train_pct: int = 90, val_pct: int = 5) -> DataFrame:
+    """Deterministic train/validation/test assignment by id-hash bucket.
+
+    The standard leakage-safe split: membership depends only on the id,
+    never on partitioning, row order, or a seed — so adding data later
+    never moves an existing doc across splits. Narrow op, no shuffle.
+    """
+    bucket = _hash_bucket(F.col(id_col), salt, 100)
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "validation")
+        .otherwise("test")
+    )
+    return df.select(
+        F.col(id_col),
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def stratified_quota(df: DataFrame, strata: list[str], k: int,
+                     id_col: str = "doc_id",
+                     salt: str = "quota1") -> DataFrame:
+    """Keep at most ``k`` rows per stratum, chosen by deterministic
+    hash order (uniform within the stratum, stable across runs).
+
+    One shuffle on the strata columns. Rank-within-group is inherently
+    a per-stratum ordering; the hash sort key means the winners are a
+    uniform sample, not "first k by id". At scale a hot stratum ranks
+    on one reducer — if strata are few and huge, pre-filter with a
+    hash-threshold pass (keep hash < k/count quantile) to cut the
+    sorted volume; semantics here are the exact-quota version.
+    """
+    rank_key = F.substring(
+        F.sha2(F.concat_ws(SEP, F.lit(salt), F.col(id_col).cast("string")), 256),
+        1, 16)
+    w = Window.partitionBy(*strata).orderBy(rank_key, F.col(id_col))
+    return (
+        df.select(id_col, *strata, rank_key.alias("rank_key"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(id_col, *strata, F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
+def chunk_tokens(df: DataFrame, chunk_size: int = 32, stride: int = 24,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    chunks (context-window preparation). Chunk i covers tokens
+    [i*stride, i*stride + chunk_size); the final chunk may be short.
+
+    Pure narrow fan-out: split → sequence of starts → posexplode of
+    pre-sliced arrays. No shuffle, no Python. Emits a content hash per
+    chunk (not the text) so downstream exact-dedup of chunks is a
+    groupBy on a 16-char key.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("chunk").cast("int").alias("n_chunk_tokens"),
+            F.substring(F.sha2(F.concat_ws(" ", F.col("chunk")), 256), 1, 16)
+            .alias("chunk_hash"),
+        )
+    )
+
+
+def pack_sequences(df: DataFrame, budget: int = 256,
+                   group_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sequential sequence-packing: concatenate documents in id order
+    within each group and cut at every ``budget`` tokens; a document
+    lands in the bin where its first token falls.
+
+    This is the concat-then-split packing LLM trainers use (docs are
+    not reordered — locality within a shard is preserved). One shuffle
+    on the group column; each group packs independently, which is
+    exactly how shard-parallel packing runs at 100 TB (no global
+    coordination). Bin boundaries are deterministic in (group, id).
+    """
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(group_col, id_col, n_tokens.alias("n_tokens"))
+        .withColumn("bin_id", F.floor(cum_before / budget).cast("int"))
+        .select(group_col, id_col, F.col("n_tokens").cast("int").alias("n_tokens"),
+                "bin_id")
+    )
+
+
+# PII patterns kept RE2-compatible (no backrefs/lookaround) so the
+# DuckDB oracle runs the identical regexes.
+_PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d() .-]{7,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens; report per-kind match counts and the scrubbed
+    content hash. Narrow regexp pass, whole-stage codegen."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat in _PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("int").alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.select(
+        F.col(id_col), *counts,
+        F.sha2(scrubbed, 256).alias("scrubbed_hash"),
+    )

@@ -168,6 +168,52 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+def cascade_keep_decision(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3,
+                          num_hashes: int = 8, band_size: int = 2,
+                          threshold: float = 0.5) -> DataFrame:
+    """The full curation verdict: run the exact → minhash-LSH cascade
+    and emit one row per document with keep/drop and why.
+
+    Kill rules (standard corpus-dedup policy, deterministic):
+    - exact_dup: content identical to a lower-id document.
+    - near_dup: verified Jaccard ≥ threshold against a lower-id doc
+      (the lower id of each pair survives, so the canonical copy of a
+      near-dup cluster chain is kept).
+    Exact beats near when both apply. Shape: the exact pass is one
+    groupBy on the 64-char hash; the near pass is the LSH pipeline
+    (sub-quadratic); the final assembly is two left joins against
+    small kill-lists — at 100 TB both lists are broadcast-size
+    relative to the corpus (dup fraction ≪ 1)."""
+    hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+    canon = hashed.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
+    exact_kill = (
+        hashed.join(canon, "content_hash")
+        .filter(F.col(id_col) != F.col("canonical_id"))
+        .select(F.col(id_col).alias("kill_id"))
+    )
+    near_kill = (
+        minhash_near_duplicates(df, text_col, id_col, n, num_hashes,
+                                band_size, threshold)
+        .select(F.col("doc_b").alias("kill_id")).distinct()
+    )
+    ek = exact_kill.withColumn("is_exact", F.lit(1))
+    nk = near_kill.withColumn("is_near", F.lit(1))
+    return (
+        df.select(id_col)
+        .join(ek, F.col(id_col) == ek.kill_id, "left").drop("kill_id")
+        .join(nk, F.col(id_col) == nk.kill_id, "left").drop("kill_id")
+        .select(
+            F.col(id_col),
+            F.when(F.col("is_exact") == 1, "exact_dup")
+            .when(F.col("is_near") == 1, "near_dup")
+            .otherwise("kept").alias("reason"),
+            F.when(F.col("is_exact").isNull() & F.col("is_near").isNull(), "Y")
+            .otherwise("N").alias("keep_flag"),
+        )
+    )
+
+
 def simhash16(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash over the token multiset: token → 16-bit hash

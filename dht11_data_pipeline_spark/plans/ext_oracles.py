@@ -184,6 +184,34 @@ FROM {table}""")
     return " UNION ALL ".join(parts)
 
 
+def _cascade_sql(threshold: float = 0.5) -> str:
+    """Exact + minhash-LSH kill lists → per-doc keep verdict (mirrors
+    operators/dedup.cascade_keep_decision)."""
+    return f"""
+WITH pairs AS (SELECT * FROM ({_minhash_sql(threshold=threshold)})),
+hashed AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+canon AS (SELECT content_hash, MIN(doc_id) AS canonical_id FROM hashed GROUP BY 1),
+exact_kill AS (
+  SELECT h.doc_id FROM hashed h JOIN canon c USING (content_hash)
+  WHERE h.doc_id <> c.canonical_id),
+near_kill AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS reason,
+       CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL THEN 'Y' ELSE 'N' END AS keep_flag
+FROM documents d
+LEFT JOIN exact_kill e ON d.doc_id = e.doc_id
+LEFT JOIN near_kill n ON d.doc_id = n.doc_id
+"""
+
+
+# regexes shared with operators/curation._PII_PATTERNS (RE2-safe)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d() .-]{7,}\d"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
 EXT_ORACLES: dict[str, str] = {
     "meta_profile_orders": _profile_sql("orders", [
         ("o_orderkey", "num"), ("o_custkey", "num"),
@@ -372,6 +400,74 @@ SELECT event_type,
        COUNT(event_id) AS event_id_count
 FROM events
 GROUP BY event_type
+""",
+
+    "dedup_cascade": _cascade_sql(threshold=0.5),
+
+    "cur_hash_split": """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256('split1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INTEGER) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'validation'
+            ELSE 'test' END AS split
+FROM h
+""",
+
+    "cur_stratified_quota": """
+WITH r AS (
+  SELECT doc_id, lang, source,
+         substr(sha256('quota1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16) AS rank_key
+  FROM documents),
+ranked AS (
+  SELECT doc_id, lang, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                 ORDER BY rank_key, doc_id) AS INTEGER) AS sample_rank
+  FROM r)
+SELECT doc_id, lang, source, sample_rank FROM ranked WHERE sample_rank <= 40
+""",
+
+    "cur_chunk_tokens": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS start FROM toks),
+ch AS (SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_idx,
+              t[CAST(start + 1 AS INT):CAST(start + 32 AS INT)] AS chunk
+       FROM st)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+       substr(sha256(array_to_string(chunk, ' ')), 1, 16) AS chunk_hash
+FROM ch
+""",
+
+    "cur_pack_sequences": """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t)
+SELECT source, doc_id, n_tokens,
+       CAST(FLOOR(cum_before / 256) AS INTEGER) AS bin_id
+FROM c
+""",
+
+    "cur_pii_scrub": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INTEGER) AS n_ipv4,
+       sha256(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IPV4}', '<IPV4>', 'g')) AS scrubbed_hash
+FROM documents
 """,
 
     "t_sessionize": """

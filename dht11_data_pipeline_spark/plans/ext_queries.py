@@ -8,7 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dht11_data_pipeline_spark.operators import dedup, multimodal, similarity, textops
+from dht11_data_pipeline_spark.operators import (
+    curation, dedup, multimodal, similarity, textops)
 from dht11_data_pipeline_spark.operators.profile import profile
 from dht11_data_pipeline_spark.operators.skew import salted_aggregate
 from dht11_data_pipeline_spark.sources.tables import load_table
@@ -142,6 +143,43 @@ def a_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_id_count")
 
 
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-dedup verdict: exact (sha256) then
+    minhash-LSH near-dup (J ≥ 0.5); one keep/drop row per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cascade_keep_decision(docs, threshold=0.5)
+
+
+def cur_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/validation/test split by id hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.hash_split(docs)
+
+
+def cur_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≤ 40 docs per (lang, source) stratum, hash-ordered uniform pick."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.stratified_quota(docs, ["lang", "source"], k=40)
+
+
+def cur_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token chunks, stride 24 (8-token overlap), hashed content."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.chunk_tokens(docs, chunk_size=32, stride=24)
+
+
+def cur_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: 256-token bins per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, budget=256)
+
+
+def cur_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone/IPv4 redaction with per-kind counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pii_scrub(docs)
+
+
 def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (30-min timeout) —
     the batch twin of streaming session_window (SURVEY §2.9 T5).
@@ -185,4 +223,10 @@ EXT_QUERIES = {
     "meta_profile_orders": meta_profile_orders,
     "a_salted_event_totals": a_salted_event_totals,
     "t_sessionize": t_sessionize,
+    "dedup_cascade": dedup_cascade,
+    "cur_hash_split": cur_hash_split,
+    "cur_stratified_quota": cur_stratified_quota,
+    "cur_chunk_tokens": cur_chunk_tokens,
+    "cur_pack_sequences": cur_pack_sequences,
+    "cur_pii_scrub": cur_pii_scrub,
 }

@@ -1,0 +1,112 @@
+"""Unit tests for the training-data curation operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.operators import curation, dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_hash_split_deterministic_and_exhaustive(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = curation.hash_split(docs)
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n
+    # 90/5/5 within loose tolerance at ~1k docs
+    assert counts["train"] / n > 0.8
+    assert 0 < counts.get("validation", 0) < 0.15 * n
+    assert 0 < counts.get("test", 0) < 0.15 * n
+    # per-row determinism: re-run matches exactly
+    b = curation.hash_split(docs)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_split_membership_independent_of_other_rows(spark, sf_dir):
+    """Adding/removing rows never moves an existing doc across splits —
+    the leakage-safety property seeds/sampling cannot give."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {r["doc_id"]: r["split"] for r in curation.hash_split(docs).collect()}
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    for r in curation.hash_split(half).collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_stratified_quota_caps_and_uniformity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.stratified_quota(docs, ["lang", "source"], k=5)
+    per = out.groupBy("lang", "source").agg(F.count("*").alias("n"),
+                                            F.max("sample_rank").alias("mx"))
+    for r in per.collect():
+        assert r["n"] <= 5 and r["mx"] <= 5
+    # strata smaller than k keep everything
+    sizes = {(r["lang"], r["source"]): r["n"] for r in
+             docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()}
+    kept = {(r["lang"], r["source"]): r["n"] for r in per.collect()}
+    for key, total in sizes.items():
+        assert kept.get(key, 0) == min(total, 5)
+
+
+def test_chunk_tokens_cover_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(50))
+    df = _docs(spark, [(1, text, "s")])
+    out = curation.chunk_tokens(df, chunk_size=32, stride=24).collect()
+    # starts at 0 and 24 and 48 (48 <= 49 so a third short chunk exists)
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in out] == [32, 26, 2]
+    # chunk hash is the sha256 prefix of the space-joined slice
+    toks = text.split(" ")
+    first = " ".join(toks[0:32])
+    assert out[0]["chunk_hash"] == hashlib.sha256(first.encode()).hexdigest()[:16]
+
+
+def test_pack_sequences_bins_are_sequential_prefix_sums(spark):
+    rows = [(i, " ".join(["w"] * 100), "s") for i in range(10)]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in
+           curation.pack_sequences(df, budget=256, group_col="source").collect()}
+    # doc i starts at 100*i tokens -> bin floor(100*i/256)
+    for i in range(10):
+        assert out[i]["bin_id"] == (100 * i) // 256
+        assert out[i]["n_tokens"] == 100
+
+
+def test_pii_scrub_counts_and_hash(spark):
+    df = _docs(spark, [
+        (1, "mail me at bob@example.com or +1 (555) 123-4567 now", "s"),
+        (2, "server 10.0.0.1 and 192.168.1.255 up", "s"),
+        (3, "clean text only", "s"),
+    ])
+    out = {r["doc_id"]: r for r in curation.pii_scrub(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_email"] == 0
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
+    expected = hashlib.sha256(
+        "mail me at <EMAIL> or <PHONE> now".encode()).hexdigest()
+    assert out[1]["scrubbed_hash"] == expected
+    # clean doc passes through byte-identical
+    assert out[3]["scrubbed_hash"] == hashlib.sha256(b"clean text only").hexdigest()
+
+
+def test_dedup_cascade_verdicts(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    df = _docs(spark, [
+        (1, base, "s"),
+        (2, base, "s"),          # exact dup of 1
+        (3, near, "s"),          # near dup of 1 (high shingle overlap)
+        (4, "completely different words entirely here now", "s"),
+    ])
+    out = {r["doc_id"]: (r["reason"], r["keep_flag"]) for r in
+           dedup.cascade_keep_decision(df, threshold=0.5).collect()}
+    assert out[1] == ("kept", "Y")
+    assert out[2] == ("exact_dup", "N")
+    assert out[3] == ("near_dup", "N")
+    assert out[4] == ("kept", "Y")
