@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_set_ops_snapshot_diff": Q.o_set_ops_snapshot_diff,
         "w_running_user_value": Q.w_running_user_value,
         "t5_tumbling_window_agg": Q.t5_tumbling_window_agg,
+        "a_pivot_price_by_priority": Q.a_pivot_price_by_priority,
+        "o_unpivot_part_metrics": Q.o_unpivot_part_metrics,
         **EXT_QUERIES,
     }
 

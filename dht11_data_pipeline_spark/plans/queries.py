@@ -618,3 +618,44 @@ def t5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
         )
     )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def a_pivot_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order totals cross-tabbed status x priority (SURVEY §2.3
+    extension — the reference has no reshaping at all; pivot is the
+    standard reporting reshape the engine must expose).
+
+    Scale: the pivot value list is EXPLICIT — with it, Catalyst plans a
+    single partial-agg pass (one shuffle on the groupBy key, 5 agg
+    columns); without it Spark first runs a whole extra job just to
+    collect the distinct values. Decimal-exact sums, final double.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.sum(_money("o_totalprice")).cast("double"))
+    )
+
+
+def o_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide part metrics to long (metric, value) rows —
+    the inverse reshape, needed to feed generic per-metric pipelines
+    (profilers, drift monitors) without per-column code.
+
+    Scale: narrow 1:k row fan-out, no shuffle; stays in codegen.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
