@@ -216,3 +216,46 @@ def test_scd2_stream_two_batches(spark, tmp_path):
     # ledger has a completed row per micro-batch
     run1 = ctl.previous_run("STG_STREAM")
     assert run1["load_status"] == "Success" and run1["load_key"] == 1
+
+
+def test_rate_limited_trigger_one_batch_per_file(spark, tmp_path):
+    """maxFilesPerTrigger=1 + availableNow drains a backlog in bounded
+    micro-batches (one file each) — the admission-control knob that
+    keeps a 100 TB backfill from becoming one giant batch. A restart
+    from the same checkpoint then processes ONLY a newly arrived file
+    (exactly-once per batch, the reference's load_key ledger semantics,
+    SURVEY §2.9 T4)."""
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        _write_jsonl(src, f"r{i}.json", [
+            {"device_id": f"D{i}", "TimeZone": "IST", "Humidity": "50",
+             "Temperature": "20", "Timestamp": f"2024-05-05 11:0{i}:00"},
+            {"device_id": f"D{i}", "TimeZone": "IST", "Humidity": "51",
+             "Temperature": "21", "Timestamp": f"2024-05-05 12:0{i}:00"},
+        ])
+
+    batches: list[tuple[int, int]] = []
+
+    def _collect(df, bid):
+        batches.append((bid, df.count()))
+
+    def _drain():
+        raw = read_reading_stream(spark, src, max_files_per_trigger=1)
+        q = (typed_readings(raw, watermark=None).writeStream
+             .foreachBatch(_collect)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _drain()
+    assert [bid for bid, _ in batches] == [0, 1, 2]  # one batch per file
+    assert sum(n for _, n in batches) == 6
+
+    # new file arrives; resume from checkpoint -> exactly one new batch
+    _write_jsonl(src, "r3.json", [
+        {"device_id": "D9", "TimeZone": "UTC", "Humidity": "40",
+         "Temperature": "10", "Timestamp": "2024-05-06 09:00:00"}])
+    batches.clear()
+    _drain()
+    assert [(bid, n) for bid, n in batches] == [(3, 1)]
