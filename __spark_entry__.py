@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_tumbling_window_agg": Q.t5_tumbling_window_agg,
         "a_pivot_price_by_priority": Q.a_pivot_price_by_priority,
         "o_unpivot_part_metrics": Q.o_unpivot_part_metrics,
+        "j_interval_bucketed": Q.j_interval_bucketed,
+        "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
         **EXT_QUERIES,
     }
 

@@ -356,4 +356,18 @@ SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS va
 UNION ALL
 SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
 """,
+
+    # the oracle states the interval join as the plain theta form the
+    # banded plan must be equivalent to
+    "j_interval_bucketed": """
+SELECT a.o_orderkey,
+       COUNT(*) AS n_followups,
+       CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS followup_total
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND CAST(b.o_orderdate AS DATE) > CAST(a.o_orderdate AS DATE)
+ AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + INTERVAL 90 DAY
+GROUP BY a.o_orderkey
+""",
 }

@@ -659,3 +659,49 @@ def o_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+def j_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join: per order, count/sum the same customer's
+    follow-up orders within the next 90 days (SURVEY §2.4 note — range
+    joins are absent from the reference; this is the scale-safe form).
+
+    Scale: time is folded into the equi key (custkey, 90-day bucket),
+    so this is a plain shuffled equi-join with constant (2x) left
+    fan-out instead of a per-customer nested loop — see
+    operators/interval_join.py.
+    """
+    from dht11_data_pipeline_spark.operators.interval_join import (
+        interval_join_aggregate)
+    o = load_table(spark, sf_dir, "orders")
+    return interval_join_aggregate(
+        o.select("o_custkey", "o_orderkey", "o_orderdate"),
+        o.select("o_custkey", "o_orderdate", "o_totalprice"),
+        key="o_custkey", left_date="o_orderdate", right_date="o_orderdate",
+        gap_days=90,
+        aggs=[
+            F.count(F.lit(1)).alias("n_followups"),
+            F.sum(_money("o_totalprice")).cast("double").alias("followup_total"),
+        ],
+        left_id="o_orderkey",
+    )
+
+
+def a_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality at 100 TB: Datasketches HLL per group, alongside the
+    exact count the oracle can't see. Sketches are MERGEABLE — partial
+    sketches combine across partitions/days without rescanning, which
+    is the entire point at scale (exact COUNT DISTINCT re-shuffles raw
+    keys; the sketch shuffle is O(groups), constant per group).
+
+    No SQL oracle (approx algorithms aren't portable across engines);
+    tests assert ≤ 2% relative error against the exact count and
+    run-to-run determinism.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id")).alias("n_users_hll"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+    )
