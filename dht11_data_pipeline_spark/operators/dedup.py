@@ -117,13 +117,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        band_size: int = 2) -> DataFrame:
-    """Band the signature (r rows/band), bucket-join: docs agreeing on
-    ALL rows of any band become candidates. P(candidate) ≈ 1-(1-J^r)^b.
-    One shuffle on (band_idx, band_key); dedup pairs found in >1 band."""
+def _band_rows(signatures: DataFrame, id_col: str,
+               band_size: int) -> DataFrame:
+    """(id, band_idx, band_key) rows: the signature cut into bands of
+    ``band_size`` rows, each band serialized to one join key."""
     sig_len = F.size("signature")
-    bands = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -133,6 +132,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band_idx", "band_key"),
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        band_size: int = 2) -> DataFrame:
+    """Band the signature (r rows/band), bucket-join: docs agreeing on
+    ALL rows of any band become candidates. P(candidate) ≈ 1-(1-J^r)^b.
+    One shuffle on (band_idx, band_key); dedup pairs found in >1 band."""
+    bands = _band_rows(signatures, id_col, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -156,6 +163,56 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     sigs = minhash_signature(df, text_col, id_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, band_size)
     sh = _doc_shingles(df, text_col, id_col, n)
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("set_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("set_b"))
+    common = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    common / (F.size("set_a") + F.size("set_b") - common))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_incremental_pairs(corpus: DataFrame, sig_store: DataFrame,
+                              new_docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              num_hashes: int = 8, band_size: int = 2,
+                              threshold: float = 0.5) -> DataFrame:
+    """Continuous-ingestion dedup: check NEW documents against an
+    existing signature store without re-sketching the corpus.
+
+    This is the shape that matters at 100 TB: the store is an
+    append-only (id, signature) table built once per doc; each
+    ingestion batch (a) sketches only its own docs, (b) band-joins
+    new-vs-(store ∪ new) — old×old pairs are never regenerated —
+    and (c) verifies true Jaccard by re-shingling ONLY the documents
+    that appear in a candidate pair (a semi-join point lookup into the
+    corpus, not a full pass). Batch cost scales with |new| and the
+    candidate count, independent of corpus size. Emits the same
+    (doc_a, doc_b, jaccard) rows the full run would emit for any pair
+    touching a new doc.
+    """
+    new_sigs = minhash_signature(new_docs, text_col, id_col, n, num_hashes)
+    all_sigs = sig_store.unionByName(new_sigs)
+    ba = _band_rows(all_sigs, id_col, band_size)
+    bb = _band_rows(new_sigs, id_col, band_size)
+    cands = (
+        ba.alias("a").join(
+            bb.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"))
+        .distinct()
+    )
+    touched = (cands.select(F.col("doc_a").alias("cid"))
+               .union(cands.select(F.col("doc_b").alias("cid"))).distinct())
+    needed = corpus.join(touched, corpus[id_col] == touched.cid).drop("cid")
+    sh = _doc_shingles(needed, text_col, id_col, n)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("set_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("set_b"))
     common = F.size(F.array_intersect("set_a", "set_b"))

@@ -1,0 +1,85 @@
+"""Iterative graph operators — connected components for dedup
+clustering.
+
+Near-duplicate pairs are edges; the duplicate *groups* a curation
+pipeline actually needs are the transitive closure (A~B, B~C puts A
+and C in one group even if they never matched directly). Component id
+= the minimum doc id reachable, so the canonical representative of a
+cluster is its smallest id — deterministic in any engine.
+
+Algorithm: min-label propagation to fixpoint. Each round is
+join(labels, edges) + groupBy-min — two shuffles on the node id —
+and rounds = graph diameter. Near-dup graphs are shallow (clusters
+are cliques-ish, diameter 2-4), so propagation converges in a few
+rounds; for adversarial long-chain graphs swap in the large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce"), which is O(log² n) rounds of the same two shuffles —
+same plan shape, different edge rewriting. ``localCheckpoint``
+truncates the lineage each round so the plan doesn't grow with the
+iteration count (the classic iterative-algorithm trap on Spark).
+
+This is deliberately a driver-side loop over declarative steps — the
+reference has no iterative computation at all (SURVEY §4.3); this is
+the one extension operator whose control flow can't be a single plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Resolve undirected edges (a, b) to (node, cluster_id) where
+    cluster_id = min node id in the component. Only nodes that appear
+    in at least one edge are returned (callers union in singletons)."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iterations):
+        candidates = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.union(candidates)
+            .groupBy("node").agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds")
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def cluster_documents(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Assign every document a cluster id: transitive near-dup closure
+    for matched docs, own id for singletons; flag the canonical
+    (minimum-id) member per cluster."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_canonical",
+            F.when(F.col(id_col) == F.col("cluster_id"), "Y").otherwise("N"))
+    )

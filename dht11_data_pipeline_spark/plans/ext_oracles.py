@@ -206,6 +206,39 @@ LEFT JOIN near_kill n ON d.doc_id = n.doc_id
 """
 
 
+def _clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components over the minhash pair graph as a recursive
+    CTE fixpoint — the declarative twin of graph.connected_components'
+    iterative min-label propagation."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql(threshold=threshold)})),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(node, origin) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, r.origin FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(origin) AS comp_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.comp_id, d.doc_id) AS cluster_id,
+       CASE WHEN COALESCE(c.comp_id, d.doc_id) = d.doc_id THEN 'Y' ELSE 'N' END AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+def _incremental_sql(threshold: float = 0.5, mod: int = 4) -> str:
+    """A pair is emitted by the incremental run iff the full run emits
+    it and at least one side is in the new batch (id % mod == 0) —
+    signatures are per-doc, so the band collisions are identical."""
+    return f"""
+SELECT doc_a, doc_b, jaccard FROM ({_minhash_sql(threshold=threshold)})
+WHERE doc_a % {mod} = 0 OR doc_b % {mod} = 0
+"""
+
+
 # regexes shared with operators/curation._PII_PATTERNS (RE2-safe)
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?\d[\d() .-]{7,}\d"
@@ -403,6 +436,8 @@ GROUP BY event_type
 """,
 
     "dedup_cascade": _cascade_sql(threshold=0.5),
+    "dedup_clusters": _clusters_sql(threshold=0.5),
+    "dedup_incremental": _incremental_sql(threshold=0.5, mod=4),
 
     "cur_hash_split": """
 WITH h AS (

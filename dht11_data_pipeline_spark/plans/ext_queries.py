@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dht11_data_pipeline_spark.operators import (
-    curation, dedup, multimodal, similarity, textops)
+    curation, dedup, graph, multimodal, similarity, textops)
 from dht11_data_pipeline_spark.operators.profile import profile
 from dht11_data_pipeline_spark.operators.skew import salted_aggregate
 from dht11_data_pipeline_spark.sources.tables import load_table
@@ -150,6 +150,29 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cascade_keep_decision(docs, threshold=0.5)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup closure: minhash pairs as edges → connected
+    components by iterative min-label propagation (operators/graph.py);
+    every doc gets a cluster id (own id for singletons) + canonical
+    flag. The oracle states the same fixpoint as a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    return graph.cluster_documents(docs, pairs)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-batch dedup: docs with id % 4 == 0 arrive as the new
+    batch; the rest are the existing corpus whose signature store is
+    already built. Emits near-dup pairs touching a new doc — verified
+    by re-shingling only candidate rows (point lookups, not a corpus
+    pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    store = dedup.minhash_signature(old)
+    return dedup.minhash_incremental_pairs(docs, store, new, threshold=0.5)
+
+
 def cur_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/validation/test split by id hash."""
     docs = load_table(spark, sf_dir, "documents")
@@ -224,6 +247,8 @@ EXT_QUERIES = {
     "a_salted_event_totals": a_salted_event_totals,
     "t_sessionize": t_sessionize,
     "dedup_cascade": dedup_cascade,
+    "dedup_clusters": dedup_clusters,
+    "dedup_incremental": dedup_incremental,
     "cur_hash_split": cur_hash_split,
     "cur_stratified_quota": cur_stratified_quota,
     "cur_chunk_tokens": cur_chunk_tokens,

@@ -1,0 +1,42 @@
+"""Connected-components fixpoint + incremental-dedup equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.operators import dedup
+from dht11_data_pipeline_spark.operators.graph import (
+    cluster_documents, connected_components)
+
+
+def test_connected_components_chain_and_triangle(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long")
+    out = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cluster_documents_includes_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in cluster_documents(docs, pairs).collect()}
+    assert out[0] == (0, "Y") and out[3] == (0, "N") and out[5] == (0, "N")
+    for single in (1, 2, 4):
+        assert out[single] == (single, "Y")
+
+
+def test_incremental_equals_full_restricted(spark, sf_dir):
+    """The incremental batch run must emit exactly the full run's pairs
+    that touch a new doc — no extra pairs, none missed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    store = dedup.minhash_signature(old)
+    inc = dedup.minhash_incremental_pairs(docs, store, new, threshold=0.5)
+    full = dedup.minhash_near_duplicates(docs, threshold=0.5).filter(
+        (F.col("doc_a") % 4 == 0) | (F.col("doc_b") % 4 == 0))
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
