@@ -194,7 +194,10 @@ def minhash_incremental_pairs(corpus: DataFrame, sig_store: DataFrame,
     (doc_a, doc_b, jaccard) rows the full run would emit for any pair
     touching a new doc.
     """
-    new_sigs = minhash_signature(new_docs, text_col, id_col, n, num_hashes)
+    # persist: the new batch's signatures feed BOTH join sides (the
+    # probe side and the store-union side); in production they are also
+    # the rows appended to the store table afterwards
+    new_sigs = minhash_signature(new_docs, text_col, id_col, n, num_hashes).persist()
     all_sigs = sig_store.unionByName(new_sigs)
     ba = _band_rows(all_sigs, id_col, band_size)
     bb = _band_rows(new_sigs, id_col, band_size)

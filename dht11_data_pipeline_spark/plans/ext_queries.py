@@ -165,7 +165,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch; the rest are the existing corpus whose signature store is
     already built. Emits near-dup pairs touching a new doc — verified
     by re-shingling only candidate rows (point lookups, not a corpus
-    pass)."""
+    pass).
+
+    Bench note: this query BUILDS the signature store in-line (the
+    driver contract is stateless), so its wall-clock includes the
+    one-time store construction a deployment amortizes across batches;
+    the recurring per-batch cost is new-sigs + band-join + verify."""
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 4 == 0)
     old = docs.filter(F.col("doc_id") % 4 != 0)
