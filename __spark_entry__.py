@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_pivot_price_by_priority": Q.a_pivot_price_by_priority,
         "o_unpivot_part_metrics": Q.o_unpivot_part_metrics,
         "j_interval_bucketed": Q.j_interval_bucketed,
+        "w_range_frame_rolling_spend": Q.w_range_frame_rolling_spend,
         "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
         **EXT_QUERIES,
     }

@@ -29,6 +29,7 @@ HEADLINE = [
     "t_sliding_window_agg",
     "w_running_user_value",
     "w_rank_suite",
+    "w_range_frame_rolling_spend",
 ]
 
 

@@ -357,6 +357,18 @@ UNION ALL
 SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
 """,
 
+    "w_range_frame_rolling_spend": """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER spend AS DOUBLE) AS spend_30d,
+       COUNT(*) OVER spend AS n_orders_30d,
+       CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER first_w AS DOUBLE) AS first_order_price
+FROM orders
+WINDOW
+  spend AS (PARTITION BY o_custkey ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW),
+  first_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+
     # the oracle states the interval join as the plain theta form the
     # banded plan must be equivalent to
     "j_interval_bucketed": """

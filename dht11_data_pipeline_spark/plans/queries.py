@@ -725,3 +725,29 @@ def a_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id")).alias("n_users_hll"),
         F.approx_count_distinct("user_id").alias("n_users_approx"),
     )
+
+
+def w_range_frame_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, total/count of orders in the
+    trailing 30 days (event-time range, not row count) plus the
+    customer's first-ever order via first_value. Completes the frame
+    surface next to w_rank_suite (rows frames) and w_running_user_value
+    (unbounded rows).
+
+    Scale: both windows share one shuffle on o_custkey (same
+    partitioning); the range frame is evaluated with a sliding
+    pointer over the sorted partition — O(rows), no re-scan per row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ts = F.unix_timestamp("o_orderdate")
+    spend = (Window.partitionBy("o_custkey").orderBy(ts)
+             .rangeBetween(-30 * 86400, Window.currentRow))
+    first = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_money("o_totalprice")).over(spend).cast("double").alias("spend_30d"),
+        F.count(F.lit(1)).over(spend).alias("n_orders_30d"),
+        F.first_value(_money("o_totalprice")).over(first).cast("double")
+        .alias("first_order_price"),
+    )

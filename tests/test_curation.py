@@ -110,3 +110,33 @@ def test_dedup_cascade_verdicts(spark):
     assert out[2] == ("exact_dup", "N")
     assert out[3] == ("near_dup", "N")
     assert out[4] == ("kept", "Y")
+
+
+def test_chunk_tokens_property_full_coverage(spark):
+    """Property (hypothesis-driven dims): for any doc length, every
+    token position is covered by >=1 chunk, chunk starts advance by
+    exactly `stride`, and every chunk's length is exactly
+    min(chunk_size, n_tokens - start)."""
+    from hypothesis import given, settings, strategies as st
+
+    @given(n_tokens=st.integers(min_value=1, max_value=200),
+           chunk_size=st.integers(min_value=2, max_value=50),
+           stride_frac=st.floats(min_value=0.3, max_value=1.0))
+    @settings(max_examples=12, deadline=None)
+    def check(n_tokens, chunk_size, stride_frac):
+        stride = max(1, int(chunk_size * stride_frac))
+        text = " ".join(f"t{i}" for i in range(n_tokens))
+        df = _docs(spark, [(1, text, "s")])
+        rows = sorted(
+            curation.chunk_tokens(df, chunk_size=chunk_size, stride=stride)
+            .collect(), key=lambda r: r["chunk_idx"])
+        starts = [r["chunk_idx"] * stride for r in rows]
+        assert starts[0] == 0 and all(
+            b - a == stride for a, b in zip(starts, starts[1:]))
+        covered = set()
+        for r, s in zip(rows, starts):
+            assert r["n_chunk_tokens"] == min(chunk_size, n_tokens - s)
+            covered.update(range(s, s + r["n_chunk_tokens"]))
+        assert covered == set(range(n_tokens))
+
+    check()
