@@ -31,6 +31,7 @@ hash keeps the compare O(1)-width regardless of payload width.
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -77,6 +78,28 @@ def delta_columns(staging: DataFrame, cfg: SCD2Config) -> list[str]:
     return sorted(c for c in staging.columns if c.lower() not in drop)
 
 
+def _warn_on_schema_drift(staging_dcols: list[str], target: DataFrame,
+                          cfg: SCD2Config) -> None:
+    """SURVEY §7.4 risk 6: metadata-driven column discovery silently
+    absorbs new/renamed source columns into the delta hash, flipping
+    every row to 'U' on the next run (the reference has the same
+    behavior and no warning). We keep the behavior — it is what makes
+    the module generic — but surface it."""
+    audit = {c.lower() for c in cfg.audit_cols()}
+    keys = {c.lower() for c in cfg.natural_keys}
+    tgt_dcols = sorted(c for c in target.columns
+                       if c.lower() not in audit | keys)
+    if [c.lower() for c in staging_dcols] != [c.lower() for c in tgt_dcols]:
+        added = set(c.lower() for c in staging_dcols) - set(tgt_dcols)
+        gone = set(tgt_dcols) - set(c.lower() for c in staging_dcols)
+        warnings.warn(
+            "SCD2 delta-column drift between staging and target "
+            f"(added={sorted(added)}, missing={sorted(gone)}): every "
+            "existing row's hash changes — expect a full-table 'U' wave "
+            "this run. Align schemas or extend exclude_from_delta.",
+            stacklevel=3)
+
+
 def detect_delta(staging: DataFrame, target_current: DataFrame,
                  cfg: SCD2Config, incremental: bool = False) -> DataFrame:
     """Hash-based delta detection (reference phase 1, the composed FULL
@@ -94,11 +117,20 @@ def detect_delta(staging: DataFrame, target_current: DataFrame,
     the reference's snapshot-compare (which can classify deletes).
     """
     dcols = delta_columns(staging, cfg)
+    _warn_on_schema_drift(dcols, target_current, cfg)
     stg = staging.select(
         *cfg.natural_keys, delta_hash(dcols).alias("_stg_hash")
     ).alias("stg")
+    # drift tolerance: a staging-only column hashes as null ('') on the
+    # target side — the run proceeds (with the warning above) instead of
+    # failing resolution; existing rows re-hash => the documented 'U' wave
+    tgt_cols = {c.lower() for c in target_current.columns}
+    tgt_hash_inputs = [
+        F.col(c) if c.lower() in tgt_cols else F.lit(None).cast("string")
+        for c in dcols
+    ]
     tgt = target_current.select(
-        *cfg.natural_keys, delta_hash(dcols).alias("_tgt_hash")
+        *cfg.natural_keys, delta_hash(tgt_hash_inputs).alias("_tgt_hash")
     ).alias("tgt")
 
     cond = None

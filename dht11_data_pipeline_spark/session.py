@@ -39,6 +39,9 @@ def get_spark(app_name: str = "dht11_data_pipeline_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # runtime bloom-filter pushed to the probe side of large joins —
+        # at 100 TB this prunes shuffle input for selective dim filters
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -162,3 +162,29 @@ def test_schema_gate(spark):
     with pytest.raises(ValueError, match="missing target columns"):
         apply_scd2(bad_staging, _empty_target(spark), CFG,
                    load_ts="2024-05-05 12:00:00", deterministic_keys=True)
+
+
+def test_schema_drift_warns_but_proceeds(spark):
+    """A new staging column must trigger the drift warning (SURVEY §7.4
+    risk 6) while the run still completes with the mass-'U' wave the
+    hash semantics imply."""
+    import warnings as _w
+
+    from dht11_data_pipeline_spark.operators.scd2 import (
+        SCD2Config, detect_delta)
+
+    cfg = SCD2Config(natural_keys=["k"])
+    stg = spark.createDataFrame([(1, "a", "x")], "k long, v string, extra string")
+    tgt = spark.createDataFrame(
+        [(1, "a", "Y", "N", None, None, None, None, 1, 1)],
+        "k long, v string, da_current_flag string, da_deleted_flag string, "
+        "da_valid_from_date timestamp, da_valid_to_date timestamp, "
+        "da_inserted_datetime timestamp, da_updated_datetime timestamp, "
+        "hist_ak long, hist_key long")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = detect_delta(stg, tgt, cfg)
+        rows = out.collect()
+    assert any("drift" in str(w.message) for w in caught)
+    # same key, hash changed by the extra column -> classified U
+    assert [r["upsert_cd"] for r in rows] == ["U"]
