@@ -505,6 +505,32 @@ SELECT doc_id,
 FROM documents
 """,
 
+    # corr from exact integer co-moments: both engines evaluate the
+    # same closed-form double expression over identical integers
+    "ts_user_correlation": """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events WHERE user_id % 30 = 0
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         COUNT(*) AS n,
+         SUM(a.c) AS sx, SUM(b.c) AS sy,
+         SUM(a.c * b.c) AS sxy,
+         SUM(a.c * a.c) AS sxx, SUM(b.c * b.c) AS syy
+  FROM daily a JOIN daily b ON a.day = b.day AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT user_a, user_b, n AS n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS corr
+FROM m
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 AND n >= 5
+""",
+
     "t_sessionize": """
 WITH ordered AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

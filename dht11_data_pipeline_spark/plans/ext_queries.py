@@ -230,6 +230,51 @@ def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity: Pearson correlation between users' daily
+    value series (users with user_id % 30 == 0), exact-integer
+    co-moments.
+
+    Engine-portability trick: corr() aggregates accumulate doubles in
+    partition order, so two engines disagree in the last ulps. Instead
+    the five co-moment sums run in integer cents (exact, associative);
+    the closed-form correlation is then ONE double expression over
+    identical integers in any engine — deterministic to the bit, then
+    rounded to 4dp. Scale: daily pre-aggregation shrinks each user to
+    ≤ n_days rows; the pair join keys on the day bucket; co-moment
+    sums are map-side partial. At 100 TB swap the long sums for
+    decimal(38,0) (same plan).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        ev.filter(F.col("user_id") % 30 == 0)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(cents).alias("c"))
+    )
+    a = daily.select(F.col("user_id").alias("user_a"), "day", F.col("c").alias("x"))
+    b = daily.select(F.col("user_id").alias("user_b"), "day", F.col("c").alias("y"))
+    m = (
+        a.join(b, "day").filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+             F.sum(F.col("x") * F.col("y")).alias("sxy"),
+             F.sum(F.col("x") * F.col("x")).alias("sxx"),
+             F.sum(F.col("y") * F.col("y")).alias("syy"))
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = (n * F.col("sxy") - sx * sy).cast("double")
+    var_x = (n * F.col("sxx") - sx * sx)
+    var_y = (n * F.col("syy") - sy * sy)
+    return (
+        m.filter((var_x > 0) & (var_y > 0) & (n >= 5))
+        .select("user_a", "user_b", n.alias("n_days"),
+                F.round(cov_n / (F.sqrt(var_x.cast("double"))
+                                 * F.sqrt(var_y.cast("double"))), 4).alias("corr"))
+    )
+
+
 EXT_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -259,4 +304,5 @@ EXT_QUERIES = {
     "cur_chunk_tokens": cur_chunk_tokens,
     "cur_pack_sequences": cur_pack_sequences,
     "cur_pii_scrub": cur_pii_scrub,
+    "ts_user_correlation": ts_user_correlation,
 }
