@@ -137,3 +137,30 @@ def sample_frames(binary_df: DataFrame, frame_size: int = 256,
                                 "frame_len": lens, "frame_checksum": sums})
 
     return binary_df.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = "doc_id long, embedding array<float>"
+
+
+def embed_payloads(binary_df: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched embedding extraction: binary payload → unit-norm
+    float vector. The embedding model is STUBBED (a normalized byte
+    histogram — deterministic, container has no torch/CLIP); the Spark
+    plumbing is the real thing: mapInPandas batch shape, array<float>
+    schema, and the output feeds the similarity operators unchanged
+    (attach → embed → cosine_topk/near-dup is the multimodal dedup
+    pipeline at 100 TB).
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                norm = float(np.linalg.norm(hist))
+                vecs.append((hist / norm if norm else hist).astype("float32"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return binary_df.mapInPandas(_batches, schema=EMBED_SCHEMA)
