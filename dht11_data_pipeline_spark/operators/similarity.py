@@ -113,7 +113,8 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              centroid_mod: int = 40,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             queries_from_corpus: bool = False) -> DataFrame:
     """IVF-flavored ANN: inverted file over a deterministic centroid
     sample (every ``centroid_mod``-th vector = a centroid — IVF with
     random-sample centroids and no Lloyd refinement, kept deterministic
@@ -146,7 +147,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 .select(out_id, "cent_id", "_v"))
 
     lists = nearest_centroid(corpus, "neighbor_id")
-    probes = nearest_centroid(queries, "query_id")
+    if queries_from_corpus:
+        # queries are corpus rows: reuse the build-side assignment via a
+        # semi-join on id instead of re-running Q x C centroid scoring —
+        # one broadcast filter, and assignment stays computed exactly once
+        # (also what a persisted IVF index gives you in production)
+        lists = lists.persist()
+        qids = queries.select(F.col(id_col).alias("neighbor_id"))
+        probes = (lists.join(F.broadcast(qids), "neighbor_id", "left_semi")
+                  .withColumnRenamed("neighbor_id", "query_id"))
+    else:
+        probes = nearest_centroid(queries, "query_id")
     scored = (
         probes.select("query_id", "cent_id", F.col("_v").alias("qv"))
         .join(lists.select("neighbor_id", "cent_id", F.col("_v").alias("cv")),

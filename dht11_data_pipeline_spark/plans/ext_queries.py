@@ -83,7 +83,8 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-sample centroids) for the same query set."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(emb, queries, k=5, centroid_mod=40)
+    return similarity.ivf_topk(emb, queries, k=5, centroid_mod=40,
+                               queries_from_corpus=True)
 
 
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
