@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_unpivot_part_metrics": Q.o_unpivot_part_metrics,
         "j_interval_bucketed": Q.j_interval_bucketed,
         "w_range_frame_rolling_spend": Q.w_range_frame_rolling_spend,
+        "o_top_revenue_orders": Q.o_top_revenue_orders,
         "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
         **EXT_QUERIES,
     }

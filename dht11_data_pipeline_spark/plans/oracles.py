@@ -357,6 +357,14 @@ UNION ALL
 SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
 """,
 
+    "o_top_revenue_orders": """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM orders
+ORDER BY total_price DESC, o_orderkey
+LIMIT 10
+""",
+
     "w_range_frame_rolling_spend": """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER spend AS DOUBLE) AS spend_30d,

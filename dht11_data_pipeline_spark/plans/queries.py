@@ -751,3 +751,22 @@ def w_range_frame_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value(_money("o_totalprice")).over(first).cast("double")
         .alias("first_order_price"),
     )
+
+
+def o_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT top-k (SURVEY §2.6 O2 — the reference
+    only has fetchone probes; this is the real top-k surface).
+
+    Scale: Spark plans this as TakeOrderedAndProject — each partition
+    keeps its local top-k heap and only k rows per partition reach the
+    driver-side merge; there is NO global sort and NO full shuffle, so
+    it scales to any input size. Ties broken by orderkey for
+    determinism.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey",
+                 _money("o_totalprice").cast("double").alias("total_price"))
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
