@@ -36,6 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--target-mb", type=int, default=128)
     c.add_argument("--sort-by", default=None, help="comma-separated columns")
 
+    d = sub.add_parser(
+        "dedup", help="exact+near-dup cascade verdict over a document parquet")
+    d.add_argument("--docs", required=True, help="parquet with doc_id,text")
+    d.add_argument("--out", required=True, help="output parquet (verdict rows)")
+    d.add_argument("--threshold", type=float, default=0.5)
+
     args = p.parse_args(argv)
 
     from dht11_data_pipeline_spark.session import get_spark
@@ -59,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
         sort_by = args.sort_by.split(",") if args.sort_by else None
         n = compact(spark, args.path, args.target_mb, sort_by)
         print(json.dumps({"files": n}))
+    elif args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from dht11_data_pipeline_spark.operators.dedup import (
+            cascade_keep_decision)
+        verdict = cascade_keep_decision(
+            spark.read.parquet(args.docs), threshold=args.threshold)
+        verdict.write.mode("overwrite").parquet(args.out)
+        stats = {r["reason"]: r["n"] for r in
+                 verdict.groupBy("reason").agg(F.count("*").alias("n")).collect()}
+        print(json.dumps({"out": args.out, "by_reason": stats}))
     return 0
 
 

@@ -770,3 +770,26 @@ def o_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation at scale: approx_percentile (Greenwald-
+    Khanna sketch) next to the exact percentile the oracle can't see —
+    the partner of a_approx_distinct_sketch in the sketch family.
+
+    Scale: the GK sketch is mergeable — partial sketches combine across
+    partitions, so the shuffle carries O(1/eps) summaries per group
+    instead of the raw values an exact percentile needs.
+
+    No SQL oracle (sketch internals aren't portable across engines);
+    tests assert each estimate lands within the 1% rank-accuracy bound
+    against the exact quantiles and that reruns are deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pcts = [0.5, 0.9, 0.99]
+    return ev.groupBy("event_type").agg(
+        *[F.expr(f"percentile(value, {p})").alias(f"p{int(p * 100)}_exact")
+          for p in pcts],
+        *[F.expr(f"approx_percentile(value, {p}, 10000)")
+          .alias(f"p{int(p * 100)}_approx") for p in pcts],
+    )

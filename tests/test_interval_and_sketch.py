@@ -61,3 +61,25 @@ def test_hll_sketch_accuracy_and_determinism(spark, sf_dir):
         for approx_col in ("n_users_hll", "n_users_approx"):
             err = abs(r[approx_col] - r["n_users_exact"]) / r["n_users_exact"]
             assert err <= 0.02, (r["event_type"], approx_col, err)
+
+
+def test_quantile_sketch_within_rank_bound(spark, sf_dir):
+    rows_a = Q.a_quantile_sketch(spark, sf_dir).collect()
+    rows_b = Q.a_quantile_sketch(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows_a)) == sorted(map(tuple, rows_b))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for r in rows_a:
+        vals = sorted(v["value"] for v in
+                      ev.filter(F.col("event_type") == r["event_type"])
+                      .select("value").collect())
+        n = len(vals)
+        for p in (50, 90, 99):
+            est = r[f"p{p}_approx"]
+            # rank-accuracy: the estimate's rank within eps=1/10000 of
+            # target (plus discreteness slack of 1 position)
+            import bisect
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            target = p / 100 * n
+            assert lo - 1 <= target + n / 10000 + 1
+            assert hi + 1 >= target - n / 10000 - 1
