@@ -259,3 +259,26 @@ def test_rate_limited_trigger_one_batch_per_file(spark, tmp_path):
     batches.clear()
     _drain()
     assert [(bid, n) for bid, n in batches] == [(3, 1)]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch is enriched against a
+    static dimension (device -> site metadata) — the standard lookup
+    pattern; the static side is re-resolved per batch and broadcast
+    (no state, no watermark needed)."""
+    src = str(tmp_path / "feed")
+    _write_jsonl(src, "r1.json", R1)
+    dim = spark.createDataFrame(
+        [("D1", "lab", "IN"), ("D2", "roof", "US"), ("DX", "unused", "ZZ")],
+        "device_id string, site string, country string")
+    raw = read_reading_stream(spark, src)
+    enriched = typed_readings(raw, watermark=None).join(dim, "device_id", "left")
+    q = (enriched.writeStream.format("memory").queryName("enriched_mem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["device_id"], r["site"], r["country"])
+           for r in spark.table("enriched_mem").collect()}
+    batch = _batch_readings(spark, src).join(dim, "device_id", "left")
+    want = {(r["device_id"], r["site"], r["country"]) for r in batch.collect()}
+    assert got == want
+    assert ("D1", "lab", "IN") in got and ("D2", "roof", "US") in got
