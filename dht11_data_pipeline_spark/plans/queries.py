@@ -793,3 +793,32 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(f"approx_percentile(value, {p}, 10000)")
           .alias(f"p{int(p * 100)}_approx") for p in pcts],
     )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a quantity
+    threshold — GROUP BY + HAVING feeding a semi-join back into the
+    fact tables (the HAVING surface the other aggregates don't cover).
+
+    Scale: the HAVING aggregate runs first (partial agg on l_orderkey,
+    ~1 row out per qualifying order) and the qualifying-key set —
+    tiny by construction — broadcasts into the orders join; lineitem
+    is never shuffled twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_money("l_quantity")).alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 300)  # HAVING
+        .select("l_orderkey", F.col("_sum_qty").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.col("o_orderdate").alias("orderdate"),
+                _money("o_totalprice").cast("double").alias("totalprice"),
+                "total_qty")
+    )
