@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_range_frame_rolling_spend": Q.w_range_frame_rolling_spend,
         "o_top_revenue_orders": Q.o_top_revenue_orders,
         "q18_large_volume_customers": Q.q18_large_volume_customers,
+        "n_props_variant": Q.n_props_variant,
         "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
         "a_quantile_sketch": Q.a_quantile_sketch,
         **EXT_QUERIES,

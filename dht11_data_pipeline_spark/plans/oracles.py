@@ -357,6 +357,14 @@ UNION ALL
 SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
 """,
 
+    "n_props_variant": """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_field
+FROM events
+""",
+
     "q18_large_volume_customers": """
 WITH big AS (
   SELECT l_orderkey,

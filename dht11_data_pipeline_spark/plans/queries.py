@@ -822,3 +822,23 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _money("o_totalprice").cast("double").alias("totalprice"),
                 "total_qty")
     )
+
+
+def n_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse once,
+    typed path extraction (try_variant_get) — the engine-native
+    evolution of get_json_object string probing (SURVEY §2.8 N1-N3's
+    modern form). try_* semantics: malformed JSON or a missing path
+    yields null, never an error — ingestion-safe on dirty data.
+
+    Scale: narrow projection; VARIANT stores a parsed binary encoding,
+    so repeated path reads don't re-parse the JSON text.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_field"),
+    )
