@@ -57,19 +57,49 @@ def empty_target(spark: SparkSession, staging: DataFrame,
 
 def read_target(spark: SparkSession, target_path: str, staging: DataFrame,
                 cfg: SCD2Config) -> DataFrame:
+    _recover_target(target_path)
     if os.path.exists(target_path):
         return spark.read.parquet(target_path)
     return empty_target(spark, staging, cfg)
 
 
+def _recover_target(target_path: str) -> None:
+    """If a previous swap crashed between moving the live dir aside and
+    promoting the staged one, the ``_old`` dir is the last committed
+    state — restore it. (The staged dir may be incomplete; committed
+    beats newer-but-unverified.)"""
+    old = target_path + "_old"
+    if os.path.exists(old) and not os.path.exists(target_path):
+        os.replace(old, target_path)
+
+
 def swap_target(new_state: DataFrame, target_path: str) -> None:
-    """Materialize the complete new target state, then atomically move
-    it over the live path — one commit point, no crash window."""
+    """Materialize the complete new target state, then promote it over
+    the live path. Failure ordering (the reference's MERGE-then-INSERT
+    leaves a half-applied table on a crash between its two commits —
+    SURVEY §4.2; this replaces that with recoverable states only):
+
+    - crash during the staged write -> live target untouched;
+    - crash after the live dir moves to ``_old`` but before promotion ->
+      ``_recover_target`` (called by every read) restores ``_old``;
+    - crash after promotion -> only a stray ``_old``/``_staged`` dir
+      remains, cleaned up by the next swap.
+
+    On a cluster the same seam is a Delta/Iceberg transactional commit;
+    the local parquet engine gets the strongest ordering a filesystem
+    rename gives.
+    """
     tmp = target_path + "_staged"
-    new_state.write.mode("overwrite").parquet(tmp)
+    old = target_path + "_old"
+    new_state.write.mode("overwrite").parquet(tmp)  # fails => target intact
+    _recover_target(target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # stale leftover from a post-promotion crash
     if os.path.exists(target_path):
-        shutil.rmtree(target_path)
+        os.rename(target_path, old)
     os.replace(tmp, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def scd2_batch_writer(target_path: str, cfg: SCD2Config,

@@ -282,3 +282,47 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     want = {(r["device_id"], r["site"], r["country"]) for r in batch.collect()}
     assert got == want
     assert ("D1", "lab", "IN") in got and ("D2", "roof", "US") in got
+
+
+def test_swap_target_crash_safety(spark, tmp_path):
+    """Failure injection around the SCD2 target swap: a failed staged
+    write leaves the live target untouched, and a crash between
+    moving-aside and promotion is recovered from the _old dir on the
+    next read (the reference's MERGE-then-INSERT crash window has no
+    such recovery — SURVEY §4.2)."""
+    import os
+    import shutil
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from dht11_data_pipeline_spark.streaming.historize import (
+        read_target, swap_target)
+
+    target = str(tmp_path / "hist")
+    good = spark.createDataFrame([(1, "a")], "k long, v string")
+    swap_target(good, target)
+
+    # 1) staged write fails (ANSI raise inside the plan): target intact
+    poison = spark.createDataFrame([(1,)], "k long").select(
+        F.raise_error(F.lit("boom")).alias("k"))
+    with _pt.raises(Exception):
+        swap_target(poison, target)
+    assert [tuple(r) for r in spark.read.parquet(target).collect()] == [(1, "a")]
+
+    # 2) crash between rename-aside and promotion: _old exists, live gone
+    os.rename(target, target + "_old")
+    assert not os.path.exists(target)
+    from dht11_data_pipeline_spark.operators.scd2 import SCD2Config
+    cfg = SCD2Config(natural_keys=["k"])
+    recovered = read_target(spark, target, good, cfg)
+    assert [tuple(r) for r in recovered.collect()] == [(1, "a")]
+    assert os.path.exists(target) and not os.path.exists(target + "_old")
+
+    # 3) stray dirs from a post-promotion crash are cleaned by next swap
+    shutil.copytree(target, target + "_old")
+    newer = spark.createDataFrame([(2, "b")], "k long, v string")
+    swap_target(newer, target)
+    assert [tuple(r) for r in spark.read.parquet(target).collect()] == [(2, "b")]
+    assert not os.path.exists(target + "_old")
+    assert not os.path.exists(target + "_staged")
