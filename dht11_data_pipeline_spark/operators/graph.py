@@ -45,10 +45,12 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("label"))
         )
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it — one job per round, not two
         new_labels = (
             labels.union(candidates)
             .groupBy("node").agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
