@@ -313,17 +313,16 @@ GROUP BY 1, 2
 """,
 
     "j_asof_latest_event_before_order": """
-SELECT o_orderkey, o_custkey, o_orderdate,
-       event_id AS asof_event_id,
-       ts AS asof_ts,
-       event_type AS asof_event_type
+SELECT user_id, err_id, err_ts, asof_event_id, asof_ts
 FROM (
-  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-         e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_type,
-         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
-                            ORDER BY CAST(e.ts AS TIMESTAMP) DESC, e.event_id DESC) AS rn
-  FROM orders o
-  JOIN events e ON o.o_custkey = e.user_id AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate
+  SELECT e.user_id, e.event_id AS err_id, CAST(e.ts AS TIMESTAMP) AS err_ts,
+         c.event_id AS asof_event_id, CAST(c.ts AS TIMESTAMP) AS asof_ts,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY CAST(c.ts AS TIMESTAMP) DESC, c.event_id DESC) AS rn
+  FROM events e
+  JOIN events c ON e.user_id = c.user_id
+                AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+  WHERE e.event_type = 'error' AND c.event_type = 'click'
 )
 WHERE rn = 1
 """,

@@ -591,32 +591,36 @@ def t_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def j_asof_latest_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join (range join + argmax): for each order, the customer's
-    latest event at-or-before the order date. The reference has nothing
+    """AS-OF join (range join + argmax): for each error event, the same
+    user's latest click at-or-before it. The reference has nothing
     like it (SURVEY §2.4 'not present' list) — it's the canonical
-    time-series enrichment operator.
+    time-series enrichment operator ("what was the state when X
+    happened"), here answering "what did the user last click before
+    erroring".
 
     Implementation: range-condition join then per-order row_number — at
     scale, pre-bucket both sides by the user key and sort within
     buckets so the join is shuffle-free, and the window is per-order
     (no global sort). Ties on ts break by event_id for determinism.
     """
-    o = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
-    joined = o.join(
-        ev,
-        (o.o_custkey == ev.user_id) & (ev.ts <= o.o_orderdate),
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("asof_event_id"),
+        F.col("ts").alias("asof_ts"))
+    joined = errors.join(
+        clicks,
+        (errors.user_id == clicks.c_user) & (F.col("asof_ts") <= F.col("err_ts")),
         "inner",
     )
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc())
+    w = Window.partitionBy("err_id").orderBy(
+        F.col("asof_ts").desc(), F.col("asof_event_id").desc())
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("o_orderkey", "o_custkey", "o_orderdate",
-                F.col("event_id").alias("asof_event_id"),
-                F.col("ts").alias("asof_ts"),
-                F.col("event_type").alias("asof_event_type"))
+        .select("user_id", "err_id", "err_ts", "asof_event_id", "asof_ts")
     )
 
 
