@@ -14,9 +14,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dht11_data_pipeline_spark.plans import queries as Q
+from dht11_data_pipeline_spark.plans import tpch_queries as T
 from dht11_data_pipeline_spark.plans.ext_oracles import EXT_ORACLES
 from dht11_data_pipeline_spark.plans.ext_queries import EXT_QUERIES
 from dht11_data_pipeline_spark.plans.oracles import ORACLES
+from dht11_data_pipeline_spark.plans.tpch_oracles import TPCH_ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -63,9 +65,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_props_variant": Q.n_props_variant,
         "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
         "a_quantile_sketch": Q.a_quantile_sketch,
+        "q2_min_cost_supplier": T.q2_min_cost_supplier,
+        "q4_priority_with_late_ship": T.q4_priority_with_late_ship,
+        "q7_bination_volume": T.q7_bination_volume,
+        "q8_market_share": T.q8_market_share,
+        "q9_profit_by_nation_year": T.q9_profit_by_nation_year,
+        "q11_important_part_values": T.q11_important_part_values,
+        "q13_customer_order_distribution": T.q13_customer_order_distribution,
+        "q14_promo_revenue_share": T.q14_promo_revenue_share,
+        "q15_top_revenue_supplier": T.q15_top_revenue_supplier,
+        "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+        "q20_heavy_promo_suppliers": T.q20_heavy_promo_suppliers,
+        "q21_sole_late_supplier": T.q21_sole_late_supplier,
+        "q22_idle_wealthy_customers": T.q22_idle_wealthy_customers,
         **EXT_QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**ORACLES, **EXT_ORACLES}
+    return {**ORACLES, **TPCH_ORACLES, **EXT_ORACLES}
