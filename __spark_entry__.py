@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n_props_variant": Q.n_props_variant,
         "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
         "a_quantile_sketch": Q.a_quantile_sketch,
+        "f_higher_order_arrays": Q.f_higher_order_arrays,
+        "ts_gap_fill_daily": Q.ts_gap_fill_daily,
         "q2_min_cost_supplier": T.q2_min_cost_supplier,
         "q4_priority_with_late_ship": T.q4_priority_with_late_ship,
         "q7_bination_volume": T.q7_bination_volume,

@@ -414,4 +414,34 @@ JOIN orders b
  AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + INTERVAL 90 DAY
 GROUP BY a.o_orderkey
 """,
+    "f_higher_order_arrays": """
+WITH toks AS (
+  SELECT p_partkey, list_sort(string_split(p_name, ' ')) AS tokens FROM part
+)
+SELECT p_partkey,
+       array_to_string(list_transform(tokens, x -> upper(x)), ',') AS upper_csv,
+       CAST(length(list_filter(tokens, x -> length(x) > 4)) AS INT) AS n_long_tokens,
+       CAST(coalesce(list_sum(list_transform(tokens, x -> length(x))), 0) AS INT) AS char_total,
+       tokens[1] AS first_token
+FROM toks
+""",
+    "ts_gap_fill_daily": """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS day_value,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM spans)
+SELECT g.user_id,
+       CAST(CAST(g.day AS DATE) AS VARCHAR) AS day,
+       CAST(last_value(d.day_value IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN d.day_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM grid g
+LEFT OUTER JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""",
 }

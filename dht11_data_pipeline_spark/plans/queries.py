@@ -846,3 +846,76 @@ def n_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_field"),
     )
+
+
+def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate /
+    sort_array over tokenized part names (SURVEY §1.2 note — the
+    reference has no array types; the engine exposes the full lambda
+    surface the LLM-pipeline operators are built from).
+
+    Scale: HOFs are interpreted, not codegen'd (see
+    .claude/skills/verify gotchas) — the token array is materialized
+    once in a prior projection so lambdas never re-evaluate split();
+    fine here because arrays are word-lists (tiny), and the op stays
+    narrow (no shuffle, columnar scan of one string column).
+    """
+    p = load_table(spark, sf_dir, "part")
+    toks = p.select("p_partkey", F.sort_array(F.split("p_name", " ")).alias("tokens"))
+    return toks.select(
+        "p_partkey",
+        F.concat_ws(",", F.transform("tokens", lambda x: F.upper(x))).alias("upper_csv"),
+        F.size(F.filter("tokens", lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+        F.aggregate("tokens", F.lit(0), lambda acc, x: acc + F.length(x)).alias("char_total"),
+        F.element_at("tokens", 1).alias("first_token"),
+    )
+
+
+def ts_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: regularize each user's event
+    stream onto a daily grid spanning their active range, forward-
+    filling days with no events from the last observed day (classic
+    sensor-pipeline densification — exactly what the reference's DHT11
+    readings need when a device drops offline, cf. the epoch-sentinel
+    handling at STG_Firebase2Oracle.py:57).
+
+    Plan: daily aggregate → per-user [min,max] day → sequence() +
+    explode builds the grid (no driver loop, no cross join against a
+    calendar table) → left join observations → last(ignorenulls) over
+    an unbounded-preceding window forward-fills.
+
+    Scale: the grid explode is bounded (days-per-user, not events-per-
+    user) and partition-local; the forward-fill window shuffles once on
+    user_id — same exchange the daily aggregate already created, so
+    Catalyst reuses the partitioning. Grid rows ≈ users × span-days,
+    independent of event volume — at 100 TB of events the grid is
+    still tiny next to the input.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left_outer")
+        .select(
+            "user_id",
+            F.col("day").cast("date").cast("string").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.when(F.col("day_value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        )
+    )
