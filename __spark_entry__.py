@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_fill_daily": Q.ts_gap_fill_daily,
         "q2_min_cost_supplier": T.q2_min_cost_supplier,
         "q4_priority_with_late_ship": T.q4_priority_with_late_ship,
+        "q6_forecast_revenue": T.q6_forecast_revenue,
+        "q10_returned_item_customers": T.q10_returned_item_customers,
+        "q12_late_ship_priority_mix": T.q12_late_ship_priority_mix,
+        "q16_supplier_part_counts": T.q16_supplier_part_counts,
         "q7_bination_volume": T.q7_bination_volume,
         "q8_market_share": T.q8_market_share,
         "q9_profit_by_nation_year": T.q9_profit_by_nation_year,

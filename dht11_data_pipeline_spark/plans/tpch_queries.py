@@ -495,3 +495,110 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nation_vol").cast("double") / F.col("total_vol").cast("double")).alias("mkt_share"),
         )
     )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.
+
+    The canonical predicate-pushdown + vectorized-scan probe: all three
+    predicates reach the parquet reader as PushedFilters, the kernel is
+    one whole-stage-codegen'd multiply-accumulate, and the result is a
+    single row — at 100 TB this query is I/O-bound or the plan is wrong.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_money("l_extendedprice") * _money("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact⋈fact⋈dim + grouped agg + deterministic
+    top-k. Customers ranked by revenue of returned ('R') items ordered
+    in 1997 Q3.
+
+    Scale: orders is cut to one quarter before the orderkey shuffle;
+    customer⋈nation broadcast onto the aggregate OUTPUT (customer-
+    cardinality rows), not onto the fact stream; top-20 is
+    TakeOrderedAndProject (per-partition heap + merge), never a global
+    sort. Exact-decimal revenue + custkey tie-break keep the limit
+    deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue()).alias("rev"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q12_late_ship_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional two-way count (the fixture
+    has no shipmode column, so the group key is l_returnflag and
+    "late" is ship > 45 days after order date during 1997).
+
+    Scale: the date-window predicate is pushed to the lineitem scan;
+    orders arrives projected to two columns for the orderkey shuffle;
+    the CASE counts aggregate map-side into a 3-row result.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (anti join) + COUNT DISTINCT
+    per group. How many distinct suppliers ship each (brand, type,
+    size) family, excluding one brand and excluding suppliers in debt
+    (the NOT IN).
+
+    Scale: part broadcasts; the debtor set is dim-sized → broadcast
+    anti join; countDistinct shuffles once on the 3-part group key with
+    partial distinct aggregation map-side.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    debtors = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(debtors), li.l_suppkey == debtors.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
