@@ -444,4 +444,16 @@ SELECT g.user_id,
 FROM grid g
 LEFT OUTER JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
 """,
+    # full recompute — must equal the three-batch incremental merge
+    "a_incremental_rollup": """
+SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY day, event_type
+""",
 }

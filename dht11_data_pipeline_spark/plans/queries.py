@@ -919,3 +919,28 @@ def ts_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("day_value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
         )
     )
+
+
+def a_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized rollup (operators/rollup):
+    three successive batches (event_id mod 3 — stand-ins for load_key
+    increments, STG_to_INT.py:16-20 semantics) merged into a
+    (day, event_type) aggregate table WITHOUT ever rescanning earlier
+    batches. The oracle is the full-recompute GROUP BY — the diff
+    proves merge(partials) == recompute, the property that makes
+    continuous aggregates safe at 100 TB.
+
+    The HLL users sketch rides along through the merges (asserted
+    against exact distincts in tests/test_rollup.py) but is dropped
+    here because an approximate estimate has no exact SQL oracle.
+    """
+    from dht11_data_pipeline_spark.operators import rollup as R
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date").cast("string")
+    )
+    keys = ["day", "event_type"]
+    state = R.rollup_batch(ev.filter(F.col("event_id") % 3 == 0), keys)
+    for i in (1, 2):
+        state = R.merge_rollups(state, R.rollup_batch(ev.filter(F.col("event_id") % 3 == i), keys), keys)
+    return R.read_rollup(state).drop("approx_users")
