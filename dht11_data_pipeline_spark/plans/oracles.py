@@ -456,4 +456,11 @@ SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR) A
 FROM events
 GROUP BY day, event_type
 """,
+    "a_heavy_hitters": """
+WITH per_user AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+total AS (SELECT SUM(cnt) AS total FROM per_user)
+SELECT user_id, cnt, CAST(cnt AS DOUBLE) / total AS share
+FROM per_user, total
+WHERE cnt * 1000 > total * 8
+""",
 }

@@ -944,3 +944,26 @@ def a_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in (1, 2):
         state = R.merge_rollups(state, R.rollup_batch(ev.filter(F.col("event_id") % 3 == i), keys), keys)
     return R.read_rollup(state).drop("approx_users")
+
+
+def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items (heavy hitters): users producing more than
+    0.8% of all events, with count and share. The share threshold is
+    cross-multiplied (cnt*1000 > total*8) so both engines compare
+    integers.
+
+    Scale: one shuffle on user_id with map-side partial counts; the
+    global total is a 1-row broadcast re-aggregated from the per-user
+    counts (no second scan). The approximate companion
+    (df.stat.freqItems, Karp-style) is asserted a superset of this
+    exact answer in tests/test_formats_and_stats.py — sketch for the
+    100 TB first pass, exact re-count only over its candidates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = per_user.agg(F.sum("cnt").alias("total"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 > F.col("total") * 8)
+        .select("user_id", "cnt", (F.col("cnt") / F.col("total")).alias("share"))
+    )
