@@ -42,8 +42,9 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs
-        if n.startswith(("dedup_", "sim_", "text_", "mm_", "cur_")) and n not in HEADLINE
+        # the full TPC-H-shaped family plus the LLM-pipeline operators
+        n for n in sorted(qs)
+        if n.startswith(("q", "dedup_", "sim_", "text_", "mm_", "cur_")) and n not in HEADLINE
     ]
 
     # warm-up: JVM/codegen via a trivial job, then one pass over each
