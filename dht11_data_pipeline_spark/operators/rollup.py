@@ -38,10 +38,15 @@ _MEASURES = ["n_events", "total_value", "min_value", "max_value", "users_sk"]
 
 
 def rollup_batch(events: DataFrame, keys: list[str]) -> DataFrame:
-    """Partial-aggregate one batch of events to the rollup grain."""
+    """Partial-aggregate one batch of events to the rollup grain.
+
+    total_value is pinned to DECIMAL(38,2) — sum() widens (18,2)→(28,2)
+    and a re-merge widens again to (38,2); without the pin, partials
+    written by different generations carry different parquet decimal
+    widths and can't be read as one relation."""
     return events.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
         F.min(F.col("value").cast("decimal(18,2)")).alias("min_value"),
         F.max(F.col("value").cast("decimal(18,2)")).alias("max_value"),
         F.hll_sketch_agg("user_id").alias("users_sk"),
@@ -60,7 +65,7 @@ def merge_rollups(current: DataFrame, delta: DataFrame, keys: list[str]) -> Data
         .groupBy(*keys)
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("total_value").alias("total_value"),
+            F.sum("total_value").cast("decimal(38,2)").alias("total_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
             F.hll_union_agg("users_sk").alias("users_sk"),
