@@ -953,17 +953,20 @@ def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers.
 
     Scale: one shuffle on user_id with map-side partial counts; the
-    global total is a 1-row broadcast re-aggregated from the per-user
-    counts (no second scan). The approximate companion
-    (df.stat.freqItems, Karp-style) is asserted a superset of this
-    exact answer in tests/test_formats_and_stats.py — sketch for the
-    100 TB first pass, exact re-count only over its candidates.
+    global total is an empty-partition window SUM over the per-user
+    frame — a single-partition pass over user-cardinality rows (GBs)
+    instead of a second scan of the event fact (the 100 TB input is
+    read exactly once; an agg-and-crossJoin total would recompute the
+    scan lineage). The approximate companion (df.stat.freqItems,
+    Karp-style) is asserted a superset of this exact answer in
+    tests/test_formats_and_stats.py — sketch for the 100 TB first
+    pass, exact re-count only over its candidates.
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    total = per_user.agg(F.sum("cnt").alias("total"))
+    with_total = per_user.withColumn("total", F.sum("cnt").over(Window.partitionBy()))
     return (
-        per_user.crossJoin(F.broadcast(total))
+        with_total
         .filter(F.col("cnt") * 1000 > F.col("total") * 8)
         .select("user_id", "cnt", (F.col("cnt") / F.col("total")).alias("share"))
     )

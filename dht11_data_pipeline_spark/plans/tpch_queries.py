@@ -289,16 +289,24 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
-    )
-    qualifying = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)).select("l_orderkey")
-    late_rows = j.filter(F.col("is_late") == 1).select("l_orderkey", "l_suppkey").distinct()
+    # (orderkey, suppkey) pre-aggregate instead of two COUNT DISTINCTs:
+    # a double-distinct in one agg plans an Expand that doubles the fact
+    # stream. The order-grain counts then come from a WINDOW over the
+    # pair frame rather than a second groupBy — one lineage, so the
+    # 100 TB fact is scanned exactly once (a groupBy-and-join-back
+    # shape re-reads it; Spark's exchange reuse doesn't rescue separate
+    # aggregate consumers), at the cost of one pair-frame shuffle on
+    # orderkey, which is orders-of-magnitude smaller than the fact.
+    per_pair = j.groupBy("l_orderkey", "l_suppkey").agg(F.max("is_late").alias("late"))
+    w = Window.partitionBy("l_orderkey")
+    late_solo = per_pair.select(
+        "l_orderkey", "l_suppkey", "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late_supp"),
+    ).filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_rows.join(qualifying, "l_orderkey")
-        .join(F.broadcast(s), late_rows.l_suppkey == s.s_suppkey)
+        late_solo.join(F.broadcast(s), late_solo.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

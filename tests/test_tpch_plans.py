@@ -43,10 +43,11 @@ def test_q17_no_sort_merge_anywhere(spark, sf_dir):
 
 def test_q21_reads_fact_once(spark, sf_dir):
     """The EXISTS + NOT EXISTS self-correlations are folded into one
-    per-order aggregate — lineitem must appear in the scan list at most
-    twice (base + late-rows reuse), never the naive three times."""
+    pair-grain aggregate with window-derived order counts — lineitem
+    must appear in the scan list exactly once, never the naive three
+    times (or the groupBy-and-join-back shape's two)."""
     plan = _plan(T.q21_sole_late_supplier(spark, sf_dir))
-    assert plan.count("lineitem.parquet") <= 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
 
 
 def test_q15_max_is_broadcast_back(spark, sf_dir):
