@@ -153,10 +153,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is cross-multiplied (qty*5*cnt < sum_qty) so both engines compare
     exact decimals — no float-average boundary flips.
 
-    Scale: the per-part aggregate runs ONLY over the brand's parts
-    (semi-filtered by the broadcast part dim before aggregating —
-    don't aggregate 100 TB of lineitem for 1/25th of parts); its
-    output is dim-sized, so joining it back is a second broadcast.
+    Scale: the fact is cut to the brand's parts by the broadcast dim
+    BEFORE any aggregation (don't aggregate 100 TB of lineitem for
+    1/25th of parts), then the per-part sums come from a WINDOW over
+    l_partkey rather than a groupBy joined back — one lineage, so the
+    filtered fact is scanned once and shuffled once on partkey.
     """
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#7") & (F.col("p_type") == "MEDIUM")
@@ -164,12 +165,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).drop("p_partkey")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(_money("l_quantity")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(per_part), "l_partkey")
+        li.select(
+            "l_quantity", "l_extendedprice",
+            F.sum(_money("l_quantity")).over(w).alias("sum_qty"),
+            F.count(F.lit(1)).over(w).alias("cnt"),
+        )
         .filter(_money("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
         .agg((F.sum(_money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -185,9 +187,10 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal.
 
     Scale: supplier is a broadcast dim; the per-part aggregate shuffles
-    once on partkey; the global total is a 1-row re-aggregate of the
-    per-part result (no second lineitem scan) cross-joined back as a
-    broadcast literal.
+    once on partkey; the global total is an empty-partition window SUM
+    over the per-part frame (part-cardinality rows) — one lineage, so
+    the fact is scanned once; an agg-and-crossJoin total would
+    recompute the whole scan for one number.
     """
     s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3).select("s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
@@ -196,9 +199,8 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_money("l_extendedprice")).alias("part_value"))
     )
-    total = per_part.agg(F.sum("part_value").alias("total_value"))
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("total_value", F.sum("part_value").over(Window.partitionBy()))
         .filter(F.col("part_value") * F.lit(1000) > F.col("total_value"))
         .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
     )
@@ -211,17 +213,18 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a raw column.
 
     Scale: revenue-per-supplier is one shuffle (supplier cardinality is
-    tiny next to lineitem); the MAX is a 1-row broadcast; equality on
+    tiny next to lineitem); the MAX comes from an empty-partition
+    window over that supplier-grain frame — single lineage, fact
+    scanned once (agg-and-crossJoin would recompute it); equality on
     exact decimal revenue is deterministic (no double ties).
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01")) & (F.col("l_shipdate") < F.lit("1998-07-01"))
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_revenue"))
-    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("max_revenue", F.max("total_revenue").over(Window.partitionBy()))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
