@@ -1,0 +1,48 @@
+"""JDBC partitioned-read planning (S3): the generated predicate sets
+must partition the key domain exactly — every row in exactly one
+stripe, even with stale sampled bounds. Verified by applying the
+predicates as filters to a real relation (parquet stand-in for the
+remote table; the SQL text is engine-agnostic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.sources.jdbc import (
+    mod_partition_predicates, range_partition_predicates)
+from dht11_data_pipeline_spark.sources.tables import load_table
+
+
+def _assert_exact_partition(df, preds):
+    total = df.count()
+    covered = sum(df.filter(F.expr(p)).count() for p in preds)
+    assert covered == total, (covered, total, preds)
+
+
+@pytest.mark.parametrize("n", [1, 3, 8])
+def test_range_predicates_partition_exactly(spark, sf_dir, n):
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    _assert_exact_partition(o, range_partition_predicates("o_orderkey", lo, hi, n))
+
+
+def test_range_predicates_survive_stale_bounds(spark, sf_dir):
+    """Rows outside the sampled [lo, hi] (new inserts since sampling)
+    still land in the open-ended first/last stripes."""
+    o = load_table(spark, sf_dir, "orders")
+    _assert_exact_partition(o, range_partition_predicates("o_orderkey", 100, 200, 4))
+
+
+def test_mod_predicates_partition_exactly(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    _assert_exact_partition(o, mod_partition_predicates("o_orderkey", 5))
+
+
+def test_degenerate_domains():
+    assert range_partition_predicates("k", 5, 5, 4) == ["1=1"]
+    assert range_partition_predicates("k", 0, 10, 1) == ["1=1"]
+    with pytest.raises(ValueError):
+        range_partition_predicates("k", 0, 10, 0)
+    with pytest.raises(ValueError):
+        mod_partition_predicates("k", 0)
