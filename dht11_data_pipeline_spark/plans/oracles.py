@@ -463,4 +463,14 @@ SELECT user_id, cnt, CAST(cnt AS DOUBLE) / total AS share
 FROM per_user, total
 WHERE cnt * 1000 > total * 8
 """,
+    # UNION-by-name with null-fill of drifted columns, stated explicitly
+    "o_union_evolved_schemas": """
+SELECT o_orderkey, o_orderstatus,
+       CAST(NULL AS VARCHAR) AS o_orderpriority,
+       CAST(NULL AS VARCHAR) AS o_channel
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_orderpriority, 'web' AS o_channel
+FROM orders WHERE o_orderkey % 2 = 1
+""",
 }

@@ -970,3 +970,21 @@ def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * 1000 > F.col("total") * 8)
         .select("user_id", "cnt", (F.col("cnt") / F.col("total")).alias("share"))
     )
+
+
+def o_union_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two generations of the orders feed — v1
+    lacks o_orderpriority, v2 adds an o_channel column — combined with
+    unionByName(allowMissingColumns=True), the engine-native answer to
+    the reference's metadata-driven column discovery tolerating drift
+    (SURVEY §7.4.6: added columns must widen, not break).
+
+    Scale: union is a zero-shuffle plan concatenation; the null-fill is
+    a constant projection per branch. The same mechanics back the
+    parquet mergeSchema read path (tests/test_formats_and_stats.py).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).withColumn("o_channel", F.lit("web"))
+    return v1.unionByName(v2, allowMissingColumns=True)

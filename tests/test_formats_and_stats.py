@@ -63,3 +63,22 @@ def test_freq_items_sketch_covers_exact_heavy_hitters(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     approx = set(ev.stat.freqItems(["user_id"], support=0.008).collect()[0][0])
     assert exact <= approx, exact - approx
+
+
+def test_merge_schema_read_across_generations(spark, sf_dir, tmp_path):
+    """Parquet mergeSchema: v1 files (no priority) and v2 files (extra
+    channel) read as one relation with null-filled drift — the storage
+    twin of o_union_evolved_schemas."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    path = str(tmp_path / "evolved")
+    o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority") \
+        .write.parquet(path + "/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).withColumn("o_channel", F.lit("web")) \
+        .write.parquet(path + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert {"o_orderkey", "o_orderstatus", "o_orderpriority", "o_channel", "gen"} == set(back.columns)
+    assert back.count() == o.count()
+    v1 = back.filter(F.col("gen") == 1)
+    assert v1.filter(F.col("o_orderpriority").isNull()).count() == v1.count()
+    assert back.filter(F.col("o_channel") == "web").count() == o.filter(F.col("o_orderkey") % 2 == 1).count()
