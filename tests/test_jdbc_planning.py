@@ -46,3 +46,31 @@ def test_degenerate_domains():
         range_partition_predicates("k", 0, 10, 0)
     with pytest.raises(ValueError):
         mod_partition_predicates("k", 0)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(lo=st.integers(-10**9, 10**9), width=st.integers(0, 10**9),
+           n=st.integers(1, 64), probe=st.integers(-2 * 10**9, 2 * 10**9))
+    def test_range_predicates_cover_any_value(lo, width, n, probe):
+        """Property: for ANY bounds/partition-count, every integer key
+        value satisfies exactly one generated predicate."""
+        preds = range_partition_predicates("k", lo, lo + width, n)
+        hits = 0
+        for p in preds:
+            if p == "1=1":
+                hits += 1
+                continue
+            clauses = p.split(" AND ")
+            ok = True
+            for c in clauses:
+                col, op, val = c.split(" ", 2)
+                v = int(val)
+                ok = ok and (probe >= v if op == ">=" else probe < v)
+            hits += ok
+        assert hits == 1, (preds, probe, hits)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
