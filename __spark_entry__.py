@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_quantile_sketch": Q.a_quantile_sketch,
         "a_heavy_hitters": Q.a_heavy_hitters,
         "o_union_evolved_schemas": Q.o_union_evolved_schemas,
+        "j_nullsafe_snapshot_match": Q.j_nullsafe_snapshot_match,
         "a_incremental_rollup": Q.a_incremental_rollup,
         "f_higher_order_arrays": Q.f_higher_order_arrays,
         "ts_gap_fill_daily": Q.ts_gap_fill_daily,

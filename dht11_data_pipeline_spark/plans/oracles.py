@@ -473,4 +473,23 @@ UNION ALL
 SELECT o_orderkey, o_orderstatus, o_orderpriority, 'web' AS o_channel
 FROM orders WHERE o_orderkey % 2 = 1
 """,
+    "j_nullsafe_snapshot_match": """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS grp,
+         o_totalprice
+  FROM orders
+),
+a_g AS (
+  SELECT grp, count(*) AS n_a, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_a
+  FROM src WHERE o_orderkey % 2 = 1 GROUP BY grp
+),
+b_g AS (
+  SELECT grp, count(*) AS n_b, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_b
+  FROM src WHERE o_orderkey % 2 = 0 GROUP BY grp
+)
+SELECT a_g.grp, n_a, n_b,
+       CAST(sum_a AS DOUBLE) AS sum_a, CAST(sum_b AS DOUBLE) AS sum_b
+FROM a_g JOIN b_g ON a_g.grp IS NOT DISTINCT FROM b_g.grp
+""",
 }

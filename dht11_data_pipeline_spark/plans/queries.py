@@ -988,3 +988,36 @@ def o_union_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
     v2 = o.filter(F.col("o_orderkey") % 2 == 1).withColumn("o_channel", F.lit("web"))
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+def j_nullsafe_snapshot_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): two order
+    snapshots matched on a NULLABLE grouping column, where NULL must
+    equal NULL — the semantics SCD2 natural-key matching relies on
+    (operators/scd2.py eqNullSafe; plain '=' would silently drop every
+    null-keyed entity from delta detection and re-insert it forever).
+
+    Scale: null-safe equality is still hash-joinable (null hashes to a
+    bucket like any value) — one shuffle per side, no nested loop; but
+    a heavily-null key concentrates in one partition (the documented
+    skew caveat — salt or pre-split nulls at 100 TB).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    nullable = F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority"))
+    a = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        nullable.alias("grp"), F.col("o_totalprice").alias("price_a"))
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        nullable.alias("grp"), F.col("o_totalprice").alias("price_b"))
+    a_g = a.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum(F.col("price_a").cast("decimal(18,2)")).alias("sum_a"))
+    b_g = b.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.col("price_b").cast("decimal(18,2)")).alias("sum_b"))
+    return (
+        a_g.join(b_g, a_g["grp"].eqNullSafe(b_g["grp"]), "inner")
+        .select(a_g["grp"].alias("grp"), "n_a", "n_b",
+                F.col("sum_a").cast("double").alias("sum_a"),
+                F.col("sum_b").cast("double").alias("sum_b"))
+    )
