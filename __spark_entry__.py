@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_union_evolved_schemas": Q.o_union_evolved_schemas,
         "j_nullsafe_snapshot_match": Q.j_nullsafe_snapshot_match,
         "a_incremental_rollup": Q.a_incremental_rollup,
+        "a_rollup_routed": Q.a_rollup_routed,
         "f_higher_order_arrays": Q.f_higher_order_arrays,
         "ts_gap_fill_daily": Q.ts_gap_fill_daily,
         "q2_min_cost_supplier": T.q2_min_cost_supplier,

@@ -492,4 +492,15 @@ SELECT a_g.grp, n_a, n_b,
        CAST(sum_a AS DOUBLE) AS sum_a, CAST(sum_b AS DOUBLE) AS sum_b
 FROM a_g JOIN b_g ON a_g.grp IS NOT DISTINCT FROM b_g.grp
 """,
+    # direct fact aggregate — must equal the rollup-routed answer
+    "a_rollup_routed": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY event_type
+""",
 }

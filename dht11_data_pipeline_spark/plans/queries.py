@@ -1021,3 +1021,35 @@ def j_nullsafe_snapshot_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sum_a").cast("double").alias("sum_a"),
                 F.col("sum_b").cast("double").alias("sum_b"))
     )
+
+
+def a_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view routing (operators/mv_router): an
+    event_type-grain aggregate answered by RE-REDUCING the
+    (day, event_type) rollup — coarser grain derived from monoid
+    partials, the fact never rescanned. The oracle is the direct
+    GROUP BY over events: routed == fact, proven by hash.
+
+    Scale: the routed input is rollup rows (grain-sized); the fact
+    feeds this query only through the incremental rollup build, once
+    per batch. Dashboards hitting this path read GBs, not the lake.
+    """
+    from dht11_data_pipeline_spark.operators import rollup as R
+    from dht11_data_pipeline_spark.operators.mv_router import route
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date").cast("string")
+    )
+    keys = ["day", "event_type"]
+    state = R.rollup_batch(ev.filter(F.col("event_id") % 3 == 0), keys)
+    for i in (1, 2):
+        state = R.merge_rollups(state, R.rollup_batch(ev.filter(F.col("event_id") % 3 == i), keys), keys)
+    routed = route(state, keys, ["event_type"], {
+        "n_events": "count_rows",
+        "total_value": "sum_value",
+        "min_value": "min_value",
+        "max_value": "max_value",
+        "avg_value": "avg_value",
+    })
+    assert routed is not None
+    return routed
