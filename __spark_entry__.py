@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_surrogate_key_mint": Q.w1_surrogate_key_mint,
         "f6_legacy_key_guard": Q.f6_legacy_key_guard,
         "p1_incremental_watermark": Q.p1_incremental_watermark,
+        "p_inactive_devices": Q.p_inactive_devices,
         "s10_load_stamp": Q.s10_load_stamp,
         "f_scalar_normalization": Q.f_scalar_normalization,
         "o_set_ops_snapshot_diff": Q.o_set_ops_snapshot_diff,

@@ -503,4 +503,15 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
+    "p_inactive_devices": """
+WITH last_seen AS (
+  SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS last_ts FROM events GROUP BY user_id
+),
+hw AS (SELECT MAX(last_ts) AS high_water FROM last_seen)
+SELECT user_id,
+       strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+       CAST(epoch_us(high_water) - epoch_us(last_ts) AS DOUBLE) / 86400000000.0 AS days_silent
+FROM last_seen, hw
+WHERE last_ts < high_water - INTERVAL 7 DAY
+""",
 }

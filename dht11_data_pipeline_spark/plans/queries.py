@@ -1053,3 +1053,29 @@ def a_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
     assert routed is not None
     return routed
+
+
+def p_inactive_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline detection — the reference's own domain (a DHT11 device
+    that stops reporting): users whose LAST event is more than 7 days
+    before the feed's high-water mark, with their silence duration.
+    Argmax-per-key (reference A1) + global high-water (A2) composed
+    into a monitoring query.
+
+    Scale: one shuffle on user_id for the per-user max; the global
+    max is an empty-partition window over the user-grain frame (fact
+    scanned once, cf. the q11/q15 decorrelation note).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    w = Window.partitionBy()
+    return (
+        last_seen.withColumn("high_water", F.max("last_ts").over(w))
+        .filter(F.col("last_ts") < F.col("high_water") - F.expr("INTERVAL 7 DAYS"))
+        .select(
+            "user_id",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            ((F.unix_micros("high_water") - F.unix_micros("last_ts"))
+             / F.lit(86_400_000_000.0)).alias("days_silent"),
+        )
+    )
