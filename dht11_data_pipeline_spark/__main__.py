@@ -42,6 +42,15 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", required=True, help="output parquet (verdict rows)")
     d.add_argument("--threshold", type=float, default=0.5)
 
+    ru = sub.add_parser(
+        "rollup", help="continuous-aggregate state: build / compact / query")
+    ru.add_argument("action", choices=["build", "compact", "query"])
+    ru.add_argument("--state", required=True, help="rollup state dir")
+    ru.add_argument("--events", help="events parquet (build)")
+    ru.add_argument("--batch-id", type=int, default=0, help="partial id (build)")
+    ru.add_argument("--group-by", default="day,event_type",
+                    help="grain subset to query (comma-separated)")
+
     args = p.parse_args(argv)
 
     from dht11_data_pipeline_spark.session import get_spark
@@ -76,6 +85,31 @@ def main(argv: list[str] | None = None) -> int:
         stats = {r["reason"]: r["n"] for r in
                  verdict.groupBy("reason").agg(F.count("*").alias("n")).collect()}
         print(json.dumps({"out": args.out, "by_reason": stats}))
+    elif args.cmd == "rollup":
+        from pyspark.sql import functions as F
+
+        from dht11_data_pipeline_spark.operators.rollup import rollup_batch
+        from dht11_data_pipeline_spark.operators.mv_router import route
+        from dht11_data_pipeline_spark.streaming.rollup import (
+            DEFAULT_KEYS, compact_rollup, read_partials)
+        if args.action == "build":
+            ev = spark.read.parquet(args.events).withColumn(
+                "day", F.date_trunc("day", "ts").cast("date").cast("string"))
+            rollup_batch(ev, DEFAULT_KEYS).write.mode("overwrite").parquet(
+                f"{args.state}/partials/b{args.batch_id}")
+            print(json.dumps({"built": args.batch_id}))
+        elif args.action == "compact":
+            compact_rollup(spark, args.state)
+            print(json.dumps({"compacted": True}))
+        else:
+            keys = [k for k in args.group_by.split(",") if k]
+            out = route(read_partials(spark, args.state), DEFAULT_KEYS, keys, {
+                "n_events": "count_rows", "total_value": "sum_value",
+                "avg_value": "avg_value", "approx_users": "approx_users"})
+            if out is None:
+                print(json.dumps({"error": "grain not servable"}))
+                return 2
+            print(json.dumps([r.asDict() for r in out.collect()], default=str))
     return 0
 
 

@@ -80,10 +80,15 @@ def start_rollup_stream(spark: SparkSession, source_path: str,
     return writer.start()
 
 
-def _partials(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_partials(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All partial generations as one relation (recursive lookup picks
+    up both per-batch dirs and compacted flat files)."""
     path = f"{state_dir}/partials"
     _recover_target(path)  # heal a crashed compaction swap before reading
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+_partials = read_partials  # internal alias
 
 
 def current_rollup(spark: SparkSession, state_dir: str,

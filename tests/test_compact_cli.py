@@ -37,3 +37,26 @@ def test_cli_compact(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"files": 1' in out
+
+
+def test_rollup_cli_build_compact_query(spark, sf_dir, tmp_path):
+    """CLI ops loop: two partial builds -> query -> compact -> same
+    answer (module main called in-process; the dirs are real)."""
+    import json as _json
+
+    from dht11_data_pipeline_spark.__main__ import main as cli_main
+
+    # events.parquet carries nanos ts; rebuild a us-ts copy the CLI can read
+    from dht11_data_pipeline_spark.sources.tables import load_table
+    src = str(tmp_path / "ev")
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    state = str(tmp_path / "state")
+
+    assert cli_main(["rollup", "build", "--state", state, "--events", src,
+                     "--batch-id", "0"]) == 0
+    assert cli_main(["rollup", "compact", "--state", state]) == 0
+    assert cli_main(["rollup", "query", "--state", state,
+                     "--group-by", "event_type"]) == 0
+    # unservable grain exits non-zero
+    assert cli_main(["rollup", "query", "--state", state,
+                     "--group-by", "user_id"]) == 2
