@@ -1,0 +1,104 @@
+"""Lloyd k-means over an embedding column — iterative refinement as
+plain DataFrame ops (no MLlib), the clustering counterpart of the
+iterative min-label propagation in operators/graph.py.
+
+Feeds similarity.ivf_topk: its deterministic sampled centroids skip
+Lloyd refinement (similarity.py:118-122); running a few rounds here
+first tightens the inverted lists, which is exactly how production IVF
+indexes are trained (coarse quantizer = k-means of a sample).
+
+Per-iteration dataflow (all deterministic — ties break on centroid id):
+  assign : corpus × broadcast(centroids) → nearest centroid per row
+           (squared-L2 argmin via one zip_with/aggregate pass)
+  update : posexplode vector dims → groupBy (cluster, dim) mean →
+           re-assemble arrays (shuffle carries N·d scalar rows)
+  stop   : max centroid shift < tol, or max_iter
+
+Scale: centroids broadcast (k·d floats — KBs to MBs); the assign pass
+is narrow/codegen'd over the fact; the update shuffles N·d scalars on
+(cluster, dim) with map-side partial means. Each round materializes
+the new centroids to the driver (k rows) — the loop state is tiny, so
+no lineage growth / checkpoint problem like the components loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.functions.partitioning import right_size
+
+
+def _sq_dist(vec_col: str, centroid_vec) -> F.Column:
+    diff = F.zip_with(F.col(vec_col), centroid_vec,
+                      lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign_clusters(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster_id, sq_dist) — nearest centroid per row, centroids
+    inlined as literals (the broadcast: k·d doubles in the plan)."""
+    if not centroids:
+        raise ValueError("need at least one centroid")
+    best = None
+    for cid, vec in centroids:
+        d = _sq_dist(vec_col, F.array(*[F.lit(float(x)) for x in vec]))
+        cand = F.struct(d.alias("sq_dist"), F.lit(cid).alias("cluster_id"))
+        best = cand if best is None else F.least(best, cand)
+    return (
+        right_size(corpus).withColumn("_b", best)
+        .select(F.col(id_col), F.col(vec_col),
+                F.col("_b.cluster_id").alias("cluster_id"),
+                F.col("_b.sq_dist").alias("sq_dist"))
+    )
+
+
+def _recompute(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
+    """New centroid = element-wise mean per cluster (N·d scalar shuffle)."""
+    dims = assigned.select(
+        "cluster_id", F.posexplode(vec_col).alias("dim", "val"))
+    means = (dims.groupBy("cluster_id", "dim")
+             .agg(F.avg(F.col("val").cast("double")).alias("m")))
+    rows = (means.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster_id", F.col("dm.m").alias("vec"))
+            .collect())
+    return sorted((r["cluster_id"], list(r["vec"])) for r in rows)
+
+
+def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 centroid_mod: int = 40, max_iter: int = 5,
+                 tol: float = 1e-6) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Returns (assignments, centroids) after convergence or max_iter.
+
+    Init = the same deterministic sample IVF uses (id % centroid_mod),
+    so round 0 of this IS similarity.ivf_topk's index — every further
+    round strictly refines it (objective is non-increasing; pinned in
+    tests/test_kmeans.py).
+    """
+    init = (right_size(corpus).filter(F.col(id_col) % centroid_mod == 0)
+            .select(F.col(id_col).cast("long"), vec_col).collect())
+    centroids = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
+    for _ in range(max_iter):
+        assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+        new_centroids = _recompute(assigned, vec_col)
+        kept = dict(centroids)
+        shift = max(
+            (sum((a - b) ** 2 for a, b in zip(kept[cid], vec))
+             for cid, vec in new_centroids if cid in kept),
+            default=0.0,
+        )
+        # empty clusters keep their old centroid (deterministic, no re-seed)
+        merged = {**kept, **dict(new_centroids)}
+        centroids = sorted(merged.items())
+        if shift < tol:
+            break
+    return assign_clusters(corpus, centroids, id_col, vec_col), centroids
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Within-cluster sum of squared distances (the Lloyd objective)."""
+    return float(assigned.agg(F.sum("sq_dist")).first()[0])

@@ -276,6 +276,21 @@ def ts_user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means refinement of the IVF coarse quantizer
+    (operators/kmeans): 3 rounds from the deterministic sample init,
+    returning (vec_id, cluster_id). Iterative — no SQL oracle; the
+    driver records the rows-only check, and tests/test_kmeans.py pins
+    the objective monotonicity, determinism, and partition properties.
+    """
+    from dht11_data_pipeline_spark.operators.kmeans import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = lloyd_kmeans(spark, emb, max_iter=3)
+    return assigned.select("vec_id", "cluster_id")
+
+
 EXT_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -306,4 +321,5 @@ EXT_QUERIES = {
     "cur_pack_sequences": cur_pack_sequences,
     "cur_pii_scrub": cur_pii_scrub,
     "ts_user_correlation": ts_user_correlation,
+    "sim_kmeans_clusters": sim_kmeans_clusters,
 }
