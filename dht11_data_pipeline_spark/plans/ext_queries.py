@@ -215,7 +215,8 @@ def t_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer microsecond arithmetic → engine-exact."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ts_utc = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts_utc) - F.unix_micros(F.lag(ts_utc).over(w))
     is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
     sessioned = ev.withColumn(
         "session_seq",

@@ -1075,7 +1075,8 @@ def p_inactive_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
-            ((F.unix_micros("high_water") - F.unix_micros("last_ts"))
+            ((F.unix_micros(F.col("high_water").cast("timestamp"))
+              - F.unix_micros(F.col("last_ts").cast("timestamp")))
              / F.lit(86_400_000_000.0)).alias("days_silent"),
         )
     )
