@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_rollup_routed": Q.a_rollup_routed,
         "f_higher_order_arrays": Q.f_higher_order_arrays,
         "ts_gap_fill_daily": Q.ts_gap_fill_daily,
+        "scd2_asof_snapshot": Q.scd2_asof_snapshot,
+        "scd2_change_feed": Q.scd2_change_feed,
+        "meta_quality_audit": Q.meta_quality_audit,
         "q2_min_cost_supplier": T.q2_min_cost_supplier,
         "q4_priority_with_late_ship": T.q4_priority_with_late_ship,
         "q6_forecast_revenue": T.q6_forecast_revenue,

@@ -555,4 +555,26 @@ SELECT user_id, session_seq,
 FROM sessioned
 GROUP BY 1, 2
 """,
+    "text_tfidf_topk": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+scored AS (
+  SELECT doc_id, token, tf,
+         COUNT(*) OVER (PARTITION BY token) AS df,
+         (tf * 1000000) // (COUNT(*) OVER (PARTITION BY token) + 1) AS score
+  FROM tf
+)
+SELECT doc_id, token, tf, df, score, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+""",
 }

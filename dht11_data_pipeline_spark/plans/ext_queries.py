@@ -10,6 +10,7 @@ from pyspark.sql.window import Window
 
 from dht11_data_pipeline_spark.operators import (
     curation, dedup, graph, multimodal, similarity, textops)
+from dht11_data_pipeline_spark.functions.text import tokens
 from dht11_data_pipeline_spark.operators.profile import profile
 from dht11_data_pipeline_spark.operators.skew import salted_aggregate
 from dht11_data_pipeline_spark.sources.tables import load_table
@@ -292,6 +293,40 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("vec_id", "cluster_id")
 
 
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-term extraction per document — tf-idf-style scoring with a
+    deterministic integer surrogate for idf: score = tf * 1e6 DIV
+    (df + 1), ranked per doc, top 3. Integer arithmetic end-to-end so
+    the DuckDB hash-compare is exact (ln()-based idf differs in the
+    last ulp across libm implementations); the *ranking* is what the
+    operator delivers and monotone-decreasing-in-df is preserved.
+
+    Scale: the explode is the only row fan-out; partial aggregation on
+    (doc_id, token) reduces it map-side before the one term-frame
+    shuffle. Document frequency is a window over the already-reduced
+    (doc, term) frame — no second pass over the raw token stream and no
+    join-back (cf. the decorrelation-window rule in SCALE.md).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    ).withColumn("score", F.expr("tf * 1000000 DIV (df + 1)"))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rk")
+    )
+
+
 EXT_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -323,4 +358,5 @@ EXT_QUERIES = {
     "cur_pii_scrub": cur_pii_scrub,
     "ts_user_correlation": ts_user_correlation,
     "sim_kmeans_clusters": sim_kmeans_clusters,
+    "text_tfidf_topk": text_tfidf_topk,
 }

@@ -514,4 +514,70 @@ SELECT user_id,
 FROM last_seen, hw
 WHERE last_ts < high_water - INTERVAL 7 DAY
 """,
+    "scd2_asof_snapshot": """
+WITH chain AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         o_orderdate AS valid_from,
+         COALESCE(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                  TIMESTAMP '3000-01-01 00:00:00') AS valid_to
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM chain
+WHERE valid_from <= TIMESTAMP '1996-06-01 00:00:00'
+  AND TIMESTAMP '1996-06-01 00:00:00' < valid_to
+""",
+    "scd2_change_feed": """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS change_ts,
+       CASE WHEN prev_price IS NULL THEN 'I'
+            WHEN prev_price <> o_totalprice THEN 'U'
+            ELSE 'NC' END AS change_type,
+       o_totalprice, prev_price,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            - CAST(prev_price AS DECIMAL(18,2)) AS DOUBLE) AS price_delta
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_price
+  FROM orders
+)
+""",
+    "meta_quality_audit": """
+WITH li AS (
+  SELECT SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS fk_orphans,
+         SUM(CASE WHEN l.l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END) AS domain_discount,
+         SUM(CASE WHEN l.l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+         COUNT(*) AS n
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+),
+od AS (
+  SELECT SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS fk_orphans,
+         COUNT(*) - COUNT(DISTINCT o.o_orderkey) AS pk_dups,
+         COUNT(*) AS n
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cu AS (
+  SELECT SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nulls,
+         COUNT(*) AS n
+  FROM customer
+),
+checks AS (
+  SELECT 'lineitem_fk_orderkey' AS check_name, fk_orphans AS violations, n AS rows_scanned FROM li
+  UNION ALL SELECT 'lineitem_discount_domain', domain_discount, n FROM li
+  UNION ALL SELECT 'lineitem_shipdate_not_null', null_shipdate, n FROM li
+  UNION ALL SELECT 'orders_fk_custkey', fk_orphans, n FROM od
+  UNION ALL SELECT 'orders_pk_unique', pk_dups, n FROM od
+  UNION ALL SELECT 'customer_acctbal_not_null', nulls, n FROM cu
+)
+SELECT check_name,
+       CAST(violations AS BIGINT) AS violations,
+       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       CASE WHEN violations = 0 THEN 'Y' ELSE 'N' END AS pass
+FROM checks
+""",
 }

@@ -1080,3 +1080,147 @@ def p_inactive_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.lit(86_400_000_000.0)).alias("days_silent"),
         )
     )
+
+
+# ------------------------------------------------- temporal / audit extensions
+
+_ASOF_TS = "1996-06-01 00:00:00"
+_SCD2_SENTINEL = "3000-01-01 00:00:00"
+
+
+def _order_version_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive an SCD2-style validity chain from the orders fixture:
+    each customer's orders, ordered by (o_orderdate, o_orderkey), are
+    treated as successive versions of that customer's "current order"
+    entity. valid_from = o_orderdate, valid_to = next version's date
+    (reference sentinel 3000-01-01 for the open row —
+    Delta_detection_query_gen.py:291)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit(_SCD2_SENTINEL).cast("timestamp"),
+        ).alias("valid_to"),
+    )
+
+
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal AS-OF query over a versioned SCD2 chain: reconstruct
+    the state of every entity exactly as it was at time T — the query a
+    user of the reference's HIST_DHT11_DATA table runs for time travel
+    (``valid_from <= T < valid_to``, Delta_detection_query_gen.py:287-296).
+    The chain is derived deterministically from orders (see
+    _order_version_chain) so DuckDB can verify.
+
+    Scale: one shuffle on the entity key for the lead() window; on a
+    stored history table this is a pure scan with the AS-OF predicate
+    pushed to parquet (valid_from/valid_to are min-max indexed), no
+    shuffle at all. Zero-length intervals (two versions with the same
+    timestamp) can never satisfy the half-open predicate — the
+    superseded same-instant version is correctly invisible.
+    """
+    asof = F.lit(_ASOF_TS).cast("timestamp")
+    return (
+        _order_version_chain(spark, sf_dir)
+        .filter((F.col("valid_from") <= asof) & (asof < F.col("valid_to")))
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        )
+    )
+
+
+def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed derivation: turn a versioned chain back into a
+    stream of I/U/NC change events (the inverse of the reference's
+    delta detection — same codes, Delta_detection_query_gen.py:53-57).
+    Each version row is classified against its predecessor: first
+    version per key = 'I', value changed = 'U', value identical = 'NC';
+    the price delta rides along (exact: 2-decimal doubles subtract
+    exactly in IEEE754 at this magnitude).
+
+    Scale: single shuffle on the entity key; both lag() columns share
+    one window frame so the sort happens once.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_price = F.lag("o_totalprice").over(w)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("change_ts"),
+        F.when(prev_price.isNull(), "I")
+         .when(prev_price != F.col("o_totalprice"), "U")
+         .otherwise("NC").alias("change_type"),
+        "o_totalprice",
+        prev_price.alias("prev_price"),
+        (_money("o_totalprice") - _money(prev_price)).cast("double").alias("price_delta"),
+    )
+
+
+def meta_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality / constraint audit: referential integrity (FK
+    orphans), primary-key uniqueness, domain and null checks — the
+    engine-side generalization of the reference's runtime self-checks
+    (schema gate Delta_detection_query_gen.py:312-316, existence probes
+    :32-33). One summary row per check: (check_name, violations,
+    rows_scanned, pass 'Y'/'N').
+
+    Scale: all checks against one table ride a single scan (one
+    multi-aggregate pass); each FK check is one shuffle join on the key
+    — the joined side projected to the key column only, so the shuffle
+    carries 8 bytes/row. PK uniqueness is COUNT(*) - COUNT(DISTINCT)
+    (two-phase partial agg, no self-join).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    # lineitem pass: FK to orders + domain checks in one joined scan
+    li_joined = li.select("l_orderkey", "l_discount", "l_shipdate").join(
+        o.select(F.col("o_orderkey").alias("_ok")).distinct(),
+        F.col("l_orderkey") == F.col("_ok"), "left",
+    )
+    li_agg = li_joined.agg(
+        F.sum(F.when(F.col("_ok").isNull(), 1).otherwise(0)).alias("fk_orphans"),
+        F.sum(F.when(~F.col("l_discount").between(0.0, 1.0), 1).otherwise(0)).alias("domain_discount"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias("null_shipdate"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.expr(
+        "stack(3, 'lineitem_fk_orderkey', fk_orphans,"
+        " 'lineitem_discount_domain', domain_discount,"
+        " 'lineitem_shipdate_not_null', null_shipdate) AS (check_name, violations)"
+    ), F.col("n").alias("rows_scanned"))
+
+    # orders pass: FK to customer + PK uniqueness
+    o_joined = o.select("o_orderkey", "o_custkey").join(
+        c.select(F.col("c_custkey").alias("_ck")),
+        F.col("o_custkey") == F.col("_ck"), "left",
+    )
+    o_agg = o_joined.agg(
+        F.sum(F.when(F.col("_ck").isNull(), 1).otherwise(0)).alias("fk_orphans"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.expr(
+        "stack(2, 'orders_fk_custkey', fk_orphans,"
+        " 'orders_pk_unique', pk_dups) AS (check_name, violations)"
+    ), F.col("n").alias("rows_scanned"))
+
+    # customer pass: null check
+    c_agg = c.agg(
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(F.expr(
+        "stack(1, 'customer_acctbal_not_null', nulls) AS (check_name, violations)"
+    ), F.col("n").alias("rows_scanned"))
+
+    return (
+        li_agg.unionByName(o_agg).unionByName(c_agg)
+        .select(
+            "check_name",
+            F.col("violations").cast("bigint").alias("violations"),
+            "rows_scanned",
+            F.when(F.col("violations") == 0, "Y").otherwise("N").alias("pass"),
+        )
+    )
