@@ -577,4 +577,49 @@ FROM (
 )
 WHERE rk <= 3
 """,
+    "text_bm25_search": """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         string_split(text, ' ') AS tok
+  FROM documents
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(dl) AS total_dl FROM d
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(tok) AS term FROM d)
+  WHERE term IN ('spark', 'stream', 'merge')
+  GROUP BY doc_id, dl, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           (CAST(44 * tf.tf * t.total_dl AS DOUBLE)
+            / CAST(20 * tf.tf * t.total_dl
+                   + 6 * (t.total_dl + 3 * tf.dl * t.n_docs) AS DOUBLE))
+           * (CAST(2 * (t.n_docs - dfx.df) + 1 AS DOUBLE)
+              / CAST(2 * dfx.df + 1 AS DOUBLE))
+           * 1e9) AS BIGINT) AS term_score
+  FROM tf
+  JOIN (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) dfx USING (term)
+  CROSS JOIN totals t
+)
+SELECT doc_id, score, rk FROM (
+  SELECT doc_id, SUM(term_score) AS score,
+         ROW_NUMBER() OVER (ORDER BY SUM(term_score) DESC, doc_id) AS rk
+  FROM scored GROUP BY doc_id
+)
+WHERE rk <= 10
+""",
+    "text_inverted_postings": """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS df,
+       (list(doc_id ORDER BY doc_id))[1:20] AS postings
+FROM pairs WHERE term <> ''
+GROUP BY term
+""",
 }

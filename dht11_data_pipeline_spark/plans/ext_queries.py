@@ -327,6 +327,87 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "stream", "merge"]
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval: BM25-style scoring of the corpus against a
+    fixed term query, top 10 documents. k1=1.2 and b=0.75 are kept as
+    exact rationals and the whole per-term score is assembled from
+    integer-exact inputs (tf, dl, df, corpus totals), so the two IEEE
+    divisions + product + floor are bit-identical in any engine — the
+    idf factor is the linear surrogate (2(N-df)+1)/(2df+1) (Robertson-
+    Sparck-Jones numerator without the log; ln() differs across libm
+    in the last ulp and would break the differential hash).
+
+    tf_norm = tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)) with avgdl = T/N
+    is multiplied through by 20·T: (44·tf·T) / (20·tf·T + 6(T+3·dl·N)).
+
+    Scale: one explode pass over documents pre-filtered to query terms
+    (the filter prunes the fan-out before the shuffle); per-term df via
+    a window over the already-reduced (doc, term) frame; corpus totals
+    (N, T) are a 1-row broadcast cross join. Per-term integer scores
+    sum exactly — no float-association drift across partitions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_dl = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("dl"),
+        tokens("text").alias("tok"))
+    totals = with_dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
+    tf = (
+        with_dl.select("doc_id", "dl", F.explode("tok").alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("tf_norm",
+                    (F.lit(44) * F.col("tf") * F.col("total_dl")).cast("double")
+                    / (F.lit(20) * F.col("tf") * F.col("total_dl")
+                       + F.lit(6) * (F.col("total_dl")
+                                     + F.lit(3) * F.col("dl") * F.col("n_docs"))).cast("double"))
+        .withColumn("idf_lin",
+                    (F.lit(2) * (F.col("n_docs") - F.col("df")) + F.lit(1)).cast("double")
+                    / (F.lit(2) * F.col("df") + F.lit(1)).cast("double"))
+        .withColumn("term_score",
+                    F.floor(F.col("tf_norm") * F.col("idf_lin") * F.lit(1e9)).cast("bigint"))
+    )
+    ranked = (
+        scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+        .withColumn("rk", F.row_number().over(
+            Window.orderBy(F.desc("score"), "doc_id")))
+        .filter(F.col("rk") <= 10)
+    )
+    return ranked.select("doc_id", "score", "rk")
+
+
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index materialization: one row per term with document
+    frequency and a bounded, sorted posting sample (first 20 doc ids) —
+    the build side of index-backed term lookup.
+
+    Scale: distinct (doc, term) is the partial-agg-friendly reduction;
+    the posting collect is bounded (20 ids/term) so row width is capped
+    no matter the corpus — full posting lists at 100 TB would be
+    bucketed by term hash and stored delta-encoded, same plan shape.
+    The global top-k note: the final window is per-term (no single-
+    partition global sort anywhere).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"))
+    )
+
+
 EXT_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -359,4 +440,6 @@ EXT_QUERIES = {
     "ts_user_correlation": ts_user_correlation,
     "sim_kmeans_clusters": sim_kmeans_clusters,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_bm25_search": text_bm25_search,
+    "text_inverted_postings": text_inverted_postings,
 }

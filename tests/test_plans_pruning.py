@@ -56,3 +56,43 @@ def test_ingest_tolerates_corrupt_records(spark, tmp_path):
     # the corrupt line yields an all-null row, it does not kill the read
     nulls = [r for r in out if r["device_id"] is None]
     assert len(nulls) == 1
+
+
+def test_runtime_bloom_filter_injected(spark, tmp_path):
+    """A selective filter on one join side must inject a runtime bloom
+    filter on the probe side (spark.sql.optimizer.runtime.bloomFilter):
+    at 100 TB this prunes the fact-side shuffle input to rows that can
+    possibly match, before the shuffle writes them. Thresholds are
+    lowered to make tiny local parquet qualify; the session default
+    keeps the feature on with production thresholds."""
+    big = str(tmp_path / "big")
+    small = str(tmp_path / "small")
+    spark.range(0, 200_000).selectExpr(
+        "id AS k", "id % 97 AS payload").write.parquet(big)
+    spark.range(0, 2_000).selectExpr(
+        "id AS k", "id % 13 AS grp").write.parquet(small)
+    old = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+        # disable broadcast so the join is a shuffle join (the case the
+        # bloom filter exists to prune)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        b = spark.read.parquet(big)
+        s = spark.read.parquet(small).filter(F.col("grp") == 3)
+        joined = b.join(s, "k")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan
+        assert joined.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
