@@ -1,0 +1,208 @@
+"""Product quantization (PQ) for embedding similarity at scale.
+
+The third ANN tier next to LSH (similarity.lsh_ann_topk) and IVF
+(similarity.ivf_topk): compress each d-dim vector into m byte codes
+(one per subspace) against per-subspace codebooks, then score queries
+against the *codes* via asymmetric distance computation (ADC) — a
+table lookup per subspace instead of a d-dim dot product. At 100 TB
+this is the difference between scanning 256 GB of codes and 25 TB of
+raw float32 vectors for an exhaustive scan, and it composes with IVF
+(IVF-PQ) by storing codes in the inverted lists.
+
+Dataflow (all deterministic):
+  train  : explode vectors into (id, sub_idx, subvec) rows → Lloyd
+           rounds for ALL m subspaces in one job per iteration
+           (assignment = mapInPandas with the m codebooks in closure;
+           update = posexplode dims → mean per (sub, code, dim)).
+           Codebooks are k·m·(d/m) floats — driver/broadcast scale.
+  encode : one Arrow-batched pass: argmin subvector → code per
+           subspace; output (id, codes array<int>).
+  probe  : queries are the small side (collected like centroids);
+           per Arrow batch of codes, ADC = numpy gather over the
+           per-query lookup tables; top-k per query by window.
+
+Cosine via ADC: dot(q,x) ≈ Σ_m dot(q_m, c[x_m]) and |x| ≈
+sqrt(Σ_m |c[x_m]|²) — both pure code lookups; |q| is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dht11_data_pipeline_spark.functions.partitioning import right_size
+
+Codebooks = dict[int, list[tuple[int, list[float]]]]  # sub_idx -> [(code, subvec)]
+
+
+def _subvector_rows(corpus: DataFrame, m: int, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """(id, sub_idx, subvec): the vector cut into m equal slices."""
+    d = F.size(vec_col)
+    sub = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.slice(F.col(vec_col), s * (d / m).cast("int") + 1,
+                              (d / m).cast("int")),
+        )
+    )
+    return right_size(corpus).select(F.col(id_col), sub.alias("sub_idx", "subvec"))
+
+
+def _assign_codes(subrows: DataFrame, codebooks: Codebooks, id_col: str,
+                  keep_subvec: bool = False) -> DataFrame:
+    """(id, sub_idx, code, sq_dist[, subvec]): nearest code per
+    subspace row. One vectorized pass — the codebook matrices ride the
+    task closure. ``keep_subvec`` carries the subvector through so the
+    training update needs no join back to the input (an N·m-row
+    shuffle saved per Lloyd round)."""
+    import numpy as np
+
+    mats = {s: (np.array([c for c, _ in sorted(cb)], dtype=np.int64),
+                np.array([v for _, v in sorted(cb)], dtype=np.float64))
+            for s, cb in codebooks.items()}
+
+    def _assign(batches):
+        for pdf in batches:
+            out_code = np.empty(len(pdf), dtype=np.int32)
+            out_dist = np.empty(len(pdf), dtype=np.float64)
+            subs = pdf["sub_idx"].to_numpy()
+            vecs = pdf["subvec"]
+            for s, (cids, cmat) in mats.items():
+                mask = subs == s
+                if not mask.any():
+                    continue
+                x = np.array(vecs[mask].tolist(), dtype=np.float64)
+                d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                idx = d2.argmin(axis=1)
+                out_code[mask] = cids[idx]
+                out_dist[mask] = d2[np.arange(len(idx)), idx]
+            keep = [id_col, "sub_idx", "subvec"] if keep_subvec else [id_col, "sub_idx"]
+            pdf = pdf[keep].copy()
+            pdf["code"] = out_code
+            pdf["sq_dist"] = out_dist
+            yield pdf
+
+    extra = ", subvec array<float>" if keep_subvec else ""
+    return subrows.mapInPandas(
+        _assign,
+        schema=f"{id_col} long, sub_idx int{extra}, code int, sq_dist double")
+
+
+def train_pq(spark: SparkSession, corpus: DataFrame, m: int = 8,
+             code_mod: int = 25, iters: int = 2, train_mod: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> Codebooks:
+    """Per-subspace codebooks, deterministically initialized (every
+    ``code_mod``-th vector's subvectors are the seed codes — same
+    convention as the IVF coarse quantizer) then refined with Lloyd
+    rounds run for all m subspaces in a single job per iteration.
+    Empty codes keep their previous centroid (no reseeding).
+
+    ``train_mod`` > 1 trains on the deterministic 1/train_mod sample
+    (id % train_mod == 0) — the standard production shape: codebooks
+    converge on a sample; the full corpus is only ever *encoded*."""
+    train = corpus if train_mod <= 1 else corpus.filter(
+        F.col(id_col) % train_mod == 0)
+    subrows = _subvector_rows(train, m, id_col, vec_col)
+    seed = (subrows.filter(F.col(id_col) % code_mod == 0)
+            .select(id_col, "sub_idx", "subvec").collect())
+    codebooks: Codebooks = {}
+    for r in seed:
+        codebooks.setdefault(int(r["sub_idx"]), []).append(
+            (int(r[id_col]), [float(x) for x in r["subvec"]]))
+    for s in codebooks:
+        codebooks[s] = sorted(codebooks[s])
+    for _ in range(iters):
+        assigned = _assign_codes(subrows, codebooks, id_col, keep_subvec=True)
+        dims = assigned.select(
+            "sub_idx", "code", F.posexplode("subvec").alias("dim", "val"))
+        means = (dims.groupBy("sub_idx", "code", "dim")
+                 .agg(F.avg(F.col("val").cast("double")).alias("mval")))
+        rows = (means.groupBy("sub_idx", "code")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "mval"))).alias("dm"))
+                .select("sub_idx", "code", F.col("dm.mval").alias("vec"))
+                .collect())
+        new: Codebooks = {}
+        for r in rows:
+            new.setdefault(int(r["sub_idx"]), []).append(
+                (int(r["code"]), [float(x) for x in r["vec"]]))
+        for s, cb in codebooks.items():
+            merged = {**dict(cb), **dict(new.get(s, []))}
+            codebooks[s] = sorted(merged.items())
+    return codebooks
+
+
+def encode_pq(corpus: DataFrame, codebooks: Codebooks, m: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): the stored PQ representation — at scale
+    this is the compact table you persist (and bucket by IVF cell)."""
+    assigned = _assign_codes(
+        _subvector_rows(corpus, m, id_col, vec_col), codebooks, id_col)
+    return (assigned.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("sub_idx", "code"))).alias("sc"))
+            .select(F.col(id_col), F.col("sc.code").alias("codes")))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
+            m: int = 8, k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k: approximate cosine of every (query, corpus) pair from
+    code lookups only; top-k per query. Queries are collected (the
+    small broadcast side — same contract as cosine_topk's probe set).
+
+    Output (query_id, neighbor_id, approx_cos, rank) — rank by
+    (approx_cos desc, neighbor_id) for determinism.
+    """
+    import numpy as np
+
+    q_rows = sorted(queries.select(id_col, vec_col).collect(),
+                    key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)  # (Q, d)
+    qnorm = np.sqrt((qmat ** 2).sum(axis=1))  # (Q,)
+
+    # per-subspace: code-id remap + dot/norm lookup tables
+    subdim = qmat.shape[1] // m
+    remap = {}
+    dot_tabs, normsq_tabs = [], []
+    for s in range(m):
+        cb = sorted(codebooks[s])
+        remap[s] = {code: i for i, (code, _) in enumerate(cb)}
+        cmat = np.array([v for _, v in cb], dtype=np.float64)  # (k, subdim)
+        qsub = qmat[:, s * subdim:(s + 1) * subdim]            # (Q, subdim)
+        dot_tabs.append(qsub @ cmat.T)                         # (Q, k)
+        normsq_tabs.append((cmat ** 2).sum(axis=1))            # (k,)
+
+    codes_df = encode_pq(corpus, codebooks, m, id_col, vec_col)
+
+    def _score(batches):
+        import pandas as pd
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            idx = np.empty_like(codes)
+            for s in range(m):
+                rm = remap[s]
+                idx[:, s] = [rm[c] for c in codes[:, s]]
+            dots = np.zeros((len(pdf), len(qids)))
+            nsq = np.zeros(len(pdf))
+            for s in range(m):
+                dots += dot_tabs[s][:, idx[:, s]].T   # (n, Q)
+                nsq += normsq_tabs[s][idx[:, s]]
+            xnorm = np.sqrt(nsq)  # (n,)
+            cos = dots / (xnorm[:, None] * qnorm[None, :])
+            n = len(pdf)
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids[None, :], n, axis=0).ravel(),
+                "neighbor_id": np.repeat(pdf[id_col].to_numpy(), len(qids)),
+                "approx_cos": cos.ravel(),
+            })
+            yield out
+
+    scored = codes_df.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, approx_cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), "neighbor_id")
+    return (scored.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

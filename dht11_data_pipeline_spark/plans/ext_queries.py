@@ -327,6 +327,22 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq): codebooks trained on
+    the deterministic half sample (1 Lloyd round), corpus encoded to
+    m=8 byte codes, queries scored via ADC table lookups. Iterative
+    training — no SQL oracle (rows-only driver check); recall vs exact
+    brute force is pinned in tests/test_pq.py alongside LSH and IVF.
+    """
+    from dht11_data_pipeline_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq.train_pq(spark, emb, m=8, code_mod=25, iters=1, train_mod=2)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq.pq_topk(emb, queries, cbs, m=8, k=5).select(
+        "query_id", "neighbor_id", "rank")
+
+
 _BM25_TERMS = ["spark", "stream", "merge"]
 
 
@@ -442,4 +458,5 @@ EXT_QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_bm25_search": text_bm25_search,
     "text_inverted_postings": text_inverted_postings,
+    "sim_pq_ann": sim_pq_ann,
 }
