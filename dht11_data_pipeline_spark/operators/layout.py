@@ -61,11 +61,35 @@ def _as_numeric(df: DataFrame, cols: list[str]) -> list[Column]:
     return out
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16,
+               quantile_bits: int = 0) -> Column:
     """The Morton curve key as a column expression. Bounds are computed
     with one 1-row aggregate (driver metadata action, like AQE stats —
-    NOT a per-row collect)."""
+    NOT a per-row collect).
+
+    ``quantile_bits`` > 0 switches a dimension's cell assignment from
+    linear min-max bucketization to rank bucketization against 2^q
+    approximate quantile boundaries (one driver-side approxQuantile
+    probe; cells assigned by a codegen'd CASE ladder over the
+    boundaries). Use it for heavily skewed dimensions: linear cells
+    collapse skewed mass into a few cells, which destroys curve
+    locality exactly where the data is dense."""
     nums = _as_numeric(df, cols)
+    if quantile_bits:
+        n_cells = 1 << quantile_bits
+        named = df.select(*[num.alias(f"_q{i}") for i, num in enumerate(nums)])
+        probs = [j / n_cells for j in range(1, n_cells)]
+        bounds = named.approxQuantile(
+            [f"_q{i}" for i in range(len(nums))], probs, 0.001)
+        cells = []
+        for i in range(len(nums)):
+            cell = F.lit(0)
+            for b in bounds[i]:
+                cell = cell + F.when(nums[i] > F.lit(float(b)), 1).otherwise(0)
+            # spread rank cells over the full bit budget so interleaving
+            # keeps per-dimension bit positions comparable
+            cells.append((cell.cast("long") * ((1 << bits) // n_cells)))
+        return _interleave(cells, bits)
     bounds = df.agg(*[f(n).alias(f"{agg}_{i}")
                       for i, n in enumerate(nums)
                       for agg, f in (("lo", F.min), ("hi", F.max))]).first()
@@ -77,12 +101,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
 
 
 def write_zordered(df: DataFrame, path: str, cols: list[str],
-                   n_files: int = 16, bits: int = 16) -> None:
+                   n_files: int = 16, bits: int = 16,
+                   quantile_bits: int = 0) -> None:
     """Cluster ``df`` on the Z-order curve of ``cols`` and write
     parquet: range-partition on the key (one shuffle; contiguous curve
     ranges per file) and sort within partitions so row groups inside a
     file are dense too."""
-    key = zorder_key(df, cols, bits)
+    key = zorder_key(df, cols, bits, quantile_bits)
     (
         df.withColumn("_zkey", key)
         .repartitionByRange(n_files, "_zkey")

@@ -206,3 +206,104 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
     return (scored.filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
+               m: int = 8, k: int = 5, centroid_mod: int = 40,
+               nprobe: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: coarse-quantize the corpus into inverted cells (the
+    deterministic sampled centroids the IVF tier uses), PQ-encode every
+    vector, then score a query via ADC against ONLY its ``nprobe``
+    nearest cells' codes. This is the production composition: at 100 TB
+    the codes table is stored bucketed by cell_id, a probe reads
+    nprobe/C of the corpus, and each read row costs m table lookups
+    instead of a d-dim dot product — both factors multiply.
+
+    Plan: one Arrow pass assigns (cell, codes) per corpus row; the
+    probe-cell restriction is applied inside the scorer (each row is
+    scored only against the queries probing its cell — no crossJoin of
+    the full query set), followed by the per-query top-k window.
+    """
+    import numpy as np
+
+    from dht11_data_pipeline_spark.operators.kmeans import assign_clusters
+
+    cent_rows = sorted(
+        corpus.filter(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col).collect(), key=lambda r: r[id_col])
+    centroids = [(int(r[id_col]), [float(x) for x in r[vec_col]])
+                 for r in cent_rows]
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+
+    q_rows = sorted(queries.select(id_col, vec_col).collect(),
+                    key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qnorm = np.sqrt((qmat ** 2).sum(axis=1))
+    # nprobe nearest cells per query (squared L2, ties by centroid id —
+    # same metric the corpus assignment uses)
+    qd2 = ((qmat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    probe_order = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for cell in cids[probe_order[qi]]:
+            cell_to_q.setdefault(int(cell), []).append(qi)
+
+    subdim = qmat.shape[1] // m
+    remap, dot_tabs, normsq_tabs = {}, [], []
+    for s in range(m):
+        cb = sorted(codebooks[s])
+        remap[s] = {code: i for i, (code, _) in enumerate(cb)}
+        sub_c = np.array([v for _, v in cb], dtype=np.float64)
+        dot_tabs.append(qmat[:, s * subdim:(s + 1) * subdim] @ sub_c.T)
+        normsq_tabs.append((sub_c ** 2).sum(axis=1))
+
+    cells = assign_clusters(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("cluster_id").alias("cell_id"))
+    codes = encode_pq(corpus, codebooks, m, id_col, vec_col)
+    indexed = codes.join(cells, id_col)
+
+    def _score(batches):
+        import pandas as pd
+        for pdf in batches:
+            outs = []
+            cells_np = pdf["cell_id"].to_numpy()
+            codes_np = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids_np = pdf[id_col].to_numpy()
+            idx = np.empty_like(codes_np)
+            for s in range(m):
+                rm = remap[s]
+                idx[:, s] = [rm[c] for c in codes_np[:, s]]
+            nsq = np.zeros(len(pdf))
+            for s in range(m):
+                nsq += normsq_tabs[s][idx[:, s]]
+            xnorm = np.sqrt(nsq)
+            for cell, qlist in cell_to_q.items():
+                mask = cells_np == cell
+                if not mask.any():
+                    continue
+                qs = np.array(qlist)
+                dots = np.zeros((mask.sum(), len(qs)))
+                for s in range(m):
+                    dots += dot_tabs[s][qs][:, idx[mask, s]].T
+                cos = dots / (xnorm[mask][:, None] * qnorm[qs][None, :])
+                n = int(mask.sum())
+                outs.append(pd.DataFrame({
+                    "query_id": np.repeat(qids[qs][None, :], n, axis=0).ravel(),
+                    "neighbor_id": np.repeat(ids_np[mask], len(qs)),
+                    "approx_cos": cos.ravel(),
+                }))
+            yield (pd.concat(outs) if outs else
+                   pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "approx_cos": pd.Series(dtype="float64")}))
+
+    scored = indexed.mapInPandas(
+        _score, schema="query_id long, neighbor_id long, approx_cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), "neighbor_id")
+    return (scored.filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -343,6 +343,23 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank")
 
 
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/pq.ivfpq_topk): coarse inverted
+    cells restrict each probe to nprobe lists; PQ codes make every
+    scored row m table lookups instead of a d-dim dot product. The
+    production shape for billion-vector search. Rows-only driver check
+    (iterative training); recall-vs-nprobe monotonicity pinned in
+    tests/test_pq.py."""
+    from dht11_data_pipeline_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq.train_pq(spark, emb, m=8, code_mod=25, iters=1, train_mod=2)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq.ivfpq_topk(emb, queries, cbs, m=8, k=5,
+                         centroid_mod=40, nprobe=2).select(
+        "query_id", "neighbor_id", "rank")
+
+
 _BM25_TERMS = ["spark", "stream", "merge"]
 
 
@@ -459,4 +476,5 @@ EXT_QUERIES = {
     "text_bm25_search": text_bm25_search,
     "text_inverted_postings": text_inverted_postings,
     "sim_pq_ann": sim_pq_ann,
+    "sim_ivfpq_ann": sim_ivfpq_ann,
 }

@@ -86,3 +86,25 @@ def test_key_is_deterministic(spark):
     k1 = o.withColumn("k", layout.zorder_key(o, ["o_custkey", "o_totalprice"]))
     k2 = o.withColumn("k", layout.zorder_key(o, ["o_custkey", "o_totalprice"]))
     assert k1.exceptAll(k2).count() == 0
+
+
+def test_quantile_cells_fix_skew(spark, tmp_path):
+    """A heavily skewed dimension collapses under linear min-max cells
+    (most mass lands in a couple of cells → poor locality); quantile
+    cells restore balanced pruning on that dimension."""
+    df = spark.range(20_000).selectExpr(
+        "id AS k",
+        # skew: long tail — 99% of mass in ~1% of the value range
+        "CAST(pow(CAST(id % 1000 AS DOUBLE) / 1000.0, 8.0) * 1e9 AS DOUBLE) AS v")
+    lin = str(tmp_path / "lin")
+    qtl = str(tmp_path / "qtl")
+    layout.write_zordered(df, lin, ["k", "v"], n_files=16)
+    layout.write_zordered(df, qtl, ["k", "v"], n_files=16, quantile_bits=4)
+    s_lin = layout.file_minmax(spark, lin, ["v"])
+    s_qtl = layout.file_minmax(spark, qtl, ["v"])
+    f_lin = _mean_overlap(s_lin, "v", lin, spark)
+    f_qtl = _mean_overlap(s_qtl, "v", qtl, spark)
+    # dense-region probes must touch fewer files under quantile cells
+    # (mean over probes — single probes can straddle a curve boundary)
+    assert f_qtl < f_lin, (f_qtl, f_lin)
+    assert f_qtl <= 0.6, f_qtl

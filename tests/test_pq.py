@@ -80,3 +80,38 @@ def test_topk_output_contract(emb, codebooks):
         assert r["query_id"] != r["neighbor_id"]
         assert 1 <= r["rank"] <= 3
         assert -1.001 <= r["approx_cos"] <= 1.001
+
+
+def test_ivfpq_recall_improves_with_nprobe(spark, emb, codebooks):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact: dict[int, set] = {}
+    for r in similarity.cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(nprobe):
+        approx: dict[int, set] = {}
+        out = pq.ivfpq_topk(emb, queries, codebooks, m=M, k=5,
+                            centroid_mod=40, nprobe=nprobe)
+        for r in out.collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(v & approx.get(q, set())) for q, v in exact.items())
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 >= 0.05, f"IVF-PQ nprobe=1 collapsed: {r1:.2f}"
+    # widening the probe must not lose neighbors
+    assert r4 >= r1, (r1, r4)
+
+
+def test_ivfpq_output_contract(emb, codebooks):
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    rows = pq.ivfpq_topk(emb, queries, codebooks, m=M, k=3,
+                         centroid_mod=40, nprobe=2).collect()
+    assert rows
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= 3
