@@ -622,4 +622,56 @@ SELECT term, COUNT(*) AS df,
 FROM pairs WHERE term <> ''
 GROUP BY term
 """,
+    "cur_decontaminate": _SHINGLES + """
+, inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sh)
+SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS n_common
+FROM (SELECT * FROM inv WHERE doc_id % 10 <> 7) t
+JOIN (SELECT * FROM inv WHERE doc_id % 10 = 7) b USING (shingle)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+""",
+    "t_funnel_conversion": """
+WITH staged AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+staged2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM staged
+),
+staged3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM staged2
+),
+per_user AS (
+  SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+  FROM staged3 GROUP BY user_id
+),
+agg AS (
+  SELECT SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n3
+  FROM per_user
+)
+SELECT 'view' AS stage, CAST(n1 AS BIGINT) AS n_users FROM agg
+UNION ALL SELECT 'click_after_view', CAST(n2 AS BIGINT) FROM agg
+UNION ALL SELECT 'purchase_after_click', CAST(n3 AS BIGINT) FROM agg
+""",
+    "t_cohort_retention": """
+WITH days AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(FLOOR(date_diff('day', cohort_day, day) / 7.0) AS INTEGER) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM days JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+""",
 }

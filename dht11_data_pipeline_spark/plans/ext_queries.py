@@ -360,6 +360,97 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank")
 
 
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: find training documents that
+    share ≥ 5 word-3-gram shingles with any document of the held-out
+    benchmark set (docs with id % 10 == 7 stand in for the eval
+    suite). The standard pre-training hygiene pass — n-gram collision
+    against eval benchmarks — as a bipartite inverted-index join.
+
+    Scale: the join fans out by shared-shingle frequency; at 100 TB
+    hash the shingle to 8 bytes and drop stop-shingles above a
+    document-frequency cap before joining (same discipline as
+    jaccard_pairs). The benchmark side is tiny relative to the corpus
+    — it broadcasts, so the training side never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup._doc_shingles(docs, "text", "doc_id", 3)
+    inv = sh.select(F.col("doc_id"), F.explode("shingle_set").alias("shingle"))
+    bench = (inv.filter(F.col("doc_id") % 10 == 7)
+             .select(F.col("doc_id").alias("bench_id"), "shingle"))
+    train = (inv.filter(F.col("doc_id") % 10 != 7)
+             .select(F.col("doc_id").alias("train_id"), "shingle"))
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 5)
+    )
+
+
+def t_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, each stage
+    counts only if it happens strictly AFTER the previous stage's
+    first occurrence; output is users-reached per stage.
+
+    Plan: three chained window mins over ONE user_id partitioning —
+    Catalyst stacks the Window nodes behind a single exchange+sort of
+    the fact (inspect: one Exchange, consecutive Window operators) —
+    then a user-grain reduce. No self-joins, no per-stage scans.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn("t1", F.min(F.when(F.col("event_type") == "view",
+                                       F.col("ts"))).over(w))
+        .withColumn("t2", F.min(F.when((F.col("event_type") == "click")
+                                       & (F.col("ts") > F.col("t1")),
+                                       F.col("ts"))).over(w))
+        .withColumn("t3", F.min(F.when((F.col("event_type") == "purchase")
+                                       & (F.col("ts") > F.col("t2")),
+                                       F.col("ts"))).over(w))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+    agg = per_user.agg(
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n3"),
+    )
+    return agg.select(F.expr(
+        "stack(3, 'view', n1, 'click_after_view', n2,"
+        " 'purchase_after_click', n3) AS (stage, n_users)"
+    )).select("stage", F.col("n_users").cast("bigint").alias("n_users"))
+
+
+def t_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day;
+    for each (cohort_day, week_offset) the distinct active users.
+    Integer week arithmetic (floor of day diff / 7) so the DuckDB
+    compare is exact and week-truncation conventions can't drift.
+
+    Scale: one shuffle on user_id for first-seen, one on the
+    (cohort, offset) grain for the count-distinct — the second input
+    is already user-grain-reduced per day, so the distinct is cheap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day"))
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first_seen, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff("day", "cohort_day") / 7)
+             .cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 _BM25_TERMS = ["spark", "stream", "merge"]
 
 
@@ -477,4 +568,7 @@ EXT_QUERIES = {
     "text_inverted_postings": text_inverted_postings,
     "sim_pq_ann": sim_pq_ann,
     "sim_ivfpq_ann": sim_ivfpq_ann,
+    "cur_decontaminate": cur_decontaminate,
+    "t_funnel_conversion": t_funnel_conversion,
+    "t_cohort_retention": t_cohort_retention,
 }
