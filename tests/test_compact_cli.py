@@ -60,3 +60,51 @@ def test_rollup_cli_build_compact_query(spark, sf_dir, tmp_path):
     # unservable grain exits non-zero
     assert cli_main(["rollup", "query", "--state", state,
                      "--group-by", "user_id"]) == 2
+
+
+def test_compact_zorder_clusters_both_dims(spark, tmp_path):
+    """compact(zorder_by=...) must leave file-level min/max stats
+    selective on every listed column (layout applied at compaction
+    time — the operational seam where a deployment runs it)."""
+    from dht11_data_pipeline_spark.operators import layout
+    from dht11_data_pipeline_spark.operators.compact import compact, parquet_file_count
+    from dht11_data_pipeline_spark.sources.tables import load_table
+
+    path = str(tmp_path / "orders_many")
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    o.repartition(40).write.parquet(path)  # fragmented input
+    n = compact(spark, path, target_mb=1,
+                zorder_by=["o_custkey", "o_totalprice"])
+    assert n == parquet_file_count(path)
+    assert n < 40
+    stats = layout.file_minmax(spark, path, ["o_custkey", "o_totalprice"])
+    if n >= 4:  # pruning only measurable with enough files
+        med = spark.read.parquet(path).approxQuantile(
+            "o_custkey", [0.2, 0.3], 0.001)
+        frac = layout.overlap_fraction(stats, "o_custkey", med[0], med[1])
+        assert frac < 1.0
+
+
+def test_compact_rejects_conflicting_layouts(spark, tmp_path):
+    from dht11_data_pipeline_spark.operators.compact import compact
+    import pytest as _pytest
+
+    path = str(tmp_path / "x")
+    spark.range(10).write.parquet(path)
+    with _pytest.raises(ValueError):
+        compact(spark, path, sort_by=["id"], zorder_by=["id"])
+
+
+def test_plan_metrics_api(spark):
+    from dht11_data_pipeline_spark.plans.audit import plan_metrics
+    from dht11_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    m = plan_metrics(
+        li.filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(F.sum("l_quantity")))
+    assert m.scans == 1
+    assert m.pushed_filters == 1
+    assert m.shuffles == 1
+    assert m.python_stages == 0
