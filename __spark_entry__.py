@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_fill_daily": Q.ts_gap_fill_daily,
         "scd2_asof_snapshot": Q.scd2_asof_snapshot,
         "scd2_change_feed": Q.scd2_change_feed,
+        "scd2_interval_align": Q.scd2_interval_align,
         "meta_quality_audit": Q.meta_quality_audit,
         "q2_min_cost_supplier": T.q2_min_cost_supplier,
         "q4_priority_with_late_ship": T.q4_priority_with_late_ship,

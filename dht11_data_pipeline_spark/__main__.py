@@ -4,7 +4,7 @@ as a module command:
     python -m dht11_data_pipeline_spark bootstrap --warehouse W
     python -m dht11_data_pipeline_spark run-batch --warehouse W --tree T --device D
     python -m dht11_data_pipeline_spark historize --warehouse W --load-key N
-    python -m dht11_data_pipeline_spark compact --path P [--target-mb M] [--sort-by c1,c2]
+    python -m dht11_data_pipeline_spark compact --path P [--target-mb M] [--sort-by c1,c2 | --zorder-by c1,c2 [--quantile-bits q]]
 """
 
 from __future__ import annotations
@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--path", required=True)
     c.add_argument("--target-mb", type=int, default=128)
     c.add_argument("--sort-by", default=None, help="comma-separated columns")
+    c.add_argument("--zorder-by", default=None,
+                   help="comma-separated columns: Morton-curve clustering "
+                        "(multi-dimension data skipping)")
+    c.add_argument("--quantile-bits", type=int, default=0,
+                   help="rank cells for skewed z-order dims (2^q buckets)")
 
     d = sub.add_parser(
         "dedup", help="exact+near-dup cascade verdict over a document parquet")
@@ -72,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         from dht11_data_pipeline_spark.operators.compact import compact
         sort_by = args.sort_by.split(",") if args.sort_by else None
-        n = compact(spark, args.path, args.target_mb, sort_by)
+        zorder_by = args.zorder_by.split(",") if args.zorder_by else None
+        n = compact(spark, args.path, args.target_mb, sort_by,
+                    zorder_by=zorder_by, quantile_bits=args.quantile_bits)
         print(json.dumps({"files": n}))
     elif args.cmd == "dedup":
         from pyspark.sql import functions as F

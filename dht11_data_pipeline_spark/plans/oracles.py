@@ -546,6 +546,22 @@ FROM (
   FROM orders
 )
 """,
+    "scd2_interval_align": """
+WITH chain AS (
+  SELECT o_custkey, o_orderkey, o_orderkey % 2 AS parity,
+         o_orderdate AS valid_from,
+         COALESCE(LEAD(o_orderdate) OVER (PARTITION BY o_custkey, o_orderkey % 2
+                                          ORDER BY o_orderdate, o_orderkey),
+                  TIMESTAMP '3000-01-01 00:00:00') AS valid_to
+  FROM orders
+)
+SELECT a.o_custkey, a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey,
+       strftime(GREATEST(a.valid_from, b.valid_from), '%Y-%m-%d %H:%M:%S') AS overlap_from,
+       strftime(LEAST(a.valid_to, b.valid_to), '%Y-%m-%d %H:%M:%S') AS overlap_to
+FROM (SELECT * FROM chain WHERE parity = 0) a
+JOIN (SELECT * FROM chain WHERE parity = 1) b USING (o_custkey)
+WHERE a.valid_from < b.valid_to AND b.valid_from < a.valid_to
+""",
     "meta_quality_audit": """
 WITH li AS (
   SELECT SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS fk_orphans,

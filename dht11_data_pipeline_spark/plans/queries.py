@@ -1224,3 +1224,47 @@ def meta_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("violations") == 0, "Y").otherwise("N").alias("pass"),
         )
     )
+
+
+def scd2_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (interval-overlap) join — the third leg of the temporal
+    algebra next to AS-OF and the change feed: align two versioned
+    chains of the same entity on the periods where their validity
+    intervals overlap (half-open semantics, so touching intervals do
+    NOT match). Chains derive deterministically from orders: per
+    customer, even o_orderkey rows form chain A, odd rows chain B.
+
+    Scale: an equi-join on the entity key with a residual range
+    predicate — the join fans out only within a key's own versions
+    (chain length, not table size). For band-limited intervals across
+    DIFFERENT keys, operators/interval_join.py folds time into the
+    equi key; here the entity key already bounds the pairs.
+    """
+    def chain(parity: int):
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 2 == parity)
+            .select(
+                "o_custkey", "o_orderkey",
+                F.col("o_orderdate").alias("valid_from"),
+                F.coalesce(F.lead("o_orderdate").over(w),
+                           F.lit(_SCD2_SENTINEL).cast("timestamp")).alias("valid_to"),
+            )
+        )
+
+    a = chain(0).select(
+        "o_custkey", F.col("o_orderkey").alias("a_orderkey"),
+        F.col("valid_from").alias("a_from"), F.col("valid_to").alias("a_to"))
+    b = chain(1).select(
+        "o_custkey", F.col("o_orderkey").alias("b_orderkey"),
+        F.col("valid_from").alias("b_from"), F.col("valid_to").alias("b_to"))
+    joined = a.join(b, "o_custkey").filter(
+        (F.col("a_from") < F.col("b_to")) & (F.col("b_from") < F.col("a_to")))
+    return joined.select(
+        "o_custkey", "a_orderkey", "b_orderkey",
+        F.date_format(F.greatest("a_from", "b_from"),
+                      "yyyy-MM-dd HH:mm:ss").alias("overlap_from"),
+        F.date_format(F.least("a_to", "b_to"),
+                      "yyyy-MM-dd HH:mm:ss").alias("overlap_to"),
+    )
