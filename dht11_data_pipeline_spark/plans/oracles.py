@@ -546,6 +546,19 @@ FROM (
   FROM orders
 )
 """,
+    "a_mode_event_type": """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_event_type, n AS n_occurrences
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rk
+  FROM counts
+)
+WHERE rk = 1
+""",
     "scd2_interval_align": """
 WITH chain AS (
   SELECT o_custkey, o_orderkey, o_orderkey % 2 AS parity,

@@ -1268,3 +1268,24 @@ def scd2_interval_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.least("a_to", "b_to"),
                       "yyyy-MM-dd HH:mm:ss").alias("overlap_to"),
     )
+
+
+def a_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most-frequent value) per group, deterministic: each
+    user's most frequent event_type, ties broken lexicographically —
+    the count-then-rank decomposition engines use under the hood for
+    MODE() while keeping tie behavior explicit (SQL's MODE leaves it
+    implementation-defined, which would break the differential hash).
+
+    Scale: partial-agg reduction to (user, type) grain first — the
+    rank window runs over ≤ |event_type| rows per user, never the raw
+    fact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", F.col("event_type").alias("mode_event_type"),
+                    F.col("n").alias("n_occurrences")))
