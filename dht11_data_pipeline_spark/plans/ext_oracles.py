@@ -652,9 +652,9 @@ per_user AS (
   FROM staged3 GROUP BY user_id
 ),
 agg AS (
-  SELECT SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n1,
-         SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n2,
-         SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n3
+  SELECT COALESCE(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END), 0) AS n1,
+         COALESCE(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END), 0) AS n2,
+         COALESCE(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END), 0) AS n3
   FROM per_user
 )
 SELECT 'view' AS stage, CAST(n1 AS BIGINT) AS n_users FROM agg

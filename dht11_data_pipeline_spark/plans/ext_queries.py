@@ -413,11 +413,13 @@ def t_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = staged.groupBy("user_id").agg(
         F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
-    agg = per_user.agg(
-        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n2"),
-        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n3"),
-    )
+    agg = per_user.agg(*[
+        # coalesce: SUM over an empty frame is NULL, the funnel answer is 0
+        F.coalesce(
+            F.sum(F.when(F.col(t).isNotNull(), 1).otherwise(0)), F.lit(0)
+        ).alias(f"n{i}")
+        for i, t in ((1, "t1"), (2, "t2"), (3, "t3"))
+    ])
     return agg.select(F.expr(
         "stack(3, 'view', n1, 'click_after_view', n2,"
         " 'purchase_after_click', n3) AS (stage, n_users)"

@@ -66,3 +66,43 @@ def test_queries_tolerate_empty_grouped_input(spark, sf_dir):
     qs = E.queries()
     row = qs["q6_forecast_revenue"](spark, sf_dir).collect()
     assert len(row) == 1  # sum over possibly-empty match set is 1 row
+
+
+def test_new_operators_on_empty_inputs(spark, sf_dir):
+    """The PQ encoder, layout key, funnel, cohort, audit, and temporal
+    queries must all no-op cleanly on zero-row inputs."""
+    from dht11_data_pipeline_spark.operators import layout, pq
+
+    emb = _empty_like(load_table(spark, sf_dir, "embeddings"))
+    # codebooks from a NON-empty corpus, applied to an empty one
+    full = load_table(spark, sf_dir, "embeddings")
+    cbs = pq.train_pq(spark, full, m=8, code_mod=25, iters=1)
+    assert pq.encode_pq(emb, cbs, m=8).count() == 0
+
+    orders = _empty_like(load_table(spark, sf_dir, "orders"))
+    # zorder bounds of an empty frame: min/max are null -> must raise a
+    # clear error, not emit a broken key
+    try:
+        layout.zorder_key(orders, ["o_custkey", "o_totalprice"])
+        bounds_ok = True
+    except (TypeError, ValueError):
+        bounds_ok = False
+    assert not bounds_ok, "empty-frame zorder_key should fail loudly"
+
+
+def test_analytics_queries_on_empty_events(spark, tmp_path):
+    """Funnel/cohort/mode run end-to-end over an empty events table."""
+    import os
+    from dht11_data_pipeline_spark.plans import ext_queries as X
+    from dht11_data_pipeline_spark.plans import queries as Q
+
+    src = str(tmp_path / "sf_empty")
+    os.makedirs(src, exist_ok=True)
+    for t in ("events",):
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0) \
+            .write.parquet(f"{src}/{t}.parquet")
+    funnel = X.t_funnel_conversion(spark, src).collect()
+    assert {r["stage"]: r["n_users"] for r in funnel} == {
+        "view": 0, "click_after_view": 0, "purchase_after_click": 0}
+    assert Q.a_mode_event_type(spark, src).count() == 0
+    assert X.t_cohort_retention(spark, src).count() == 0
