@@ -76,3 +76,33 @@ def deduplicated_readings(readings: DataFrame) -> DataFrame:
     transport exactly-once *before* the sink, and state is bounded by
     the watermark horizon (old keys age out — no unbounded state)."""
     return readings.dropDuplicates(["device_id", "ts"])
+
+
+def observed_readings(readings: DataFrame, name: str = "ingest_metrics"):
+    """Attach zero-cost inline metrics to the reading flow via the
+    Observation API: rows, epoch-sentinel count (missing Timestamp —
+    the reference's '1970-01-01' default, STG_Firebase2Oracle.py:57),
+    and non-numeric sensor values. The metrics ride the existing job
+    (observe() adds an accumulator, NOT a second pass/scan — unlike a
+    separate audit aggregation) and surface per-batch through
+    ``StreamingQueryListener``/``lastProgress`` in streams, or through
+    the returned Observation in batch mode.
+
+    Returns (observed_df, observation_or_None): on a streaming
+    DataFrame, observe() takes just the name (read metrics from query
+    progress); on a batch frame it takes an Observation handle.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ts") == F.lit(EPOCH_SENTINEL).cast("timestamp"),
+                     1).otherwise(0)).alias("n_epoch_sentinel"),
+        F.sum(F.when(F.col("humidity").try_cast("double").isNull()
+                     & (F.col("humidity") != "N/A"), 1).otherwise(0)
+              ).alias("n_bad_humidity"),
+    ]
+    if readings.isStreaming:
+        return readings.observe(name, *metrics), None
+    obs = Observation(name)
+    return readings.observe(obs, *metrics), obs
