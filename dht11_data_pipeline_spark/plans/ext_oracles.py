@@ -674,4 +674,28 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
 FROM days JOIN first_seen USING (user_id)
 GROUP BY 1, 2
 """,
+    "ts_anomaly_days": """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS day_total_d
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day, day_total_d,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         CAST(SUM(day_total_d) OVER (PARTITION BY event_type) AS DOUBLE) AS s,
+         CAST(SUM(CAST(day_total_d * day_total_d AS DECIMAL(38,4)))
+              OVER (PARTITION BY event_type) AS DOUBLE) AS ss
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(day_total_d AS DOUBLE) AS day_total,
+       (CAST(day_total_d AS DOUBLE) - s / n)
+         / sqrt((ss - s * s / n) / (n - 1)) AS z
+FROM stats
+WHERE abs((CAST(day_total_d AS DOUBLE) - s / n)
+          / sqrt((ss - s * s / n) / (n - 1))) > 2.0
+""",
 }

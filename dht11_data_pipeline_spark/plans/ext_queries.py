@@ -534,6 +534,46 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection: days whose per-type total deviates more than
+    2 standard deviations from that event type's daily mean. The
+    variance is assembled from DECIMAL-exact sums (Σx, Σx², n) rather
+    than stddev_samp(), so every engine computes the identical doubles
+    (two correctly-rounded divisions + sqrt) — stddev's streaming
+    accumulation order would drift in the last ulp across engines.
+
+    Scale: daily partial-agg first (map-side to day×type grain), then
+    the mean/σ come from a window over the tiny aggregated frame —
+    the fact is scanned once, no join-back (SCALE.md decorrelation
+    rule).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("day_total_d"))
+    )
+    w = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("day_total_d").over(w).cast("double")
+    ss = F.sum((F.col("day_total_d") * F.col("day_total_d"))
+               .cast("decimal(38,4)")).over(w).cast("double")
+    x = F.col("day_total_d").cast("double")
+    mean = s / n
+    var = (ss - s * s / n) / (n - F.lit(1))
+    z = (x - mean) / F.sqrt(var)
+    return (
+        daily.withColumn("z", z)
+        .filter(F.abs("z") > 2.0)
+        .select("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+                x.alias("day_total"), "z")
+    )
+
+
 EXT_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -573,4 +613,5 @@ EXT_QUERIES = {
     "cur_decontaminate": cur_decontaminate,
     "t_funnel_conversion": t_funnel_conversion,
     "t_cohort_retention": t_cohort_retention,
+    "ts_anomaly_days": ts_anomaly_days,
 }

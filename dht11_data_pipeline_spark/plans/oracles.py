@@ -546,6 +546,16 @@ FROM (
   FROM orders
 )
 """,
+    "f_bitwise_suite": """
+SELECT o_orderkey,
+       o_orderkey & o_custkey AS b_and,
+       o_orderkey | o_custkey AS b_or,
+       xor(o_orderkey, o_custkey) AS b_xor,
+       o_orderkey << 3 AS b_shl,
+       o_orderkey >> 2 AS b_shr,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop
+FROM orders
+""",
     "a_mode_event_type": """
 WITH counts AS (
   SELECT user_id, event_type, COUNT(*) AS n

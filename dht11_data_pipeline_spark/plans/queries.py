@@ -1289,3 +1289,21 @@ def a_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("user_id", F.col("event_type").alias("mode_event_type"),
                     F.col("n").alias("n_occurrences")))
+
+
+def f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface: AND/OR/XOR, shifts, bit_count — the
+    primitives the SimHash/pigeonhole operators build on (operators/
+    dedup.simhash_near_duplicates), verified directly."""
+    o = load_table(spark, sf_dir, "orders")
+    a = F.col("o_orderkey")
+    b = F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        a.bitwiseAND(b).alias("b_and"),
+        a.bitwiseOR(b).alias("b_or"),
+        a.bitwiseXOR(b).alias("b_xor"),
+        F.shiftleft(a, 3).alias("b_shl"),
+        F.shiftright(a, 2).alias("b_shr"),
+        F.bit_count(a).alias("b_pop"),
+    )
