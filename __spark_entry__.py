@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_quality_audit": Q.meta_quality_audit,
         "a_mode_event_type": Q.a_mode_event_type,
         "f_bitwise_suite": Q.f_bitwise_suite,
+        "w_fill_forward": Q.w_fill_forward,
         "q2_min_cost_supplier": T.q2_min_cost_supplier,
         "q4_priority_with_late_ship": T.q4_priority_with_late_ship,
         "q6_forecast_revenue": T.q6_forecast_revenue,

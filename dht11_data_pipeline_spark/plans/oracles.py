@@ -546,6 +546,19 @@ FROM (
   FROM orders
 )
 """,
+    "w_fill_forward": """
+WITH holes AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM holes
+""",
     "f_bitwise_suite": """
 SELECT o_orderkey,
        o_orderkey & o_custkey AS b_and,

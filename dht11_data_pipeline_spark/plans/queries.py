@@ -1307,3 +1307,32 @@ def f_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(a, 2).alias("b_shr"),
         F.bit_count(a).alias("b_pop"),
     )
+
+
+def w_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) via
+    last_value(... IGNORE NULLS) over an ordered frame — the gap-repair
+    idiom for sensor feeds with dropped readings (the reference's
+    'N/A' defaulting leaves holes; this repairs them from history).
+    Nulls are injected deterministically (event_id % 5 == 0) so both
+    engines fill the identical holes.
+
+    Scale: one shuffle on user_id; the running frame is the same
+    cumulative shape as w_running_user_value — no extra pass for the
+    fill.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    with_holes = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+         .otherwise(F.col("value")).alias("v"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return with_holes.select(
+        "event_id", "user_id",
+        F.date_format(F.col("ts").cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
