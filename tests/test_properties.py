@@ -66,3 +66,61 @@ def test_scd2_reapply_is_noop(spark, batch):
     t2 = apply_scd2(df, t1, CFG, load_ts="2024-02-02 00:00:00",
                     deterministic_keys=True)
     assert ({tuple(r) for r in t1.collect()} == {tuple(r) for r in t2.collect()})
+
+
+def _py_morton(cells: list[int], bits: int) -> int:
+    k, out = len(cells), 0
+    for i, c in enumerate(cells):
+        for j in range(bits):
+            out |= ((c >> j) & 1) << (j * k + i)
+    return out
+
+
+CELL = st.integers(0, (1 << 8) - 1)
+
+
+@given(a=CELL, b=CELL, a2=CELL, b2=CELL)
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_is_injective_and_dim_monotone(a, b, a2, b2):
+    """The Morton code must be a bijection of the cell pair (no two
+    pairs share a curve position) and order-preserving within one
+    dimension when the other is fixed (locality)."""
+    m1, m2 = _py_morton([a, b], 8), _py_morton([a2, b2], 8)
+    if (a, b) != (a2, b2):
+        assert m1 != m2
+    if b == b2 and a < a2:
+        assert m1 < m2
+    if a == a2 and b < b2:
+        assert m1 < m2
+
+
+def test_morton_column_expr_matches_python(spark):
+    """The column-expression interleaver in operators/layout must agree
+    with the Python reference on a grid of cells."""
+    from dht11_data_pipeline_spark.operators.layout import _interleave
+
+    rows = [(a, b) for a in range(0, 256, 17) for b in range(0, 256, 23)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b",
+                    _interleave([F.col("a"), F.col("b")], 8).alias("m")).collect()
+    for r in got:
+        assert r["m"] == _py_morton([r["a"], r["b"]], 8), (r["a"], r["b"])
+
+
+@given(tf=st.integers(1, 1000), df=st.integers(1, 10_000),
+       dl=st.integers(1, 10_000))
+@settings(max_examples=200, deadline=None)
+def test_bm25_integer_score_monotonicity(tf, df, dl):
+    """The integer BM25 surrogate must rise with tf and fall with df
+    and dl (the properties ranked retrieval depends on)."""
+    N, T = 10_000, 500_000
+
+    def score(tf_, df_, dl_):
+        tf_norm = (44 * tf_ * T) / (20 * tf_ * T + 6 * (T + 3 * dl_ * N))
+        idf = (2 * (N - df_) + 1) / (2 * df_ + 1)
+        return int(tf_norm * idf * 1e9)
+
+    s = score(tf, df, dl)
+    assert score(tf + 1, df, dl) >= s
+    assert score(tf, df + 1, dl) <= s
+    assert score(tf, df, dl + 1) <= s
