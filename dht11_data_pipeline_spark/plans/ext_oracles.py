@@ -622,6 +622,33 @@ SELECT term, COUNT(*) AS df,
 FROM pairs WHERE term <> ''
 GROUP BY term
 """,
+    "cur_quality_filter": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         len(list_distinct(tok)) AS n_unique,
+         len(list_filter(tok, x -> list_contains(['the','a','and','of','to','in','is','on'], x))) AS n_stopwords
+  FROM t
+),
+v AS (
+  SELECT *,
+         CASE WHEN n_tokens < 20 THEN 'too_short'
+              WHEN n_unique * 2 <= n_tokens THEN 'too_repetitive'
+              WHEN n_stopwords * 50 < n_tokens THEN 'low_stopword'
+              ELSE 'kept' END AS reason
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_unique AS INTEGER) AS n_unique,
+       CAST(n_stopwords AS INTEGER) AS n_stopwords,
+       reason,
+       CASE WHEN reason = 'kept' THEN 'Y' ELSE 'N' END AS keep_flag
+FROM v
+""",
     "cur_decontaminate": _SHINGLES + """
 , inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sh)
 SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS n_common

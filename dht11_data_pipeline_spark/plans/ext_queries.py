@@ -574,6 +574,42 @@ def ts_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document quality gate: one verdict row per document
+    with the FIRST failing rule (rule order fixed), or 'kept'. Rules —
+    all integer/rational arithmetic, so the differential hash is exact:
+    too_short (< 20 tokens), too_repetitive (distinct/total tokens
+    <= 0.5 — boilerplate/loop detector), low_stopword (< 2% stopword
+    tokens — the C4 naturalness heuristic).
+
+    Scale: shuffle-free row-local codegen (token counts via size/
+    array_distinct/filter on the token array, no explode) — streams at
+    scan speed like the rest of the curation family.
+    """
+    from dht11_data_pipeline_spark.functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    stop = F.array([F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(tok)
+    n_unique = F.size(F.array_distinct(tok))
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop, t)))
+    reason = (
+        F.when(n_tok < 20, "too_short")
+        .when(n_unique * 2 <= n_tok, "too_repetitive")
+        .when(n_stop * 50 < n_tok, "low_stopword")
+        .otherwise("kept")
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        n_unique.cast("int").alias("n_unique"),
+        n_stop.cast("int").alias("n_stopwords"),
+        reason.alias("reason"),
+        F.when(reason == "kept", "Y").otherwise("N").alias("keep_flag"),
+    )
+
+
 EXT_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -614,4 +650,5 @@ EXT_QUERIES = {
     "t_funnel_conversion": t_funnel_conversion,
     "t_cohort_retention": t_cohort_retention,
     "ts_anomaly_days": ts_anomaly_days,
+    "cur_quality_filter": cur_quality_filter,
 }
