@@ -27,7 +27,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so queries WITHOUT a driver-verified CORRECTNESS row yet come
+    # first (round 1 verified only the first 50 keys): all 40 LLM-pipeline
+    # extension queries, then the re-fixed / never-checked parity queries,
+    # then TPC-H, then the 45 already-green round-1 entries.
     return {
+        **EXT_QUERIES,
+        "n_props_extract": Q.n_props_extract,
+        "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
+        "a_quantile_sketch": Q.a_quantile_sketch,
+        "f_bitwise_suite": Q.f_bitwise_suite,
+        "w_fill_forward": Q.w_fill_forward,
+        "q12_late_ship_priority_mix": T.q12_late_ship_priority_mix,
+        "q16_supplier_part_counts": T.q16_supplier_part_counts,
+        "q2_min_cost_supplier": T.q2_min_cost_supplier,
+        "q4_priority_with_late_ship": T.q4_priority_with_late_ship,
+        "q6_forecast_revenue": T.q6_forecast_revenue,
+        "q10_returned_item_customers": T.q10_returned_item_customers,
+        "q7_bination_volume": T.q7_bination_volume,
+        "q8_market_share": T.q8_market_share,
+        "q9_profit_by_nation_year": T.q9_profit_by_nation_year,
+        "q11_important_part_values": T.q11_important_part_values,
+        "q13_customer_order_distribution": T.q13_customer_order_distribution,
+        "q14_promo_revenue_share": T.q14_promo_revenue_share,
+        "q15_top_revenue_supplier": T.q15_top_revenue_supplier,
+        "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+        "q20_heavy_promo_suppliers": T.q20_heavy_promo_suppliers,
+        "q21_sole_late_supplier": T.q21_sole_late_supplier,
+        "q22_idle_wealthy_customers": T.q22_idle_wealthy_customers,
         "q1_pricing_summary": Q.q1_pricing_summary,
         "a1_latest_order_per_customer": Q.a1_latest_order_per_customer,
         "a2_high_water_marks": Q.a2_high_water_marks,
@@ -44,7 +72,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rank_suite": Q.w_rank_suite,
         "f_date_arithmetic": Q.f_date_arithmetic,
         "f_string_suite": Q.f_string_suite,
-        "n_props_extract": Q.n_props_extract,
         "t_sliding_window_agg": Q.t_sliding_window_agg,
         "j_asof_latest_event_before_order": Q.j_asof_latest_event_before_order,
         "j2_scd2_delta_classify": Q.j2_scd2_delta_classify,
@@ -64,8 +91,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o_top_revenue_orders": Q.o_top_revenue_orders,
         "q18_large_volume_customers": Q.q18_large_volume_customers,
         "n_props_variant": Q.n_props_variant,
-        "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
-        "a_quantile_sketch": Q.a_quantile_sketch,
         "a_heavy_hitters": Q.a_heavy_hitters,
         "o_union_evolved_schemas": Q.o_union_evolved_schemas,
         "j_nullsafe_snapshot_match": Q.j_nullsafe_snapshot_match,
@@ -78,27 +103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_interval_align": Q.scd2_interval_align,
         "meta_quality_audit": Q.meta_quality_audit,
         "a_mode_event_type": Q.a_mode_event_type,
-        "f_bitwise_suite": Q.f_bitwise_suite,
-        "w_fill_forward": Q.w_fill_forward,
-        "q2_min_cost_supplier": T.q2_min_cost_supplier,
-        "q4_priority_with_late_ship": T.q4_priority_with_late_ship,
-        "q6_forecast_revenue": T.q6_forecast_revenue,
-        "q10_returned_item_customers": T.q10_returned_item_customers,
-        "q12_late_ship_priority_mix": T.q12_late_ship_priority_mix,
-        "q16_supplier_part_counts": T.q16_supplier_part_counts,
-        "q7_bination_volume": T.q7_bination_volume,
-        "q8_market_share": T.q8_market_share,
-        "q9_profit_by_nation_year": T.q9_profit_by_nation_year,
-        "q11_important_part_values": T.q11_important_part_values,
-        "q13_customer_order_distribution": T.q13_customer_order_distribution,
-        "q14_promo_revenue_share": T.q14_promo_revenue_share,
-        "q15_top_revenue_supplier": T.q15_top_revenue_supplier,
-        "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
-        "q20_heavy_promo_suppliers": T.q20_heavy_promo_suppliers,
-        "q21_sole_late_supplier": T.q21_sole_late_supplier,
-        "q22_idle_wealthy_customers": T.q22_idle_wealthy_customers,
-        **EXT_QUERIES,
     }
 
 

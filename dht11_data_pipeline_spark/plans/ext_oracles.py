@@ -606,7 +606,7 @@ scored AS (
   CROSS JOIN totals t
 )
 SELECT doc_id, score, rk FROM (
-  SELECT doc_id, SUM(term_score) AS score,
+  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
          ROW_NUMBER() OVER (ORDER BY SUM(term_score) DESC, doc_id) AS rk
   FROM scored GROUP BY doc_id
 )
