@@ -44,11 +44,14 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[int]]) -> Column:
     return bucket.cast("int")
 
 
-def make_planes(n_planes: int, dim: int) -> list[list[int]]:
+def make_planes(n_planes: int, dim: int,
+                seed: int = 123456789) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from a fixed LCG — reproducible in
-    any engine as data (emitted as literals), no RNG at query time."""
+    any engine as data (emitted as literals), no RNG at query time.
+    Distinct ``seed`` values give independent plane tables (the
+    multi-probe OR-amplification path)."""
     planes = []
-    state = 123456789
+    state = seed
     for _ in range(n_planes):
         row = []
         for _ in range(dim):

@@ -55,13 +55,24 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3, threshold: float = 0.2) -> DataFrame:
+                  n: int = 3, threshold: float = 0.2,
+                  max_shingle_df: int | None = 100_000) -> DataFrame:
     """Exact pairwise n-gram Jaccard via inverted-index self-join.
 
     Explode distinct shingles → join on shingle (pairs that share ≥1
-    shingle) → count common → J = common / (|A|+|B|-common). The join
-    key is the shingle string; at scale hash it first and pre-filter
-    stop-shingles (df frequency cap) to bound fan-out.
+    shingle) → count common → J = common / (|A|+|B|-common).
+
+    ``max_shingle_df`` caps the self-join fan-out: a "stop shingle"
+    shared by f documents contributes f² join rows, so ONE boilerplate
+    shingle common to 10⁶ docs would alone produce 10¹² rows. Shingles
+    with document frequency > cap are dropped from the JOIN side only
+    (per-doc set sizes stay exact). Pairs whose overlap is entirely
+    stop-shingles are missed and counted overlap shrinks by the dropped
+    shingles — the standard corpus-dedup trade; with the default cap
+    nothing triggers at fixture scale, so results are exact there (the
+    DuckDB oracle pins that). The hot list is found with one groupBy on
+    the SAME key the self-join shuffles on (exchange reuse) and is
+    broadcast-size by construction (≤ |shingles|/cap entries).
     """
     # materialize the inverted index once: it feeds the self-join twice
     # plus the per-doc sizes — without persist every branch re-runs the
@@ -71,7 +82,12 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ).persist()
     sizes = inv.groupBy(F.col(id_col).alias("sid")).agg(
         F.count(F.lit(1)).cast("int").alias("set_size"))
-    a, b = inv.alias("a"), inv.alias("b")
+    joinable = inv
+    if max_shingle_df is not None:
+        hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_shingle_df).select("shingle"))
+        joinable = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
     common = (
         a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -212,10 +228,15 @@ def minhash_incremental_pairs(corpus: DataFrame, sig_store: DataFrame,
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"))
         .distinct()
     )
+    # persist: cands feeds THREE consumers (both unions of `touched` and
+    # the final verify join) — unpersisted, the band self-join re-runs
+    # per consumer (~3x the shuffles, measured in SCALE.md round 1)
+    cands = cands.persist()
     touched = (cands.select(F.col("doc_a").alias("cid"))
                .union(cands.select(F.col("doc_b").alias("cid"))).distinct())
     needed = corpus.join(touched, corpus[id_col] == touched.cid).drop("cid")
-    sh = _doc_shingles(needed, text_col, id_col, n)
+    # persist: the candidate docs' shingle sets feed both join sides below
+    sh = _doc_shingles(needed, text_col, id_col, n).persist()
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("set_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("set_b"))
     common = F.size(F.array_intersect("set_a", "set_b"))

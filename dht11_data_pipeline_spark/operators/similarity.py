@@ -95,11 +95,23 @@ def _normalized(corpus: DataFrame, id_col: str, vec_col: str,
 
 def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs (dedup tier for semantic dups).
-    Test-scale pair scan; at 100 TB run lsh_ann buckets first and only
-    pair-compare within buckets."""
+                              vec_col: str = "embedding",
+                              brute_limit: int | None = 200_000) -> DataFrame:
+    """Embedding-cosine near-dup pairs by EXHAUSTIVE pair scan — the
+    oracle/verify path only. O(N²): refuses to run past ``brute_limit``
+    rows (pass None to override) and points to the scale paths —
+    ``embedding_near_duplicates_multiprobe`` (high recall, the
+    canonical near-dup query) or ``embedding_near_duplicates_lsh``
+    (single-table)."""
     from dht11_data_pipeline_spark.functions.vectors import dot
+    if brute_limit is not None:
+        n = corpus.count()
+        if n > brute_limit:
+            raise ValueError(
+                f"brute-force near-dup over {n} rows is a corpus-squared "
+                f"cartesian (limit {brute_limit}); use "
+                "embedding_near_duplicates_multiprobe / _lsh instead, or "
+                "pass brute_limit=None to force")
     a = _normalized(corpus, id_col, vec_col, "id_a", "va")
     b = _normalized(corpus, id_col, vec_col, "id_b", "vb")
     return (
@@ -109,6 +121,47 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def embedding_near_duplicates_multiprobe(
+        corpus: DataFrame, threshold: float = 0.95, n_planes: int = 4,
+        n_tables: int = 3, dim: int = 64, id_col: str = "vec_id",
+        vec_col: str = "embedding") -> DataFrame:
+    """The canonical near-dup query: OR-amplified LSH. Candidates =
+    pairs agreeing on ALL sign bits of ANY of ``n_tables`` independent
+    plane sets; each candidate is verified with the exact cosine. For a
+    pair at similarity s, P(bucket agreement per table) = (1-acos(s)/π)^p,
+    so recall = 1-(1-(1-acos(s)/π)^p)^L — more tables buy recall at
+    linear cost, vs the N² cartesian the brute scan pays.
+
+    Shape: per table one self-equi-join on the bucket id (hash-random →
+    no skew), then a union + distinct to dedupe pairs caught by several
+    tables. The normalized corpus is persisted once and feeds all 2L
+    join sides. Deterministic planes per table (seeded LCG) keep the
+    result engine-reproducible — the DuckDB oracle mirrors the exact
+    same plane literals."""
+    from dht11_data_pipeline_spark.functions.vectors import dot
+    base = _normalized(corpus, id_col, vec_col, "id", "v").persist()
+    per_table = []
+    for t in range(n_tables):
+        planes = make_planes(n_planes, dim, seed=123456789 + t)
+        side = base.withColumn("bucket",
+                               hyperplane_sign_bits(F.col("v"), planes))
+        a = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        "bucket")
+        b = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        "bucket")
+        per_table.append(
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")), 4))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim")
+        )
+    out = per_table[0]
+    for nxt in per_table[1:]:
+        out = out.unionByName(nxt)
+    return out.distinct()
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -27,8 +27,74 @@ class PlanMetrics:
                          # under AQE (markers appear in the final plan)
 
 
+def _eff_col(line: str) -> int:
+    """Tree depth of a plan line: the branch-marker column (``+- `` /
+    ``:- ``) when present, else the first-non-space column (AQE's
+    ``== Final Plan ==`` blocks print bare indented lines)."""
+    m = re.search(r"[+:]- ", line)
+    if m is not None:
+        return m.start()
+    return len(line) - len(line.lstrip(" "))
+
+
+def _subtree_end(lines: list[str], i: int, col: int) -> int:
+    j = i + 1
+    while j < len(lines) and _eff_col(lines[j]) > col:
+        j += 1
+    return j
+
+
+def _block_key(lines: list[str]) -> str:
+    """Identity of a cached block, independent of expression/plan/stage
+    ids (which differ per reference to the same cached relation)."""
+    text = "\n".join(re.sub(r"^[\s:+|-]*", "", x) for x in lines)
+    text = re.sub(r"#\d+", "#", text)
+    text = re.sub(r"plan_id=\d+", "plan_id=", text)
+    text = re.sub(r"QueryStage \d+", "QueryStage", text)
+    text = re.sub(r"\*\(\d+\)", "*()", text)
+    return text
+
+
+def normalize_plan(plan: str) -> str:
+    """Make a physical-plan string COUNTABLE as executed work:
+
+    - drop every ``== Initial Plan ==`` section (AQE prints the
+      pre-adaptive plan next to the final one — counting both doubles
+      every exchange under an executed AdaptiveSparkPlan);
+    - keep each cached (persisted) relation's child plan ONCE:
+      ``InMemoryRelation`` prints it at every ``InMemoryTableScan``
+      reference, but Spark materializes once and serves later
+      references from the cache — a 3-consumer persist would otherwise
+      triple-count the shuffles/scans under it."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    seen: set[str] = set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "== Initial Plan ==" in line:
+            i = _subtree_end(lines, i, _eff_col(line))
+            continue
+        m = re.search(r"[+:]- InMemoryRelation|^InMemoryRelation", line)
+        if m is None:
+            out.append(line)
+            i += 1
+            continue
+        j = _subtree_end(lines, i, _eff_col(line))
+        key = _block_key(lines[i:j])
+        if key not in seen:
+            seen.add(key)
+            out.append(line)
+            # recurse on the child plan so nested caches / Initial
+            # sections inside the kept block are normalized too
+            if j > i + 1:
+                out.append(normalize_plan("\n".join(lines[i + 1:j])))
+        i = j
+    return "\n".join(out)
+
+
 def plan_metrics(df: DataFrame) -> PlanMetrics:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = normalize_plan(df._jdf.queryExecution().executedPlan().toString())
     return PlanMetrics(
         scans=plan.count("Scan parquet"),
         pushed_filters=len(re.findall(r"PushedFilters: \[(?!\])", plan)),

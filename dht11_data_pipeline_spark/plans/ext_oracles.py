@@ -164,6 +164,32 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}
 """
 
 
+def _multiprobe_near_dup_sql(threshold: float = 0.4, n_planes: int = 4,
+                             n_tables: int = 3, dim: int = 64) -> str:
+    """Mirror of similarity.embedding_near_duplicates_multiprobe: per
+    plane table a bucket self-join, UNION ALL, DISTINCT — identical
+    seeded plane literals, so candidate sets match bit-for-bit."""
+    branches = []
+    for t in range(n_tables):
+        planes = make_planes(n_planes, dim, seed=123456789 + t)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"{[float(v) for v in plane]}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        branches.append(f"""
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 4) AS sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+               CAST({bucket} AS INTEGER) AS bucket FROM embeddings) a
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v,
+               CAST({bucket} AS INTEGER) AS bucket FROM embeddings) b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}""")
+    union = "\n  UNION ALL\n".join(branches)
+    return f"SELECT DISTINCT id_a, id_b, sim FROM (\n{union}\n)"
+
+
 def _profile_sql(table: str, cols: list[tuple[str, str]]) -> str:
     """Mirror of operators/profile: per-column stats UNION ALL, same
     post-aggregation normalization (num → DECIMAL(18,2) → VARCHAR)."""
@@ -371,12 +397,7 @@ SELECT query_id, cent_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5
 """,
 
-    "sim_embedding_near_dup": """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
-""",
+    "sim_embedding_near_dup": _multiprobe_near_dup_sql(threshold=0.4),
 
     "sim_embedding_near_dup_lsh": _bucketed_near_dup_sql(threshold=0.4),
 

@@ -89,9 +89,14 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4)."""
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4) via OR-
+    amplified multi-probe LSH (3 independent plane tables + exact
+    cosine verify) — the canonical near-dup path; no corpus×corpus
+    cartesian anywhere in the plan. The brute pair scan survives only
+    as the recall oracle in tests (test_ann_recall)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.4)
+    return similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.4, n_planes=4, n_tables=3, dim=64)
 
 
 def sim_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

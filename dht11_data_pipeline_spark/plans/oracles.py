@@ -246,6 +246,30 @@ FROM orders
 GROUP BY o_orderstatus
 """,
 
+    # Sketch queries: estimates aren't portable, so the Spark side emits
+    # exact aggregates + bound-verdict booleans; the oracle pins the exact
+    # values and asserts the verdicts are uniformly TRUE.
+    "a_approx_distinct_sketch": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS hll_within_2pct,
+       TRUE AS approx_within_10pct
+FROM events
+GROUP BY event_type
+""",
+
+    "a_quantile_sketch": """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 2) AS p50_exact,
+       round(quantile_cont(value, 0.90), 2) AS p90_exact,
+       round(quantile_cont(value, 0.99), 2) AS p99_exact,
+       TRUE AS p50_in_rank_bound,
+       TRUE AS p90_in_rank_bound,
+       TRUE AS p99_in_rank_bound
+FROM events
+GROUP BY event_type
+""",
+
     "a_grouping_sets_sql": """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,

@@ -718,16 +718,29 @@ def a_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the entire point at scale (exact COUNT DISTINCT re-shuffles raw
     keys; the sketch shuffle is O(groups), constant per group).
 
-    No SQL oracle (approx algorithms aren't portable across engines);
-    tests assert ≤ 2% relative error against the exact count and
-    run-to-run determinism.
+    Sketch estimates aren't portable across engines, so the query
+    surfaces them as DETERMINISTIC bound verdicts instead of raw values:
+    the exact count plus booleans asserting each sketch lands within its
+    error bound (HLL ≤2% rel. err, HLL++ ≤10%; both hold with ≥5×
+    margin on every fixture SF). The DuckDB oracle checks the exact
+    count and TRUE literals — an exact hash-compare of the invariant.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users_exact"),
         F.hll_sketch_estimate(
-            F.hll_sketch_agg("user_id")).alias("n_users_hll"),
-        F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.hll_sketch_agg("user_id")).alias("_hll"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+    )
+
+    def within(est: Column, bound: float) -> Column:
+        return (F.abs(est - F.col("n_users_exact"))
+                <= F.lit(bound) * F.col("n_users_exact"))
+
+    return agg.select(
+        "event_type", "n_users_exact",
+        within(F.col("_hll"), 0.02).alias("hll_within_2pct"),
+        within(F.col("_approx"), 0.10).alias("approx_within_10pct"),
     )
 
 
@@ -785,17 +798,30 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions, so the shuffle carries O(1/eps) summaries per group
     instead of the raw values an exact percentile needs.
 
-    No SQL oracle (sketch internals aren't portable across engines);
-    tests assert each estimate lands within the 1% rank-accuracy bound
-    against the exact quantiles and that reruns are deterministic.
+    Sketch values aren't portable across engines (and GK merge order
+    varies with partitioning), so the query surfaces the exact
+    percentiles (rounded to cents) plus DETERMINISTIC rank-bound
+    verdicts: each GK estimate must lie between the exact percentiles
+    at p±0.01 — a 100× relaxation of the sketch's eps=1e-4 rank
+    guarantee, so the booleans are stable under any partitioning. The
+    DuckDB oracle checks the exact percentiles and TRUE literals.
     """
     ev = load_table(spark, sf_dir, "events")
     pcts = [0.5, 0.9, 0.99]
-    return ev.groupBy("event_type").agg(
-        *[F.expr(f"percentile(value, {p})").alias(f"p{int(p * 100)}_exact")
-          for p in pcts],
+    agg = ev.groupBy("event_type").agg(
+        *[F.round(F.expr(f"percentile(value, {p})"), 2)
+          .alias(f"p{int(p * 100)}_exact") for p in pcts],
+        *[F.expr(f"percentile(value, {max(p - 0.01, 0.0)})")
+          .alias(f"_lo{int(p * 100)}") for p in pcts],
+        *[F.expr(f"percentile(value, {min(p + 0.01, 1.0)})")
+          .alias(f"_hi{int(p * 100)}") for p in pcts],
         *[F.expr(f"approx_percentile(value, {p}, 10000)")
-          .alias(f"p{int(p * 100)}_approx") for p in pcts],
+          .alias(f"_gk{int(p * 100)}") for p in pcts],
+    )
+    return agg.select(
+        "event_type", "p50_exact", "p90_exact", "p99_exact",
+        *[(F.col(f"_gk{n}").between(F.col(f"_lo{n}"), F.col(f"_hi{n}")))
+          .alias(f"p{n}_in_rank_bound") for n in (50, 90, 99)],
     )
 
 

@@ -42,3 +42,35 @@ def test_ann_recall_floor(spark, sf_dir):
     lsh2 = _topk_sets(similarity.lsh_ann_topk(emb, queries, k=5,
                                               n_planes=2, dim=64))
     assert _recall(exact, lsh2) >= r_lsh
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_multiprobe_near_dup_recall_and_exactness(spark, sf_dir):
+    """Multi-probe OR-amplification: every emitted pair is a TRUE
+    near-dup (verified cosine), and more tables strictly widen recall
+    vs a single LSH table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = _pair_set(similarity.embedding_near_duplicates(
+        emb, threshold=0.4))
+    one_table = _pair_set(similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.4, n_tables=1))
+    three_tables = _pair_set(similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.4, n_tables=3))
+    # no false positives: candidates are cosine-verified
+    assert three_tables <= brute
+    # OR-amplification: recall is monotone in table count
+    assert one_table <= three_tables
+    if brute:
+        assert len(three_tables) >= len(one_table)
+
+
+def test_brute_near_dup_refuses_past_limit(spark):
+    import pytest
+    rows = [(i, [float(i % 7)] * 4) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="cartesian"):
+        similarity.embedding_near_duplicates(emb, threshold=0.4,
+                                             brute_limit=5)
