@@ -74,6 +74,21 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16,
     boundaries). Use it for heavily skewed dimensions: linear cells
     collapse skewed mass into a few cells, which destroys curve
     locality exactly where the data is dense."""
+    if not cols:
+        raise ValueError("zorder_key requires at least one column")
+    # Interleaved key must fit in the 63 value bits of a signed long:
+    # bit 63 flips the sign (high-cell keys would sort negative-first)
+    # and Java shiftleft wraps mod 64 past that, colliding dimensions.
+    # Auto-shrink the per-dimension bit budget to keep Morton order.
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}): "
+                         "need at least 1 bit per dimension within 63 total")
+    if quantile_bits > bits:
+        raise ValueError(
+            f"quantile_bits={quantile_bits} exceeds per-dimension bit budget "
+            f"{bits}: cell spread (1<<bits)//(1<<quantile_bits) would be 0 "
+            "and the curve key would be constant")
     nums = _as_numeric(df, cols)
     if quantile_bits:
         n_cells = 1 << quantile_bits

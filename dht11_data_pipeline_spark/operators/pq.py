@@ -36,6 +36,18 @@ from dht11_data_pipeline_spark.functions.partitioning import right_size
 Codebooks = dict[int, list[tuple[int, list[float]]]]  # sub_idx -> [(code, subvec)]
 
 
+def _check_divisible(corpus: DataFrame, m: int, vec_col: str) -> None:
+    """Fail fast when the embedding width is not divisible by m:
+    truncated subdim would silently drop the trailing d % m dimensions
+    from encoding and from the ADC tables (recall degrades unsignaled).
+    One limit-1 probe — driver metadata scale."""
+    row = corpus.select(F.size(vec_col).alias("d")).first()
+    if row is not None and row["d"] is not None and row["d"] % m != 0:
+        raise ValueError(
+            f"vector length {row['d']} not divisible by m={m}; "
+            "pick m dividing the embedding width")
+
+
 def _subvector_rows(corpus: DataFrame, m: int, id_col: str,
                     vec_col: str) -> DataFrame:
     """(id, sub_idx, subvec): the vector cut into m equal slices."""
@@ -59,14 +71,25 @@ def _assign_codes(subrows: DataFrame, codebooks: Codebooks, id_col: str,
     shuffle saved per Lloyd round)."""
     import numpy as np
 
+    if not codebooks:
+        raise ValueError("empty codebooks: training seed selected no vectors "
+                         "(no id % code_mod == 0 rows?)")
+    want = set(range(max(codebooks) + 1))
+    if set(codebooks) != want or any(not cb for cb in codebooks.values()):
+        raise ValueError(
+            f"codebooks must cover every subspace 0..{max(codebooks)}; "
+            f"got non-empty entries for {sorted(s for s, cb in codebooks.items() if cb)}")
+
     mats = {s: (np.array([c for c, _ in sorted(cb)], dtype=np.int64),
                 np.array([v for _, v in sorted(cb)], dtype=np.float64))
             for s, cb in codebooks.items()}
 
     def _assign(batches):
         for pdf in batches:
-            out_code = np.empty(len(pdf), dtype=np.int32)
-            out_dist = np.empty(len(pdf), dtype=np.float64)
+            # -1 sentinel: a sub_idx outside the codebooks must fail loudly,
+            # never emit uninitialized garbage codes
+            out_code = np.full(len(pdf), -1, dtype=np.int32)
+            out_dist = np.full(len(pdf), np.nan, dtype=np.float64)
             subs = pdf["sub_idx"].to_numpy()
             vecs = pdf["subvec"]
             for s, (cids, cmat) in mats.items():
@@ -78,6 +101,9 @@ def _assign_codes(subrows: DataFrame, codebooks: Codebooks, id_col: str,
                 idx = d2.argmin(axis=1)
                 out_code[mask] = cids[idx]
                 out_dist[mask] = d2[np.arange(len(idx)), idx]
+            if (out_code < 0).any():
+                bad = sorted(set(subs[out_code < 0].tolist()))
+                raise ValueError(f"no codebook for subspace(s) {bad}")
             keep = [id_col, "sub_idx", "subvec"] if keep_subvec else [id_col, "sub_idx"]
             pdf = pdf[keep].copy()
             pdf["code"] = out_code
@@ -102,6 +128,7 @@ def train_pq(spark: SparkSession, corpus: DataFrame, m: int = 8,
     ``train_mod`` > 1 trains on the deterministic 1/train_mod sample
     (id % train_mod == 0) — the standard production shape: codebooks
     converge on a sample; the full corpus is only ever *encoded*."""
+    _check_divisible(corpus, m, vec_col)
     train = corpus if train_mod <= 1 else corpus.filter(
         F.col(id_col) % train_mod == 0)
     subrows = _subvector_rows(train, m, id_col, vec_col)
@@ -137,6 +164,7 @@ def encode_pq(corpus: DataFrame, codebooks: Codebooks, m: int = 8,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, codes array<int>): the stored PQ representation — at scale
     this is the compact table you persist (and bucket by IVF cell)."""
+    _check_divisible(corpus, m, vec_col)
     assigned = _assign_codes(
         _subvector_rows(corpus, m, id_col, vec_col), codebooks, id_col)
     return (assigned.groupBy(id_col)
@@ -163,6 +191,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
     qnorm = np.sqrt((qmat ** 2).sum(axis=1))  # (Q,)
 
     # per-subspace: code-id remap + dot/norm lookup tables
+    if qmat.shape[1] % m != 0:
+        raise ValueError(
+            f"query width {qmat.shape[1]} not divisible by m={m}")
     subdim = qmat.shape[1] // m
     remap = {}
     dot_tabs, normsq_tabs = [], []

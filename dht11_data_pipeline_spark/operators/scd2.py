@@ -87,8 +87,12 @@ def _warn_on_schema_drift(staging_dcols: list[str], target: DataFrame,
     the module generic — but surface it."""
     audit = {c.lower() for c in cfg.audit_cols()}
     keys = {c.lower() for c in cfg.natural_keys}
+    # drop the exclusion lists on the target side too: an excluded column
+    # legitimately present on the target must not warn on every run
+    excl = ({c.lower() for c in cfg.exclude_from_delta}
+            | {c.lower() for c in cfg.exclude_from_load})
     tgt_dcols = sorted(c for c in target.columns
-                       if c.lower() not in audit | keys)
+                       if c.lower() not in audit | keys | excl)
     if [c.lower() for c in staging_dcols] != [c.lower() for c in tgt_dcols]:
         added = set(c.lower() for c in staging_dcols) - set(tgt_dcols)
         gone = set(tgt_dcols) - set(c.lower() for c in staging_dcols)

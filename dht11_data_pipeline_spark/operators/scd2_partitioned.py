@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dht11_data_pipeline_spark.operators.scd2 import SCD2Config, apply_scd2
+from dht11_data_pipeline_spark.operators.scd2 import (
+    SCD2Config, apply_scd2, detect_delta,
+)
 
 BUCKET_COL = "da_key_bucket"
 
@@ -53,15 +55,43 @@ def apply_scd2_partitioned(spark: SparkSession, staging: DataFrame,
                            load_ts: str | None = None,
                            deterministic_keys: bool = False,
                            incremental: bool = True) -> list[int]:
-    """SCD2 apply touching only the buckets present in ``staging``.
-    Returns the list of bucket ids rewritten."""
+    """SCD2 apply rewriting ONLY the buckets whose keys actually
+    changed (I/U/PD). Returns the list of bucket ids rewritten.
+
+    Two-phase, the MERGE-on-parquet pattern (Delta Lake does the same
+    with files instead of buckets): a cheap classification join over
+    keys+hashes finds the changed keys; their bucket set prunes both
+    the payload read and the rewrite. NC-only buckets are never
+    rewritten — in either mode.
+
+    Read scope of the classification: ``incremental=True`` (partial
+    feed, no deletes) only needs target currents in the STAGING
+    buckets; snapshot-compare (``incremental=False``) must see every
+    current row, because a deleted key's bucket may hold no staging
+    rows at all — classification reads all currents (keys and hash
+    inputs only), but the rewrite still touches just changed buckets."""
     stg = staging.withColumn(BUCKET_COL, key_bucket(cfg, n_buckets))
+    full_target = spark.read.parquet(target_path)
+
+    # phase 1: classify (keys + delta hash only — the narrow join)
+    if incremental:
+        stg_buckets = sorted(
+            r[BUCKET_COL] for r in stg.select(BUCKET_COL).distinct().collect())
+        if not stg_buckets:
+            return []
+        class_scope = full_target.filter(F.col(BUCKET_COL).isin(stg_buckets))
+    else:
+        class_scope = full_target
+    current = class_scope.filter(F.col(cfg.current_flag) == "Y").drop(BUCKET_COL)
+    delta = detect_delta(staging, current, cfg, incremental=incremental)
     buckets = sorted(
-        r[BUCKET_COL] for r in stg.select(BUCKET_COL).distinct().collect())
+        r[BUCKET_COL]
+        for r in delta.filter(F.col("upsert_cd") != "NC")
+        .select(key_bucket(cfg, n_buckets).alias(BUCKET_COL))
+        .distinct().collect())
     if not buckets:
         return []
 
-    full_target = spark.read.parquet(target_path)
     # GLOBAL high-water marks: slice-local maxima would collide with
     # surrogate keys living in unread buckets. Parquet column stats make
     # this a metadata-mostly scan.
@@ -69,12 +99,17 @@ def apply_scd2_partitioned(spark: SparkSession, staging: DataFrame,
         F.coalesce(F.max(F.col(cfg.ak_col)), F.lit(0)),
         F.coalesce(F.max(F.col(cfg.key_col)), F.lit(0)),
     ).first()
+
+    # phase 2: full SCD2 apply restricted to changed buckets. The bucket
+    # function partitions keys consistently on both sides, so the
+    # sub-slice classification agrees with phase 1 restricted to it.
     target_slice = (
         full_target
         .filter(F.col(BUCKET_COL).isin(buckets))  # partition pruning
         .drop(BUCKET_COL)
     )
-    new_slice = apply_scd2(stg.drop(BUCKET_COL), target_slice, cfg,
+    stg_slice = stg.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
+    new_slice = apply_scd2(stg_slice, target_slice, cfg,
                            load_ts=load_ts,
                            deterministic_keys=deterministic_keys,
                            incremental=incremental,

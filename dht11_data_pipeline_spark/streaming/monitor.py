@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dht11_data_pipeline_spark.sources.firebase_tree import EPOCH_SENTINEL
+
 # a check: name -> boolean Column that is TRUE when the row VIOLATES it
 CheckSet = dict[str, Column]
 
@@ -33,7 +35,7 @@ def default_reading_checks() -> CheckSet:
         "temperature_numeric": F.col("temperature").try_cast("double").isNull()
                                & (F.col("temperature") != "N/A"),
         "device_id_present": F.col("device_id").isNull(),
-        "ts_not_epoch_sentinel": F.col("ts") == F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        "ts_not_epoch_sentinel": F.col("ts") == F.lit(EPOCH_SENTINEL).cast("timestamp"),
     }
 
 

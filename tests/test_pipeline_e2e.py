@@ -88,3 +88,58 @@ def test_empty_batch_short_circuit(spark, tmp_path):
     assert r["skipped"] is True and r["rows"] == 0
     ctl = ControlTable(spark, wh)
     assert ctl.previous_run("STG_1020")["load_status"] == "Success"
+
+
+def test_historize_partitioned_prunes_nc_buckets(spark, tmp_path):
+    """Default historize path is bucket-partitioned: batch 2's rewrite
+    must not touch parquet files in buckets holding only NC keys
+    (reference MERGE parity at 100 TB write-amplification cost)."""
+    import os
+
+    from dht11_data_pipeline_spark.operators.scd2_partitioned import (
+        BUCKET_COL, key_bucket)
+    from dht11_data_pipeline_spark.pipeline import HIST_CFG
+
+    wh = str(tmp_path / "wh")
+    t1 = tmp_path / "b1.json"; t1.write_text(json.dumps(BATCH1))
+    t2 = tmp_path / "b2.json"; t2.write_text(json.dumps(BATCH2))
+    bootstrap(spark, wh)
+    run_batch(spark, wh, str(t1), "DEV01",
+              load_ts="2024-05-05 12:00:00", since_ts="1970-01-01 00:00:00")
+
+    hist_path = os.path.join(wh, "hist_dht11_data")
+    assert any(d.startswith(f"{BUCKET_COL}=") for d in os.listdir(hist_path))
+    before = {}
+    for root, _dirs, files in os.walk(hist_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                before[p] = os.path.getmtime(p)
+
+    run_batch(spark, wh, str(t2), "DEV01",
+              load_ts="2024-05-06 12:00:00", since_ts="1970-01-01 00:00:00")
+
+    # changed keys of batch 2: the U (11:35:35) and the I (2024-05-06)
+    changed = spark.createDataFrame(
+        [("DEV01", "2024-05-05 11:35:35"), ("DEV01", "2024-05-06 08:00:00")],
+        "device_id string, ts string",
+    ).select(F.col("device_id"), F.col("ts").cast("timestamp"))
+    changed_buckets = {
+        r["b"] for r in changed.select(
+            key_bucket(HIST_CFG, 64).alias("b")).collect()}
+    nc_bucket = spark.createDataFrame(
+        [("DEV01", "2024-05-05 11:30:35")], "device_id string, ts string"
+    ).select(F.col("device_id"), F.col("ts").cast("timestamp")).select(
+        key_bucket(HIST_CFG, 64).alias("b")).first()["b"]
+
+    if nc_bucket not in changed_buckets:
+        nc_dir = f"{BUCKET_COL}={nc_bucket}"
+        nc_files = [p for p in before if nc_dir in p]
+        assert nc_files, "NC key's bucket missing from batch-1 layout"
+        for p in nc_files:
+            assert os.path.exists(p) and os.path.getmtime(p) == before[p], \
+                f"NC-only bucket rewritten: {p}"
+
+    hist = read_history(spark, wh)
+    assert hist.filter(F.col("da_current_flag") == "Y").count() == 3
+    assert hist.count() == 4

@@ -188,3 +188,18 @@ def test_schema_drift_warns_but_proceeds(spark):
     assert any("drift" in str(w.message) for w in caught)
     # same key, hash changed by the extra column -> classified U
     assert [r["upsert_cd"] for r in rows] == ["U"]
+
+
+def test_no_drift_warning_for_excluded_target_columns(spark):
+    """An excluded column legitimately present on the TARGET side must
+    not warn (round-1 false positive: 'missing=[timezone]' on every
+    run while timezone was in exclude_from_delta)."""
+    import warnings as _w
+
+    stg = _df(spark, B1)
+    tgt = _empty_target(spark)  # carries timezone (excluded from delta)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        detect_delta(stg, tgt, CFG).collect()
+    drift = [w for w in caught if "drift" in str(w.message)]
+    assert not drift, [str(w.message) for w in drift]
