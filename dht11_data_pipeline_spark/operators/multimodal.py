@@ -1,13 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched Pandas UDFs (``mapInPandas``).
 
-The image/audio decode libraries are not in this container, so the
-decode step is STUBBED: ``decode_image_stub`` raises
-NotImplementedError unless ``fake=True``, in which case it derives
-deterministic fake features from the byte payload. Everything
-Spark-side — binary schema, Arrow batch transfer, UDF signature,
-output schema, partitioning — is real and tested; swapping the stub
-for PIL/librosa is a one-function change.
+Two decode tiers:
+  * REAL: PPM/BMP via the vendored pure-Python codec
+    (functions/imagecodec.py) — ``decode_image`` parses actual image
+    headers/pixels and ``decode_resize_payloads`` performs a true
+    nearest-neighbor resize, end-to-end with no fake branch.
+  * STUB: compressed formats (JPEG/PNG/audio) need PIL/librosa, which
+    this container lacks — ``decode_image_stub`` raises
+    NotImplementedError unless ``fake=True`` (deterministic fake
+    features). Swapping the stub for PIL is a one-function change; the
+    Spark-side plumbing (binary schema, Arrow batch transfer, UDF
+    signature, partitioning) is identical for both tiers.
 
 Scale: mapInPandas streams Arrow record batches through Python —
 payload bytes never materialize on the driver; batch size is bounded
@@ -46,11 +50,79 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
 
 
 def decode_image_stub(payload: bytes, fake: bool = True) -> tuple[int, int]:
-    """Placeholder for a real decoder (PIL.Image.open etc.)."""
+    """Placeholder for a compressed-format decoder (PIL.Image.open)."""
     if not fake:
-        raise NotImplementedError("image decode requires PIL — not in this container")
+        raise NotImplementedError(
+            "compressed-image decode requires PIL — not in this container; "
+            "PPM/BMP decode is REAL via decode_image")
     n = len(payload)
     return n % 256, (n // 256) % 256  # deterministic fake (width, height)
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """REAL (width, height) decode for the supported uncompressed
+    formats (P6 PPM, BMP) — no fake branch."""
+    from dht11_data_pipeline_spark.functions.imagecodec import decode_dims
+    return decode_dims(bytes(payload))
+
+
+def attach_image_payload(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", width: int = 32) -> DataFrame:
+    """Binary column holding a REAL P6 PPM image deterministically
+    synthesized from each document's bytes (functions/imagecodec.
+    text_to_ppm): the ingestion shape of an image table, exercised
+    end-to-end without external libraries."""
+    from dht11_data_pipeline_spark.functions.imagecodec import text_to_ppm
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "payload": [text_to_ppm(t.encode("utf-8"), width)
+                            for t in pdf[text_col]],
+            })
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _batches, schema=f"{id_col} bigint, payload binary")
+
+
+DECODE_RESIZE_SCHEMA = ("doc_id bigint, width int, height int, "
+                        "out_width int, out_height int, out_n_bytes int, "
+                        "out_checksum string")
+
+
+def decode_resize_payloads(binary_df: DataFrame, out_w: int = 16,
+                           out_h: int = 16) -> DataFrame:
+    """REAL decode + nearest-neighbor resize + re-encode over the
+    binary column: parses each P6 payload's header/pixels, resamples to
+    ``out_w`` x ``out_h``, and re-encodes — every byte produced by the
+    vendored codec, no fake path. Arrow-batched; partitions stay
+    independent (the 100 TB image-preprocessing shape)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from dht11_data_pipeline_spark.functions.imagecodec import (
+            decode_ppm, resize_nn_ppm)
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "out_width": [], "out_height": [], "out_n_bytes": [],
+                    "out_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                w, h, _ = decode_ppm(p)
+                out = resize_nn_ppm(p, out_w, out_h)
+                ow, oh, _ = decode_ppm(out)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["out_n_bytes"].append(len(out))
+                rows["out_checksum"].append(hashlib.sha256(out).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_batches, schema=DECODE_RESIZE_SCHEMA)
 
 
 def extract_features(binary_df: DataFrame) -> DataFrame:

@@ -433,6 +433,20 @@ SELECT doc_id, n AS n_bytes_in,
 FROM sliced
 """,
 
+    # mirrors the REAL PPM roundtrip: width fixed at 32, height =
+    # ceil(bytes / (32*3)), output re-encoded at 16x16 so the out size
+    # is the 13-byte 'P6\n16 16\n255\n' header + 16*16*3 pixel bytes
+    "mm_image_decode": """
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS width,
+       GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 96.0) AS INTEGER))
+         AS height,
+       CAST(16 AS INTEGER) AS out_width,
+       CAST(16 AS INTEGER) AS out_height,
+       CAST(13 + 16 * 16 * 3 AS INTEGER) AS out_n_bytes
+FROM documents
+""",
+
     "mm_frame_sample": """
 WITH t AS (
   SELECT doc_id, text, CAST(octet_length(encode(text)) AS INTEGER) AS n
@@ -745,5 +759,34 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
 FROM stats
 WHERE abs((CAST(day_total_d AS DOUBLE) - s / n)
           / sqrt((ss - s * s / n) / (n - 1))) > 2.0
+""",
+    # the three iterative-training queries surface deterministic
+    # invariant verdicts (see plans/ext_queries._ann_invariants and
+    # sim_kmeans_clusters): the oracle checks the exact counts and the
+    # TRUE literals the invariants must produce on any correct engine
+    "sim_kmeans_clusters": """
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_points,
+       (SELECT COUNT(*) FROM embeddings WHERE vec_id % 40 = 0) AS k,
+       TRUE AS all_assigned,
+       TRUE AS clusters_within_seeds,
+       TRUE AS inertia_decreased
+""",
+    "sim_pq_ann": """
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS n_neighbors,
+       TRUE AS ranks_dense,
+       TRUE AS neighbors_distinct,
+       TRUE AS no_self,
+       TRUE AS recall_floor_ok
+FROM embeddings WHERE vec_id % 50 = 0
+""",
+    "sim_ivfpq_ann": """
+SELECT vec_id AS query_id,
+       CAST(5 AS BIGINT) AS n_neighbors,
+       TRUE AS ranks_dense,
+       TRUE AS neighbors_distinct,
+       TRUE AS no_self,
+       TRUE AS recall_floor_ok
+FROM embeddings WHERE vec_id % 50 = 0
 """,
 }

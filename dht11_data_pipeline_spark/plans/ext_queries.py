@@ -121,6 +121,23 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.attach_binary_payload(docs), target=64)
 
 
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode, no stub: each document's bytes are
+    packed into an actual P6 PPM image (vendored pure-Python codec),
+    then header+pixels are parsed back, nearest-neighbor-resized to
+    16x16 and re-encoded — encode -> decode -> resize -> decode, all
+    inside Arrow batches. The checksum column is dropped here because
+    the zero-padding bytes aren't expressible to the SQL oracle; the
+    full byte-level roundtrip is pinned in tests/test_formats_and_stats
+    / test_imagecodec."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_resize_payloads(
+        multimodal.attach_image_payload(docs, width=32),
+        out_w=16, out_h=16,
+    ).select("doc_id", "width", "height",
+             "out_width", "out_height", "out_n_bytes")
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1:N frame-sampling plumbing (video/audio keyframe shape):
     256-byte frames, every 4th."""
@@ -286,16 +303,42 @@ def ts_user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means refinement of the IVF coarse quantizer
-    (operators/kmeans): 3 rounds from the deterministic sample init,
-    returning (vec_id, cluster_id). Iterative — no SQL oracle; the
-    driver records the rows-only check, and tests/test_kmeans.py pins
-    the objective monotonicity, determinism, and partition properties.
-    """
-    from dht11_data_pipeline_spark.operators.kmeans import lloyd_kmeans
+    (operators/kmeans): 3 rounds from the deterministic sample init.
+
+    Raw assignments aren't portable across engines (distributed float
+    means shift boundary points with partitioning), so the query
+    surfaces DETERMINISTIC invariant verdicts the DuckDB oracle checks
+    exactly: the corpus size, the seeded cluster count, and booleans
+    asserting (a) every vector got a cluster, (b) every cluster id is
+    one of the seeded centroid ids, and (c) Lloyd's objective did not
+    increase versus the initial assignment (monotonicity — the
+    mathematical guarantee tests/test_kmeans.py also pins)."""
+    from dht11_data_pipeline_spark.operators.kmeans import (
+        assign_clusters, inertia, lloyd_kmeans)
 
     emb = load_table(spark, sf_dir, "embeddings")
+    init = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") % 40 == 0).collect())
+    seed_ids = {cid for cid, _ in init}
+    init_inertia = inertia(assign_clusters(emb, init))
+
     assigned, _ = lloyd_kmeans(spark, emb, max_iter=3)
-    return assigned.select("vec_id", "cluster_id")
+    final_inertia = inertia(assigned)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(F.when(F.col("cluster_id").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(F.col("cluster_id").isin(list(seed_ids)), 0).otherwise(1))
+        .alias("n_foreign"),
+    ).first()
+    n_points = emb.count()
+    return spark.createDataFrame(
+        [(n_points, len(seed_ids),
+          bool(stats["n_assigned"] == n_points and stats["n_null"] == 0),
+          bool(stats["n_foreign"] == 0),
+          bool(final_inertia <= init_inertia * (1 + 1e-9)))],
+        "n_points bigint, k bigint, all_assigned boolean, "
+        "clusters_within_seeds boolean, inertia_decreased boolean")
 
 
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,37 +375,79 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_invariants(spark: SparkSession, emb: DataFrame, queries: DataFrame,
+                    approx: DataFrame, k: int, recall_floor: float) -> DataFrame:
+    """Deterministic per-query verdicts over an approximate top-k
+    result, exactly checkable by a literal-TRUE DuckDB oracle:
+    structural invariants (k neighbors, dense ranks 1..k, distinct
+    non-self neighbors) plus ONE global recall-vs-exact floor set far
+    below measured recall (≥2× margin at every fixture SF) so float
+    jitter in training can never flip it."""
+    from dht11_data_pipeline_spark.operators.similarity import cosine_topk
+
+    exact = cosine_topk(emb, queries, k=k).select(
+        F.col("query_id").alias("e_q"), F.col("neighbor_id").alias("e_n"))
+    hits = approx.join(
+        exact, (approx["query_id"] == F.col("e_q"))
+        & (approx["neighbor_id"] == F.col("e_n"))).count()
+    total = exact.count()
+    floor_ok = bool(total > 0 and hits / total >= recall_floor)
+
+    return (approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.count_distinct("rank").alias("_nrk"),
+        F.max("rank").alias("_maxrk"),
+        F.count_distinct("neighbor_id").alias("_nn"),
+        F.sum(F.when(F.col("neighbor_id") == F.col("query_id"), 1)
+              .otherwise(0)).alias("_self"),
+    ).select(
+        "query_id", "n_neighbors",
+        ((F.col("_nrk") == F.col("n_neighbors"))
+         & (F.col("_maxrk") == F.col("n_neighbors"))).alias("ranks_dense"),
+        (F.col("_nn") == F.col("n_neighbors")).alias("neighbors_distinct"),
+        (F.col("_self") == 0).alias("no_self"),
+        F.lit(floor_ok).alias("recall_floor_ok"),
+    ))
+
+
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq): codebooks trained on
     the deterministic half sample (1 Lloyd round), corpus encoded to
-    m=8 byte codes, queries scored via ADC table lookups. Iterative
-    training — no SQL oracle (rows-only driver check); recall vs exact
-    brute force is pinned in tests/test_pq.py alongside LSH and IVF.
-    """
+    m=8 byte codes, queries scored via ADC table lookups.
+
+    ADC scores aren't portable across engines, so the query surfaces
+    deterministic invariant verdicts (see _ann_invariants): structure
+    of the top-k result plus a recall-vs-exact floor of 0.10 (measured
+    0.225–0.36 across fixture SFs; exact ranking pinned in
+    tests/test_pq.py)."""
     from dht11_data_pipeline_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     cbs = pq.train_pq(spark, emb, m=8, code_mod=25, iters=1, train_mod=2)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return pq.pq_topk(emb, queries, cbs, m=8, k=5).select(
-        "query_id", "neighbor_id", "rank")
+    approx = pq.pq_topk(emb, queries, cbs, m=8, k=5)
+    return _ann_invariants(spark, emb, queries, approx, k=5,
+                           recall_floor=0.10)
 
 
 def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition (operators/pq.ivfpq_topk): coarse inverted
     cells restrict each probe to nprobe lists; PQ codes make every
     scored row m table lookups instead of a d-dim dot product. The
-    production shape for billion-vector search. Rows-only driver check
-    (iterative training); recall-vs-nprobe monotonicity pinned in
-    tests/test_pq.py."""
+    production shape for billion-vector search.
+
+    Surfaced as deterministic invariant verdicts (see _ann_invariants)
+    with a recall floor of 0.05 (measured 0.135–0.28 across fixture
+    SFs; recall-vs-nprobe monotonicity pinned in tests/test_pq.py)."""
     from dht11_data_pipeline_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     cbs = pq.train_pq(spark, emb, m=8, code_mod=25, iters=1, train_mod=2)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return pq.ivfpq_topk(emb, queries, cbs, m=8, k=5,
-                         centroid_mod=40, nprobe=2).select(
-        "query_id", "neighbor_id", "rank")
+    approx = pq.ivfpq_topk(emb, queries, cbs, m=8, k=5,
+                           centroid_mod=40, nprobe=2)
+    return _ann_invariants(spark, emb, queries, approx, k=5,
+                           recall_floor=0.05)
 
 
 def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +717,7 @@ EXT_QUERIES = {
     "sim_embedding_near_dup_lsh": sim_embedding_near_dup_lsh,
     "mm_binary_features": mm_binary_features,
     "mm_resize": mm_resize,
+    "mm_image_decode": mm_image_decode,
     "mm_frame_sample": mm_frame_sample,
     "meta_profile_orders": meta_profile_orders,
     "a_salted_event_totals": a_salted_event_totals,

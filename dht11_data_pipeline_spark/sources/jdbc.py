@@ -51,10 +51,17 @@ def range_partition_predicates(col: str, lo: int, hi: int, n: int) -> list[str]:
 
 
 def mod_partition_predicates(col: str, n: int) -> list[str]:
-    """N modulo stripes — value-skew-proof partitioning for dense keys."""
+    """N modulo stripes — value-skew-proof partitioning for dense keys.
+
+    ``MOD(ABS(col), n)`` rather than ``MOD(col, n)``: SQL MOD keeps the
+    dividend's sign, so plain stripes over 0..n-1 would silently DROP
+    negative keys (each belongs to stripe -(|k| mod n), matched by no
+    predicate). ABS keeps the stripes a true partition of all integers."""
     if n <= 0:
         raise ValueError("need at least one partition")
-    return [f"MOD({col}, {n}) = {i}" for i in range(n)]
+    if n == 1:
+        return ["1=1"]
+    return [f"MOD(ABS({col}), {n}) = {i}" for i in range(n)]
 
 
 def read_table(spark: SparkSession, url: str, table: str,

@@ -1,0 +1,101 @@
+"""Vendored PPM/BMP codec: byte-level roundtrip, real nearest-neighbor
+resize, and the end-to-end Spark decode path with NO fake branch."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from dht11_data_pipeline_spark.functions.imagecodec import (
+    decode_bmp_header, decode_dims, decode_ppm, encode_ppm, resize_nn_ppm,
+    sniff, text_to_ppm,
+)
+
+
+def _gradient(w, h):
+    return bytes((x * 7 + y * 13 + c) % 256
+                 for y in range(h) for x in range(w) for c in range(3))
+
+
+def test_ppm_roundtrip():
+    rgb = _gradient(5, 3)
+    p = encode_ppm(rgb, 5, 3)
+    assert p.startswith(b"P6\n5 3\n255\n")
+    assert decode_ppm(p) == (5, 3, rgb)
+
+
+def test_ppm_header_comments_and_whitespace():
+    rgb = _gradient(2, 2)
+    p = b"P6\n# a comment\n 2\t2 # trailing\n255\n" + rgb
+    assert decode_ppm(p) == (2, 2, rgb)
+
+
+def test_ppm_errors():
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P3\n1 1\n255\n000")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="rgb length"):
+        encode_ppm(b"\x00" * 5, 2, 2)
+
+
+def test_bmp_header():
+    # minimal BITMAPINFOHEADER: 'BM' + sizes; width=7 height=-4 bpp=24
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    hdr[18:22] = (7).to_bytes(4, "little", signed=True)
+    hdr[22:26] = (-4).to_bytes(4, "little", signed=True)
+    hdr[28:30] = (24).to_bytes(2, "little")
+    assert decode_bmp_header(bytes(hdr)) == (7, 4, 24)
+    assert sniff(bytes(hdr)) == "bmp"
+    assert decode_dims(bytes(hdr)) == (7, 4)
+
+
+def test_resize_nn_exact_pixels():
+    # 4x2 -> 2x1: output pixel (x,0) samples input (x*4//2, 0*2//1)=(2x,0)
+    rgb = _gradient(4, 2)
+    out = resize_nn_ppm(encode_ppm(rgb, 4, 2), 2, 1)
+    ow, oh, orgb = decode_ppm(out)
+    assert (ow, oh) == (2, 1)
+    assert orgb == rgb[0:3] + rgb[6:9]
+
+
+def test_resize_identity():
+    rgb = _gradient(3, 3)
+    p = encode_ppm(rgb, 3, 3)
+    assert decode_ppm(resize_nn_ppm(p, 3, 3)) == (3, 3, rgb)
+
+
+def test_text_to_ppm_padding():
+    p = text_to_ppm(b"hello world", width=2)  # 11 bytes -> 2 rows of 6
+    w, h, rgb = decode_ppm(p)
+    assert (w, h) == (2, 2)
+    assert rgb == b"hello world\x00"
+    # empty payload still yields a valid 1-row image
+    w, h, rgb = decode_ppm(text_to_ppm(b"", width=4))
+    assert (w, h, rgb) == (4, 1, b"\x00" * 12)
+
+
+def test_spark_decode_resize_no_fake(spark):
+    """End-to-end through Arrow batches with the REAL codec only."""
+    from dht11_data_pipeline_spark.operators.multimodal import (
+        attach_image_payload, decode_image, decode_resize_payloads)
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 7), (3, "")],
+        "doc_id long, text string")
+    imgs = attach_image_payload(docs, width=32)
+    # payloads are genuine PPMs the standalone decoder accepts
+    for r in imgs.collect():
+        w, h = decode_image(r["payload"])
+        assert w == 32 and h >= 1
+    out = {r["doc_id"]: r for r in
+           decode_resize_payloads(imgs, out_w=16, out_h=16).collect()}
+    assert out[1]["height"] == 2 and out[2]["height"] == 1
+    assert all(r["out_width"] == 16 and r["out_height"] == 16
+               and r["out_n_bytes"] == 13 + 768 for r in out.values())
+    # checksum matches a local re-run of the same codec ops
+    p = text_to_ppm(b"x" * 100, 32)
+    local = hashlib.sha256(resize_nn_ppm(p, 16, 16)).hexdigest()
+    assert out[1]["out_checksum"] == local

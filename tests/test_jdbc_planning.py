@@ -39,9 +39,17 @@ def test_mod_predicates_partition_exactly(spark, sf_dir):
     _assert_exact_partition(o, mod_partition_predicates("o_orderkey", 5))
 
 
+def test_mod_predicates_cover_negative_keys(spark):
+    """SQL MOD keeps the dividend's sign; the stripes must still form
+    an exact partition when keys go negative."""
+    df = spark.range(-50, 50).withColumnRenamed("id", "k")
+    _assert_exact_partition(df, mod_partition_predicates("k", 7))
+
+
 def test_degenerate_domains():
     assert range_partition_predicates("k", 5, 5, 4) == ["1=1"]
     assert range_partition_predicates("k", 0, 10, 1) == ["1=1"]
+    assert mod_partition_predicates("k", 1) == ["1=1"]
     with pytest.raises(ValueError):
         range_partition_predicates("k", 0, 10, 0)
     with pytest.raises(ValueError):
