@@ -84,13 +84,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    print(json.dumps({
+    result = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # compact separators: the line is consumed by a driver that keeps a
+    # bounded tail of stdout — every byte of slack costs visibility
+    line = json.dumps(result, separators=(",", ":"))
+    # also persist in-repo: the driver's tail buffer can truncate the
+    # line once the query set grows, so keep the authoritative copy here
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LATEST.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -29,15 +29,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_components(edge_rows: list[tuple],
+                           spark) -> DataFrame:
+    """Driver-side union-find over a collected edge list; returns the
+    same (node, cluster_id=min member) frame as the distributed path.
+    O(E α(E)) — microseconds per edge — versus one Spark job round per
+    graph-diameter step."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return spark.createDataFrame(rows, "node bigint, cluster_id bigint")
+
+
+# near-dup edge lists are the REDUCED output of a dedup pass — usually
+# tiny next to the corpus. Below this count (≈32 MB of driver memory)
+# union-find on the driver beats diameter-many Spark job rounds; above
+# it the distributed propagation loop takes over.
+SMALL_EDGE_LIMIT = 2_000_000
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         small_edge_limit: int = SMALL_EDGE_LIMIT) -> DataFrame:
     """Resolve undirected edges (a, b) to (node, cluster_id) where
     cluster_id = min node id in the component. Only nodes that appear
-    in at least one edge are returned (callers union in singletons)."""
+    in at least one edge are returned (callers union in singletons).
+
+    Hybrid execution: if the DISTINCT edge count is under
+    ``small_edge_limit`` the closure runs as driver-side union-find
+    (one collect of the reduced edge list — the same O(small) driver
+    contract as kmeans centroids / PQ codebooks); otherwise iterative
+    min-label propagation runs fully distributed."""
+    # pairs feeds both union branches — persist or the (possibly
+    # expensive: LSH bucket joins) pair computation runs twice
+    pairs = pairs.select(a_col, b_col).persist()
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.union(rev).distinct().persist()
+
+    n_edges = edges.count()
+    if n_edges <= small_edge_limit:
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist()
+        pairs.unpersist()
+        return _union_find_components(rows, pairs.sparkSession)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())
     for _ in range(max_iterations):
@@ -65,6 +120,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds")
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -157,6 +157,40 @@ def detect_delta(staging: DataFrame, target_current: DataFrame,
     )
 
 
+def dense_rank_distributed(df: DataFrame, order_cols: list[str],
+                           rank_col: str = "_rank") -> DataFrame:
+    """Global dense 1..N numbering by ``order_cols`` WITHOUT a
+    single-partition sort: range-repartition on the keys, row_number
+    within each partition, then add driver-computed partition offsets
+    (the zipWithIndex pattern, DataFrame-native). Each task sorts only
+    its slice; the driver handles an O(partitions) offset table. Ties
+    across a range boundary get an arbitrary-but-valid order — same
+    contract as a global ROW_NUMBER over non-unique keys.
+
+    The input is persisted (the offset count and the final numbering
+    both consume the shuffled frame); callers materialize promptly.
+    """
+    spark = df.sparkSession
+    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    staged = (df.repartitionByRange(n_parts, *order_cols)
+              .withColumn("_dr_pid", F.spark_partition_id())
+              .persist())
+    counts = {r["_dr_pid"]: r["cnt"] for r in
+              staged.groupBy("_dr_pid")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    off = 0
+    offsets = []
+    for pid in sorted(counts):
+        offsets.append((pid, off))
+        off += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)],
+                                   "_dr_pid int, _dr_off long")
+    w = Window.partitionBy("_dr_pid").orderBy(*order_cols)
+    return (staged.join(F.broadcast(off_df), "_dr_pid")
+            .withColumn(rank_col, F.row_number().over(w) + F.col("_dr_off"))
+            .drop("_dr_pid", "_dr_off"))
+
+
 def allocate_surrogate_keys(df: DataFrame, high_water: int, out_col: str,
                             order_cols: list[str] | None = None,
                             deterministic: bool = False) -> DataFrame:
@@ -167,15 +201,19 @@ def allocate_surrogate_keys(df: DataFrame, high_water: int, out_col: str,
     only uniqueness + monotonicity above the high-water mark (reference
     Delta_detection_query_gen.py:39,253-283 — SURVEY §7.4.1).
 
-    ``deterministic=True``: dense row_number over ``order_cols`` — the
-    reference's ``ROW_NUMBER() OVER (ORDER BY 'JP')`` behavior, global
-    single-partition sort; use only for tests/small dims.
+    ``deterministic=True``: dense keys ordered by ``order_cols`` — the
+    reference's ``ROW_NUMBER() OVER (ORDER BY 'JP')`` semantics, minted
+    via ``dense_rank_distributed`` (range-partitioned numbering +
+    offsets), so even the deterministic path never funnels the insert
+    set through one partition.
     """
     if deterministic:
         if not order_cols:
             raise ValueError("deterministic allocation needs order_cols")
-        w = Window.orderBy(*order_cols)
-        return df.withColumn(out_col, (F.row_number().over(w) + F.lit(high_water)).cast("decimal(18,0)"))
+        return (dense_rank_distributed(df, order_cols, "_sk_rank")
+                .withColumn(out_col, (F.col("_sk_rank") + F.lit(high_water))
+                            .cast("decimal(18,0)"))
+                .drop("_sk_rank"))
     return df.withColumn(
         out_col,
         (F.monotonically_increasing_id() + F.lit(high_water) + 1).cast("decimal(18,0)"),
@@ -246,14 +284,24 @@ def apply_scd2(staging: DataFrame, target: DataFrame, cfg: SCD2Config,
     inserts_src = staging.select(*payload_cols).join(
         delta.filter(F.col("upsert_cd").isin("I", "U")).select(*nk), nk, "inner"
     )
-    inserts = allocate_surrogate_keys(
-        inserts_src, hw_key, cfg.key_col,
-        order_cols=nk, deterministic=deterministic_keys,
-    )
-    inserts = allocate_surrogate_keys(
-        inserts, hw_ak, cfg.ak_col,
-        order_cols=nk, deterministic=deterministic_keys,
-    )
+    # both surrogate columns from ONE numbering pass (the same rank /
+    # monotonic id offset by each high-water mark) — halves the minting
+    # work versus two independent allocations
+    if deterministic_keys:
+        ranked = dense_rank_distributed(inserts_src, nk, "_sk_rank")
+        inserts = (ranked
+                   .withColumn(cfg.key_col,
+                               (F.col("_sk_rank") + F.lit(hw_key)).cast("decimal(18,0)"))
+                   .withColumn(cfg.ak_col,
+                               (F.col("_sk_rank") + F.lit(hw_ak)).cast("decimal(18,0)"))
+                   .drop("_sk_rank"))
+    else:
+        inserts = (inserts_src.withColumn("_sk_mono", F.monotonically_increasing_id())
+                   .withColumn(cfg.key_col,
+                               (F.col("_sk_mono") + F.lit(hw_key) + 1).cast("decimal(18,0)"))
+                   .withColumn(cfg.ak_col,
+                               (F.col("_sk_mono") + F.lit(hw_ak) + 1).cast("decimal(18,0)"))
+                   .drop("_sk_mono"))
     inserts = (
         inserts.withColumn(cfg.current_flag, F.lit("Y"))
         .withColumn(cfg.deleted_flag, F.lit("N"))

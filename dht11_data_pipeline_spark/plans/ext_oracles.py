@@ -255,6 +255,28 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def _semantic_clusters_sql(threshold: float = 0.4) -> str:
+    """Connected components over the multiprobe embedding near-dup
+    pairs — the semantic twin of _clusters_sql, on vec_ids."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_multiprobe_near_dup_sql(threshold=threshold)})),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(node, origin) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, r.origin FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(origin) AS comp_id FROM reach GROUP BY node)
+SELECT v.vec_id,
+       COALESCE(c.comp_id, v.vec_id) AS cluster_id,
+       CASE WHEN COALESCE(c.comp_id, v.vec_id) = v.vec_id THEN 'Y' ELSE 'N' END AS is_canonical
+FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
+"""
+
+
 def _incremental_sql(threshold: float = 0.5, mod: int = 4) -> str:
     """A pair is emitted by the incremental run iff the full run emits
     it and at least one side is in the new batch (id % mod == 0) —
@@ -400,6 +422,46 @@ FROM r WHERE rk <= 5
     "sim_embedding_near_dup": _multiprobe_near_dup_sql(threshold=0.4),
 
     "sim_embedding_near_dup_lsh": _bucketed_near_dup_sql(threshold=0.4),
+
+    "sim_semantic_dedup": _semantic_clusters_sql(threshold=0.4),
+
+    # sentence stats: identical split/filter semantics to the Spark
+    # array lambdas (split keeps empties, trim-filter drops them; word
+    # split on single space matches Spark split(text, ' '))
+    "text_sentence_stats": r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+'),
+                     x -> trim(x) <> '') AS sents
+  FROM documents
+),
+w AS (
+  SELECT doc_id, sents,
+         list_transform(sents, x -> CAST(len(string_split(trim(x), ' ')) AS INTEGER)) AS wc
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(sents) AS INTEGER) AS n_sentences,
+       COALESCE(CAST(list_sum(wc) AS INTEGER), 0) AS total_words,
+       COALESCE(CAST(list_max(wc) AS INTEGER), 0) AS max_sentence_words,
+       CASE WHEN len(sents) > 0
+            THEN CAST(list_sum(wc) * 100 // len(sents) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS avg_words_x100
+FROM w
+""",
+
+    "cur_token_budget": """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS stratum_tokens
+  FROM documents GROUP BY lang, source
+),
+t AS (SELECT *, CAST(SUM(stratum_tokens) OVER () AS BIGINT) AS total FROM per)
+SELECT lang, source, n_docs, stratum_tokens,
+       stratum_tokens * 1000000 // total AS share_ppm,
+       CAST(10000000 AS BIGINT) * stratum_tokens // total AS token_quota
+FROM t
+""",
 
     "mm_binary_features": """
 SELECT doc_id,

@@ -275,18 +275,18 @@ def w1_surrogate_key_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference's ORDER BY <constant> funnels every row through one
     partition. Downstream only needs *unique keys above the high-water
-    mark* (SURVEY §7.4.1), so ordering by the natural key keeps the
-    result deterministic for the oracle while the production allocator
-    (operators/scd2.py) uses a distributed per-partition-offset scheme
-    with no global sort at all.
+    mark* (SURVEY §7.4.1); dense_rank_distributed (operators/scd2.py)
+    delivers the same deterministic dense numbering with a RANGE
+    shuffle + per-partition row_number + driver offset table — no
+    single-partition sort anywhere in the plan.
     """
+    from dht11_data_pipeline_spark.operators.scd2 import dense_rank_distributed
+
     delta = j2_scd2_delta_classify(spark, sf_dir).filter(F.col("upsert_cd") == "I")
-    high_water = F.lit(1_000_000)
-    w = Window.orderBy("natural_key")
-    return delta.select(
-        "natural_key",
-        (F.row_number().over(w) + high_water).alias("surrogate_key"),
-    )
+    return (dense_rank_distributed(delta.select("natural_key"),
+                                   ["natural_key"], "_rk")
+            .select("natural_key",
+                    (F.col("_rk") + F.lit(1_000_000)).alias("surrogate_key")))
 
 
 def f6_legacy_key_guard(spark: SparkSession, sf_dir: str) -> DataFrame:

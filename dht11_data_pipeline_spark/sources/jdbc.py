@@ -18,10 +18,13 @@ driver, no connection), unit-tested without a database:
   with pathological skew in the value domain (hot ranges ruin
   equal-width bounds; modulo stripes are skew-proof for dense keys).
 
-``read_table`` feeds either predicate set to ``spark.read.jdbc``;
-the import stays inside the function so environments without a JDBC
-driver jar can still import the module (baked-in container rule:
-gate anything externally-dependent).
+``read_table`` feeds either predicate set to ``spark.read.jdbc``.
+The whole path (write → partitioned read-back, range and mod stripes)
+is exercised against a LIVE embedded Derby database in
+tests/test_jdbc_live.py — Derby ships in Spark's jars, so no external
+dependency. Pass ``partition_col`` exactly as the remote dialect
+resolves it (e.g. '"k"' for a case-sensitive quoted identifier —
+Spark's JDBC writer quotes column names on CREATE).
 """
 
 from __future__ import annotations

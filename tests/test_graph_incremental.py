@@ -40,3 +40,19 @@ def test_incremental_equals_full_restricted(spark, sf_dir):
         (F.col("doc_a") % 4 == 0) | (F.col("doc_b") % 4 == 0))
     assert inc.exceptAll(full).count() == 0
     assert full.exceptAll(inc).count() == 0
+
+
+def test_distributed_path_matches_union_find(spark):
+    """Force the iterative propagation path (small_edge_limit=0) and
+    pin that it matches the driver-side union-find on the same graph:
+    a 5-chain, a triangle, and an isolated pair."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (11, 12), (10, 12),
+             (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    dist = {r["node"]: r["cluster_id"]
+            for r in connected_components(pairs, small_edge_limit=0).collect()}
+    uf = {r["node"]: r["cluster_id"]
+          for r in connected_components(pairs).collect()}
+    assert dist == uf
+    assert dist[5] == 1 and dist[12] == 10 and dist[21] == 20
