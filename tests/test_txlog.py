@@ -1,0 +1,121 @@
+"""Manifest transaction log: atomic multi-bucket SCD2 commits,
+snapshot isolation / time travel, crash safety, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.operators import txlog
+from dht11_data_pipeline_spark.operators.scd2 import apply_scd2
+from tests.test_scd2 import B1, B2, CFG, _df, _empty_target
+
+
+@pytest.fixture()
+def logged(spark, tmp_path):
+    table = str(tmp_path / "hist_logged")
+    t1 = apply_scd2(_df(spark, B1), _empty_target(spark), CFG,
+                    load_ts="2024-05-05 12:00:00", deterministic_keys=True)
+    v = txlog.init_table(t1, table, CFG, n_buckets=16)
+    assert v == 1
+    return table, t1
+
+
+def test_logged_apply_matches_plain(spark, logged):
+    table, t1 = logged
+    batch = _df(spark, [B2[1], B2[3]])  # one U + one I
+    v = txlog.apply_scd2_logged(spark, batch, table, CFG,
+                                load_ts="2024-05-06 12:00:00",
+                                deterministic_keys=True)
+    assert v == 2
+    got = txlog.read_table(spark, table)
+    want = apply_scd2(batch, t1, CFG, load_ts="2024-05-06 12:00:00",
+                      deterministic_keys=True, incremental=True)
+    cols = want.columns
+    assert ({tuple(r) for r in got.select(*cols).collect()}
+            == {tuple(r) for r in want.select(*cols).collect()})
+
+
+def test_time_travel_and_snapshot_stability(spark, logged):
+    table, t1 = logged
+    old_snapshot = txlog.read_table(spark, table)  # resolved at v1
+    batch = _df(spark, [B2[1], B2[3]])
+    txlog.apply_scd2_logged(spark, batch, table, CFG,
+                            load_ts="2024-05-06 12:00:00",
+                            deterministic_keys=True)
+    # v1 readable by version pin AND via the pre-commit DataFrame
+    # (files are immutable — no swap_target FILE_NOT_EXIST hazard)
+    assert txlog.read_table(spark, table, version=1).count() == 4
+    assert old_snapshot.count() == 4
+    assert txlog.read_table(spark, table).count() == 6  # 4 + closed + new
+
+
+def test_nc_only_batch_commits_nothing(spark, logged):
+    table, _ = logged
+    nc = _df(spark, [B1[0]])
+    v = txlog.apply_scd2_logged(spark, nc, table, CFG,
+                                load_ts="2024-05-07 12:00:00",
+                                deterministic_keys=True)
+    assert v == 1 and txlog.current_version(table) == 1
+
+
+def test_unchanged_buckets_keep_their_dirs(spark, logged):
+    table, _ = logged
+    before = txlog.read_manifest(table)["buckets"]
+    batch = _df(spark, [B2[3]])  # single new key
+    txlog.apply_scd2_logged(spark, batch, table, CFG,
+                            load_ts="2024-05-06 12:00:00",
+                            deterministic_keys=True)
+    after = txlog.read_manifest(table)["buckets"]
+    changed = {b for b in after if after[b] != before.get(b)}
+    assert len(changed) == 1
+    for b, path in before.items():
+        if b not in changed:
+            assert after[b] == path
+
+
+def test_crash_before_manifest_is_invisible(spark, logged):
+    table, _ = logged
+    # simulate: data files written for a commit but manifest never
+    # published (crash between write and rename)
+    orphan = os.path.join(table, "data", "commit-99999999")
+    _df(spark, [B2[3]]).write.mode("overwrite").parquet(orphan)
+    assert txlog.current_version(table) == 1
+    assert txlog.read_table(spark, table).count() == 4
+    removed = txlog.vacuum(table, retain_versions=2)
+    assert "data/commit-99999999" in removed
+
+
+def test_vacuum_retains_recent_versions(spark, logged):
+    table, _ = logged
+    txlog.apply_scd2_logged(spark, _df(spark, [B2[1]]), table, CFG,
+                            load_ts="2024-05-06 12:00:00",
+                            deterministic_keys=True)
+    txlog.apply_scd2_logged(spark, _df(spark, [B2[3]]), table, CFG,
+                            load_ts="2024-05-07 12:00:00",
+                            deterministic_keys=True)
+    assert txlog.current_version(table) == 3
+    removed = txlog.vacuum(table, retain_versions=2)
+    # v1 manifest dropped; latest two versions still fully readable
+    assert any(r.startswith("_txlog/v00000001") for r in removed)
+    # v2: 4 originals with one closed out + its new version = 5
+    assert txlog.read_table(spark, table, version=2).count() == 5
+    # v3: + one brand-new key
+    assert txlog.read_table(spark, table, version=3).count() == 6
+    with pytest.raises(FileNotFoundError):
+        txlog.read_manifest(table, 1)
+
+
+def test_concurrent_commit_detected(spark, logged, monkeypatch):
+    table, _ = logged
+    m = txlog.read_manifest(table)
+    txlog._commit(table, {"n_buckets": m["n_buckets"],
+                          "buckets": m["buckets"]})  # v2 committed
+    # a racer that read the log BEFORE v2 landed tries to claim v2 too:
+    # simulate its stale view of the latest version
+    monkeypatch.setattr(txlog, "current_version", lambda d: 1)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        txlog._commit(table, {"n_buckets": m["n_buckets"],
+                              "buckets": m["buckets"]})
