@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
     ru.add_argument("--group-by", default="day,event_type",
                     help="grain subset to query (comma-separated)")
 
+    t = sub.add_parser(
+        "txlog", help="transaction-logged table: history / read / cdf / vacuum")
+    t.add_argument("action", choices=["history", "read", "cdf", "vacuum"])
+    t.add_argument("--table", required=True, help="logged table dir")
+    t.add_argument("--version", type=int, default=None)
+    t.add_argument("--from-version", type=int, default=None, help="cdf start")
+    t.add_argument("--retain", type=int, default=2, help="vacuum retention")
+
     args = p.parse_args(argv)
 
     from dht11_data_pipeline_spark.session import get_spark
@@ -117,6 +125,39 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"error": "grain not servable"}))
                 return 2
             print(json.dumps([r.asDict() for r in out.collect()], default=str))
+    elif args.cmd == "txlog":
+        from dht11_data_pipeline_spark.operators import txlog
+        if args.action == "history":
+            v = txlog.current_version(args.table)
+            versions = []
+            for i in range(1, (v or 0) + 1):
+                try:
+                    m = txlog.read_manifest(args.table, i)
+                    versions.append({"version": i,
+                                     "committed_at": m["committed_at"],
+                                     "buckets": len(m["buckets"])})
+                except FileNotFoundError:
+                    continue  # vacuumed
+            print(json.dumps({"latest": v, "versions": versions}))
+        elif args.action == "read":
+            df = txlog.read_table(spark, args.table, version=args.version)
+            print(json.dumps({"version": args.version
+                              or txlog.current_version(args.table),
+                              "rows": df.count()}))
+        elif args.action == "cdf":
+            if args.from_version is None:
+                print(json.dumps({"error": "--from-version required"}))
+                return 2
+            feed = txlog.change_feed(spark, args.table, args.from_version,
+                                     args.version)
+            from pyspark.sql import functions as F
+            stats = {r["_change_type"]: r["n"] for r in
+                     feed.groupBy("_change_type")
+                     .agg(F.count("*").alias("n")).collect()}
+            print(json.dumps({"changes": stats}))
+        else:
+            removed = txlog.vacuum(args.table, retain_versions=args.retain)
+            print(json.dumps({"removed": removed}))
     return 0
 
 

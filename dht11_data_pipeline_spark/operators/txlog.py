@@ -196,6 +196,44 @@ def apply_scd2_logged(spark: SparkSession, staging: DataFrame,
     return _commit(table_dir, {"n_buckets": n_buckets, "buckets": buckets})
 
 
+def change_feed(spark: SparkSession, table_dir: str,
+                from_version: int, to_version: int | None = None) -> DataFrame:
+    """Row-level change feed between two committed versions (the
+    Delta/Iceberg CDF shape): every row removed since ``from_version``
+    comes back with ``_change_type='delete'``, every row added with
+    ``'insert'`` (an SCD2 close-out therefore appears as the old
+    current row deleted + its flag-'N' replacement inserted, plus the
+    new 'Y' version inserted — exactly the events a downstream
+    consumer replays).
+
+    Cost is O(changed buckets): the manifests name which bucket dirs
+    differ, so unchanged buckets are never read — at 100 TB a
+    small-batch commit's feed reads megabytes, not the table. The
+    full-row EXCEPT is exact because data files are immutable and both
+    snapshots resolve independently."""
+    m_from = read_manifest(table_dir, from_version)
+    m_to = read_manifest(table_dir, to_version)
+    changed_keys = ({k for k in m_from["buckets"]
+                     if m_to["buckets"].get(k) != m_from["buckets"][k]}
+                    | {k for k in m_to["buckets"]
+                       if k not in m_from["buckets"]})
+    if not changed_keys:
+        schema_src = read_table(spark, table_dir, from_version).limit(0)
+        return schema_src.withColumn("_change_type", F.lit("insert")).limit(0)
+    old_paths = sorted(m_from["buckets"][k] for k in changed_keys
+                       if k in m_from["buckets"])
+    new_paths = sorted(m_to["buckets"][k] for k in changed_keys
+                       if k in m_to["buckets"])
+    empty = read_table(spark, table_dir, from_version).limit(0)
+    old = (_read_bucket_paths(spark, table_dir, old_paths)
+           if old_paths else empty)
+    new = (_read_bucket_paths(spark, table_dir, new_paths)
+           if new_paths else empty)
+    deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+    inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+    return deletes.unionByName(inserts)
+
+
 def vacuum(table_dir: str, retain_versions: int = 2) -> list[str]:
     """Delete commit dirs referenced by NO retained manifest, and
     manifests older than the retained window. Returns removed paths.

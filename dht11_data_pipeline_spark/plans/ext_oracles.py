@@ -450,6 +450,34 @@ SELECT doc_id,
 FROM w
 """,
 
+    "text_repetition": """
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnts AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM tf GROUP BY doc_id, token
+),
+ranked AS (
+  SELECT doc_id, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, token) AS rk
+  FROM cnts
+),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         MAX(CASE WHEN rk = 1 THEN token END) AS top_token,
+         CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS top_count
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       n_distinct * 1000000 // n_tokens AS distinct_ppm,
+       top_token, top_count,
+       top_count * 1000000 // n_tokens AS top_share_ppm
+FROM per
+""",
+
     "cur_token_budget": """
 WITH per AS (
   SELECT lang, source, COUNT(*) AS n_docs,

@@ -88,6 +88,38 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition quality signals (the C4/Gopher 'repetitive
+    document' gates): token count, distinct count, distinct ratio (ppm
+    integer), and the dominant token with its count and share —
+    documents dominated by one token or with low distinct ratios are
+    SEO spam / boilerplate candidates.
+
+    Scale: explode → partial-agg (doc, token) → one shuffle at doc
+    grain; the per-doc top-1 is a window over the already-reduced
+    (doc, token) frame ordered by (count desc, token) — deterministic
+    tie-break, no second pass over raw tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "token")
+    per_doc = (tf.withColumn("rk", F.row_number().over(w))
+               .groupBy("doc_id")
+               .agg(F.sum("cnt").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_distinct"),
+                    F.max(F.when(F.col("rk") == 1, F.col("token")))
+                    .alias("top_token"),
+                    F.max(F.when(F.col("rk") == 1, F.col("cnt")))
+                    .alias("top_count")))
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.expr("n_distinct * 1000000 DIV n_tokens").alias("distinct_ppm"),
+        "top_token", "top_count",
+        F.expr("top_count * 1000000 DIV n_tokens").alias("top_share_ppm"),
+    )
+
+
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.winnowing_fingerprint(docs, k=3, w=4)
@@ -791,6 +823,7 @@ EXT_QUERIES = {
     "sim_semantic_dedup": sim_semantic_dedup,
     "text_sentence_stats": text_sentence_stats,
     "cur_token_budget": cur_token_budget,
+    "text_repetition": text_repetition,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

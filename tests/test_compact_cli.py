@@ -108,3 +108,38 @@ def test_plan_metrics_api(spark):
     assert m.pushed_filters == 1
     assert m.shuffles == 1
     assert m.python_stages == 0
+
+
+def test_cli_txlog_lifecycle(spark, tmp_path, capsys):
+    """txlog CLI: history / read / cdf / vacuum over a logged table."""
+    import json as _json
+
+    from dht11_data_pipeline_spark.__main__ import main
+    from dht11_data_pipeline_spark.operators import txlog
+    from dht11_data_pipeline_spark.operators.scd2 import apply_scd2
+    from tests.test_scd2 import B1, B2, CFG, _df, _empty_target
+
+    table = str(tmp_path / "logged")
+    t1 = apply_scd2(_df(spark, B1), _empty_target(spark), CFG,
+                    load_ts="2024-05-05 12:00:00", deterministic_keys=True)
+    txlog.init_table(t1, table, CFG, n_buckets=16)
+    txlog.apply_scd2_logged(spark, _df(spark, [B2[3]]), table, CFG,
+                            load_ts="2024-05-06 12:00:00",
+                            deterministic_keys=True)
+
+    assert main(["txlog", "history", "--table", table]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["latest"] == 2 and len(out["versions"]) == 2
+
+    assert main(["txlog", "read", "--table", table, "--version", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"version": 1, "rows": 4}
+
+    assert main(["txlog", "cdf", "--table", table,
+                 "--from-version", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"changes": {"insert": 1}}
+
+    assert main(["txlog", "vacuum", "--table", table, "--retain", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("v00000001" in r for r in out["removed"])

@@ -119,3 +119,31 @@ def test_concurrent_commit_detected(spark, logged, monkeypatch):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         txlog._commit(table, {"n_buckets": m["n_buckets"],
                               "buckets": m["buckets"]})
+
+
+def test_change_feed_between_versions(spark, logged):
+    table, _ = logged
+    batch = _df(spark, [B2[1], B2[3]])  # one U + one I
+    txlog.apply_scd2_logged(spark, batch, table, CFG,
+                            load_ts="2024-05-06 12:00:00",
+                            deterministic_keys=True)
+    feed = txlog.change_feed(spark, table, from_version=1).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    # U: old current row deleted, replaced by its closed 'N' twin,
+    # plus the new 'Y' version; I: one new 'Y' row
+    assert len(by_type.get("delete", [])) == 1
+    d = by_type["delete"][0]
+    assert d["humidity"] == "62" and d["da_current_flag"] == "Y"
+    ins = by_type["insert"]
+    assert len(ins) == 3
+    flags = sorted((r["humidity"], r["da_current_flag"]) for r in ins)
+    assert flags == [("62", "N"), ("70", "Y"), ("99", "Y")]
+
+
+def test_change_feed_empty_when_no_changes(spark, logged):
+    table, _ = logged
+    feed = txlog.change_feed(spark, table, from_version=1, to_version=1)
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns
