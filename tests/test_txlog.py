@@ -147,3 +147,52 @@ def test_change_feed_empty_when_no_changes(spark, logged):
     feed = txlog.change_feed(spark, table, from_version=1, to_version=1)
     assert feed.count() == 0
     assert "_change_type" in feed.columns
+
+
+def test_multi_batch_fold_matches_plain_apply(spark, logged):
+    """Four sequential batches through the log equal the plain
+    apply_scd2 fold over the same batches, and per-step change feeds
+    compose to the end-to-end diff."""
+    table, state = logged
+    batches = [
+        [B2[1]],                 # U
+        [B2[3]],                 # I
+        [B2[1], B2[3]],          # NC + NC (replay shape)
+        [("D1", "2024-05-05 11:30:35", "IST", "77", "29", 9),  # U again
+         ("D4", "2024-05-07 09:00:00", "UTC", "40", "15", 9)], # new I
+    ]
+    ts = ["2024-05-06 12:00:00", "2024-05-07 12:00:00",
+          "2024-05-08 12:00:00", "2024-05-09 12:00:00"]
+    versions = [1]
+    for rows, load_ts in zip(batches, ts):
+        b = _df(spark, rows)
+        txlog.apply_scd2_logged(spark, b, table, CFG, load_ts=load_ts,
+                                deterministic_keys=True)
+        versions.append(txlog.current_version(table))
+        state = apply_scd2(b, state, CFG, load_ts=load_ts,
+                           deterministic_keys=True, incremental=True)
+    # NC-only batch minted no version
+    assert versions == [1, 2, 3, 3, 4]
+    got = {tuple(r) for r in
+           txlog.read_table(spark, table).select(*state.columns).collect()}
+    want = {tuple(r) for r in state.collect()}
+    assert got == want
+
+    # change feeds compose: folding per-step feeds onto v1 yields v4
+    start = {tuple(r) for r in
+             txlog.read_table(spark, table, version=1)
+             .select(*state.columns).collect()}
+    acc = set(start)
+    for a, b in zip(versions[:-1], versions[1:]):
+        if a == b:
+            continue
+        feed = txlog.change_feed(spark, table, a, b)
+        dels = {tuple(r) for r in
+                feed.filter(F.col("_change_type") == "delete")
+                .select(*state.columns).collect()}
+        ins = {tuple(r) for r in
+               feed.filter(F.col("_change_type") == "insert")
+               .select(*state.columns).collect()}
+        assert dels <= acc
+        acc = (acc - dels) | ins
+    assert acc == want
