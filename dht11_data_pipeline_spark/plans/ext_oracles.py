@@ -478,6 +478,35 @@ SELECT doc_id, n_tokens, n_distinct,
 FROM per
 """,
 
+    "cur_sample_mixture": """
+WITH per_doc AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         sha256('mix1' || chr(31) || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+strata AS (
+  SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS st FROM per_doc
+  GROUP BY lang, source
+),
+quotas AS (
+  SELECT lang, source,
+         CAST(10000 AS BIGINT) * st
+           // CAST(SUM(st) OVER () AS BIGINT) AS token_quota
+  FROM strata
+),
+ordered AS (
+  SELECT p.doc_id, p.lang, p.source, p.n_tokens, q.token_quota,
+         COALESCE(SUM(p.n_tokens) OVER (
+           PARTITION BY p.lang, p.source ORDER BY p.h, p.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_t
+  FROM per_doc p JOIN quotas q USING (lang, source)
+)
+SELECT doc_id, lang, source, n_tokens, token_quota,
+       CASE WHEN before_t < token_quota THEN 'Y' ELSE 'N' END AS sampled
+FROM ordered
+""",
+
     "cur_token_budget": """
 WITH per AS (
   SELECT lang, source, COUNT(*) AS n_docs,

@@ -322,6 +322,45 @@ def cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cur_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted mixture sampling — the step after cur_token_budget in a
+    training-mix pipeline: each (lang, source) stratum gets its
+    proportional share of a 10k-token budget, then docs are taken in
+    deterministic hash order (uniform, seed-free, append-stable) until
+    the stratum quota is exhausted. A doc is kept iff the tokens taken
+    BEFORE it (exclusive prefix sum in hash order) are still under
+    quota — greedy with at most one overshooting doc, identical in any
+    engine.
+
+    Scale: stratum quotas come from a tiny aggregate frame (empty-
+    partition window over strata, broadcast back); the per-doc prefix
+    sum is a window partitioned BY STRATUM — no global ordering
+    anywhere."""
+    budget = 10_000
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", "lang", "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.sha2(F.concat_ws("\x1f", F.lit("mix1"),
+                           F.col("doc_id").cast("string")), 256).alias("_h"),
+    )
+    strata = (per_doc.groupBy("lang", "source")
+              .agg(F.sum("n_tokens").alias("_stratum_tokens")))
+    quotas = (strata.withColumn(
+        "_total", F.sum("_stratum_tokens").over(Window.partitionBy()))
+        .select("lang", "source",
+                F.expr(f"CAST({budget} AS BIGINT) * _stratum_tokens DIV _total")
+                .alias("token_quota")))
+    w = (Window.partitionBy("lang", "source").orderBy("_h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (per_doc.join(F.broadcast(quotas), ["lang", "source"])
+            .withColumn("_before", F.coalesce(F.sum("n_tokens").over(w),
+                                              F.lit(0)))
+            .select("doc_id", "lang", "source", "n_tokens", "token_quota",
+                    F.when(F.col("_before") < F.col("token_quota"), "Y")
+                    .otherwise("N").alias("sampled")))
+
+
 def cur_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-token chunks, stride 24 (8-token overlap), hashed content."""
     docs = load_table(spark, sf_dir, "documents")
@@ -824,6 +863,7 @@ EXT_QUERIES = {
     "text_sentence_stats": text_sentence_stats,
     "cur_token_budget": cur_token_budget,
     "text_repetition": text_repetition,
+    "cur_sample_mixture": cur_sample_mixture,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
