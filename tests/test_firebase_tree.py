@@ -56,3 +56,27 @@ def test_device_and_watermark_filter(spark, tmp_path):
     out = flatten_readings(tree, device_id="DEV01TEST",
                            since_ts="2024-05-05 11:31:00")
     assert [str(r.ts) for r in out.collect()] == ["2024-05-05 11:35:35"]
+
+
+def test_corrupt_tree_records_quarantine(spark, tmp_path):
+    """Malformed tree payloads surface in the quarantine view instead
+    of silently yielding zero rows (the reference would crash on them,
+    STG_Firebase2Oracle.py:55-56 dict iteration)."""
+    import json as _json
+
+    from dht11_data_pipeline_spark.sources.firebase_tree import (
+        corrupt_tree_records, flatten_readings, read_tree)
+
+    good = {"MCU_Data": {"DEV01": {"HIST_DHT11_DATA": {
+        "2024-05-05": {"11:30:35": {
+            "TimeZone": "IST", "Humidity": "61", "Temperature": "29",
+            "Timestamp": "2024-05-05 11:30:35"}}}}}}
+    (tmp_path / "good.json").write_text(_json.dumps(good))
+    (tmp_path / "bad.json").write_text("{not valid json at all")
+
+    tree = read_tree(spark, str(tmp_path))
+    assert flatten_readings(tree).count() == 1  # good rows still land
+    bad = corrupt_tree_records(spark, str(tmp_path)).collect()
+    assert len(bad) == 1
+    assert bad[0]["source_file"].endswith("bad.json")
+    assert bad[0]["payload_prefix"].startswith("{not valid")
