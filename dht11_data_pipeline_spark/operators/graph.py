@@ -7,16 +7,17 @@ and C in one group even if they never matched directly). Component id
 = the minimum doc id reachable, so the canonical representative of a
 cluster is its smallest id — deterministic in any engine.
 
-Algorithm: min-label propagation to fixpoint. Each round is
-join(labels, edges) + groupBy-min — two shuffles on the node id —
-and rounds = graph diameter. Near-dup graphs are shallow (clusters
-are cliques-ish, diameter 2-4), so propagation converges in a few
-rounds; for adversarial long-chain graphs swap in the large-star /
-small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce"), which is O(log² n) rounds of the same two shuffles —
-same plan shape, different edge rewriting. ``localCheckpoint``
-truncates the lineage each round so the plan doesn't grow with the
-iteration count (the classic iterative-algorithm trap on Spark).
+Algorithm, two tiers:
+- small graphs (edge list under ``SMALL_EDGE_LIMIT``): driver-side
+  union-find — near-dup edge lists are the reduced OUTPUT of a dedup
+  pass, usually tiny next to the corpus;
+- large graphs: alternating large-star / small-star rounds (Kiveris
+  et al., "Connected Components in MapReduce and Beyond") — O(log² n)
+  rounds on ANY graph, where plain min-label propagation needs
+  diameter-many rounds (a 100-hop chain of near-dups would stall it).
+``localCheckpoint`` truncates the lineage each round so the plan
+doesn't grow with the iteration count (the classic
+iterative-algorithm trap on Spark).
 
 This is deliberately a driver-side loop over declarative steps — the
 reference has no iterative computation at all (SURVEY §4.3); this is
@@ -93,35 +94,69 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         edges.unpersist()
         pairs.unpersist()
         return _union_find_components(rows, pairs.sparkSession)
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+    labels = _star_components(edges, max_iterations)
+    edges.unpersist()
+    pairs.unpersist()
+    return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every neighbor STRICTLY LARGER than u re-links to
+    min(N(u) ∪ {u}). Halves long chains each round."""
+    mn = (edges.groupBy("src")
+          .agg(F.least(F.min("dst"), F.first("src")).alias("mn")))
+    return (edges.join(mn, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("a"), F.col("mn").alias("b")))
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: u and its ≤-neighbors all re-link to the minimum of
+    that closed neighborhood."""
+    le = edges.filter(F.col("dst") <= F.col("src"))
+    mn = (le.groupBy("src")
+          .agg(F.least(F.min("dst"), F.first("src")).alias("mn")))
+    nbr_links = (le.join(mn, "src")
+                 .filter(F.col("dst") != F.col("mn"))
+                 .select(F.col("dst").alias("a"), F.col("mn").alias("b")))
+    self_links = (mn.filter(F.col("src") != F.col("mn"))
+                  .select(F.col("src").alias("a"), F.col("mn").alias("b")))
+    return nbr_links.union(self_links)
+
+
+def _symmetrize(und: DataFrame) -> DataFrame:
+    fwd = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    rev = und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): converges in
+    O(log² n) rounds on ANY graph — unlike plain min-label propagation,
+    whose round count is the graph DIAMETER (a 100-hop near-dup chain
+    would need 100 rounds). Each round is two groupBy-min + join
+    passes; ``localCheckpoint`` truncates lineage per round. Fixpoint =
+    the undirected edge set stops changing; at that point every node
+    points at its component minimum (a star)."""
+    cur = edges.localCheckpoint()
+    nodes = cur.select(F.col("src").alias("node")).distinct().localCheckpoint()
     for _ in range(max_iterations):
-        candidates = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("label"))
-        )
-        # lazy checkpoint: the convergence count below is the action
-        # that materializes it — one job per round, not two
-        new_labels = (
-            labels.union(candidates)
-            .groupBy("node").agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        nxt = (_symmetrize(_small_star(_symmetrize(_large_star(cur))))
+               .localCheckpoint(eager=False))
+        changed = nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
+        cur = nxt
         if changed == 0:
             break
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds")
-    edges.unpersist()
-    pairs.unpersist()
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+            f"star components did not converge in {max_iterations} rounds")
+    # stars: each non-root node has exactly one neighbor = component min
+    roots = cur.groupBy("src").agg(F.min("dst").alias("label"))
+    return (nodes.join(roots, nodes.node == roots.src, "left")
+            .select("node",
+                    F.when(F.col("label") < F.col("node"), F.col("label"))
+                    .otherwise(F.col("node")).alias("cluster_id")))
 
 
 def cluster_documents(docs: DataFrame, pairs: DataFrame,

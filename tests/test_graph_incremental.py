@@ -56,3 +56,29 @@ def test_distributed_path_matches_union_find(spark):
           for r in connected_components(pairs).collect()}
     assert dist == uf
     assert dist[5] == 1 and dist[12] == 10 and dist[21] == 20
+
+
+def test_star_components_long_chain(spark):
+    """A 60-hop path graph: diameter 60 converges in O(log^2 n) star
+    rounds (min-label propagation would need 60 rounds and trip the
+    iteration cap). Every node must label to the chain minimum."""
+    edges = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    out = {r["node"]: r["cluster_id"]
+           for r in connected_components(pairs, max_iterations=25,
+                                         small_edge_limit=0).collect()}
+    assert len(out) == 61
+    assert set(out.values()) == {0}
+
+
+def test_star_components_random_graph_matches_union_find(spark):
+    """Deterministic pseudo-random graph: the distributed star path and
+    the driver union-find agree exactly."""
+    edges = [((i * 7919) % 211, (i * 104729) % 211) for i in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    dist = {r["node"]: r["cluster_id"]
+            for r in connected_components(pairs, small_edge_limit=0).collect()}
+    uf = {r["node"]: r["cluster_id"]
+          for r in connected_components(pairs).collect()}
+    assert dist == uf
