@@ -99,3 +99,34 @@ def test_spark_decode_resize_no_fake(spark):
     p = text_to_ppm(b"x" * 100, 32)
     local = hashlib.sha256(resize_nn_ppm(p, 16, 16)).hexdigest()
     assert out[1]["out_checksum"] == local
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(w=st.integers(1, 24), h=st.integers(1, 24),
+           seed=st.integers(0, 2**31))
+    def test_ppm_roundtrip_property(w, h, seed):
+        rgb = bytes((seed * 2654435761 + i * 40503) % 256
+                    for i in range(w * h * 3))
+        assert decode_ppm(encode_ppm(rgb, w, h)) == (w, h, rgb)
+
+    @settings(max_examples=50, deadline=None)
+    @given(w=st.integers(1, 16), h=st.integers(1, 16),
+           ow=st.integers(1, 16), oh=st.integers(1, 16))
+    def test_resize_property_dims_and_pixels(w, h, ow, oh):
+        rgb = bytes((x * 31 + y * 17 + c) % 256
+                    for y in range(h) for x in range(w) for c in range(3))
+        got_w, got_h, got = decode_ppm(
+            resize_nn_ppm(encode_ppm(rgb, w, h), ow, oh))
+        assert (got_w, got_h) == (ow, oh)
+        # spot-check the nearest-neighbor contract on every output pixel
+        for y in range(oh):
+            for x in range(ow):
+                s = ((y * h // oh) * w + (x * w // ow)) * 3
+                o = (y * ow + x) * 3
+                assert got[o:o + 3] == rgb[s:s + 3]
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
