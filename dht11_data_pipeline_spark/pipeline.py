@@ -70,15 +70,16 @@ def historize(spark: SparkSession, warehouse_dir: str, load_key: int,
 
     Default path (``partitioned=True``): the target lives in a
     key-bucket-partitioned layout and the apply rewrites ONLY the
-    buckets the batch's natural keys hash into (dynamic partition
-    overwrite) — the parquet-native equivalent of the reference's MERGE
-    touching only matched rows, and the scale path at 100 TB where a
-    full-target rewrite per batch is 1000x write amplification.
-    Snapshot-compare semantics (PD for target keys absent from staging,
-    the reference's FULL OUTER mode) need every bucket holding a
-    current row, so the bucket set is staging ∪ current-target buckets;
-    for a true incremental feed use streaming/historize which passes
-    incremental=True and touches staging buckets only.
+    buckets holding keys that actually changed (I/U/PD — dynamic
+    partition overwrite after a narrow classification join) — the
+    parquet-native equivalent of the reference's MERGE touching only
+    matched rows, and the scale path at 100 TB where a full-target
+    rewrite per batch is 1000x write amplification. Snapshot-compare
+    semantics (PD for target keys absent from staging, the reference's
+    FULL OUTER mode) widen only the classification READ to all current
+    rows; the rewrite stays pruned to changed buckets. For atomic
+    multi-bucket commits + time travel use operators/txlog
+    (apply_scd2_logged) — the streaming sink already offers both.
 
     ``partitioned=False`` keeps the original whole-target atomic swap:
     new state materialized to a staging dir then moved over the target
