@@ -79,8 +79,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     Hybrid execution: if the DISTINCT edge count is under
     ``small_edge_limit`` the closure runs as driver-side union-find
     (one collect of the reduced edge list — the same O(small) driver
-    contract as kmeans centroids / PQ codebooks); otherwise iterative
-    min-label propagation runs fully distributed."""
+    contract as kmeans centroids / PQ codebooks); otherwise the
+    large-star/small-star rounds run fully distributed."""
     # pairs feeds both union branches — persist or the (possibly
     # expensive: LSH bucket joins) pair computation runs twice
     pairs = pairs.select(a_col, b_col).persist()
@@ -176,3 +176,29 @@ def cluster_documents(docs: DataFrame, pairs: DataFrame,
             "is_canonical",
             F.when(F.col(id_col) == F.col("cluster_id"), "Y").otherwise("N"))
     )
+
+
+def update_components(labels: DataFrame, new_pairs: DataFrame,
+                      a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Incremental component maintenance: fold a NEW batch of edges
+    into an existing (node, cluster_id) label table without re-reading
+    the original edge set.
+
+    Standard contraction argument: an existing label (node -> root) is
+    itself an edge of a star-shaped graph with identical connectivity,
+    so components over (labels-as-edges ∪ new edges) equal components
+    over (all old edges ∪ new edges). Cost is O(|labels| + |batch|)
+    — independent of how many ORIGINAL edges produced the labels —
+    and the star input converges in very few rounds. This is the
+    label-store twin of dedup.minhash_incremental_pairs: keep the
+    label table per corpus, fold each ingestion batch's near-dup pairs
+    in as they arrive."""
+    label_edges = (labels.filter(F.col("node") != F.col("cluster_id"))
+                   .select(F.col("node").alias(a_col),
+                           F.col("cluster_id").alias(b_col)))
+    merged = label_edges.unionByName(new_pairs.select(a_col, b_col))
+    updated = connected_components(merged, a_col, b_col)
+    # carry forward singleton labels for nodes untouched by any edge
+    carried = (labels.join(updated.select(F.col("node").alias("_n")),
+                           labels.node == F.col("_n"), "left_anti"))
+    return updated.unionByName(carried.select("node", "cluster_id"))

@@ -82,3 +82,23 @@ def test_star_components_random_graph_matches_union_find(spark):
     uf = {r["node"]: r["cluster_id"]
           for r in connected_components(pairs).collect()}
     assert dist == uf
+
+
+def test_update_components_matches_full_recompute(spark):
+    """Folding a new edge batch into an existing label table equals
+    recomputing components over the union of all edges — including a
+    batch that MERGES two previously separate clusters."""
+    from dht11_data_pipeline_spark.operators.graph import update_components
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long")
+    labels = connected_components(old)
+    # new batch: extends cluster-1, merges {10,11} with {20,21}, adds {30,31}
+    new = spark.createDataFrame(
+        [(3, 4), (11, 20), (30, 31)], "doc_a long, doc_b long")
+    got = {r["node"]: r["cluster_id"]
+           for r in update_components(labels, new).collect()}
+    want = {r["node"]: r["cluster_id"]
+            for r in connected_components(old.unionByName(new)).collect()}
+    assert got == want
+    assert got[21] == 10 and got[4] == 1 and got[31] == 30
