@@ -83,3 +83,80 @@ def start_minhash_dedup_stream(spark: SparkSession, source_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_cluster_stream(spark: SparkSession, source_path: str,
+                         state_dir: str, labels_dir: str,
+                         checkpoint_dir: str,
+                         threshold: float = 0.5,
+                         max_files_per_trigger: int | None = 1,
+                         available_now: bool = True) -> StreamingQuery:
+    """Continuous duplicate CLUSTERING: each micro-batch's near-dup
+    pairs (vs the growing store, as above) are folded into a persistent
+    label table via graph.update_components — the streaming form of
+    cluster_documents. ``labels_dir`` always holds the complete
+    (node, cluster_id) assignment; batch cost is O(labels + batch
+    pairs), never a recompute over all historical pairs.
+
+    The label table is REWRITTEN per batch (it is the reduced state —
+    doc-count rows, not pair-count), via a batch-keyed subdir + _LATEST
+    pointer so a replay converges to the same assignment."""
+    import os
+
+    from dht11_data_pipeline_spark.operators.graph import update_components
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        old_docs = _read_or_empty(s, f"{state_dir}/docs", "doc_id long, text string")
+        old_sigs = _read_or_empty(s, f"{state_dir}/sigs", _SIG_SCHEMA)
+        corpus = old_docs.unionByName(batch_df.select("doc_id", "text"))
+        pairs = minhash_incremental_pairs(
+            corpus, old_sigs, batch_df, threshold=threshold).persist()
+
+        # fold pairs + this batch's singletons into the label store
+        latest = os.path.join(labels_dir, "_LATEST")
+        if os.path.exists(latest):
+            with open(latest) as fh:
+                labels = s.read.parquet(fh.read().strip())
+        else:
+            labels = s.createDataFrame([], "node bigint, cluster_id bigint")
+        new_nodes = (batch_df.select(F.col("doc_id").alias("node"))
+                     .join(labels.select("node"), "node", "left_anti")
+                     .withColumn("cluster_id", F.col("node")))
+        updated = update_components(
+            labels.unionByName(new_nodes),
+            pairs.select("doc_a", "doc_b"))
+        out = os.path.join(labels_dir, f"batch={batch_id}")
+        updated.write.mode("overwrite").parquet(out)
+        with open(latest + ".tmp", "w") as fh:
+            fh.write(out)
+        os.replace(latest + ".tmp", latest)  # atomic pointer swap
+
+        minhash_signature(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/sigs/batch={batch_id}")
+        batch_df.select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{state_dir}/docs/batch={batch_id}")
+        pairs.unpersist()
+        batch_df.unpersist()
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.json(source_path)
+              .writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_labels(spark: SparkSession, labels_dir: str) -> DataFrame:
+    """The complete (node, cluster_id) assignment as of the last
+    committed batch (atomic _LATEST pointer)."""
+    import os
+
+    with open(os.path.join(labels_dir, "_LATEST")) as fh:
+        return spark.read.parquet(fh.read().strip())
