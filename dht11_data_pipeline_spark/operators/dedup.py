@@ -210,10 +210,13 @@ def minhash_incremental_pairs(corpus: DataFrame, sig_store: DataFrame,
     (doc_a, doc_b, jaccard) rows the full run would emit for any pair
     touching a new doc.
     """
-    # persist: the new batch's signatures feed BOTH join sides (the
-    # probe side and the store-union side); in production they are also
-    # the rows appended to the store table afterwards
-    new_sigs = minhash_signature(new_docs, text_col, id_col, n, num_hashes).persist()
+    # localCheckpoint (not persist): the new batch's signatures feed
+    # BOTH join sides, but this function runs once per micro-batch in
+    # the dedup streams — a persist would pin one SQL cache entry per
+    # batch forever, while a checkpointed copy is released by the
+    # context cleaner once the batch's DataFrames go out of scope
+    new_sigs = minhash_signature(
+        new_docs, text_col, id_col, n, num_hashes).localCheckpoint()
     all_sigs = sig_store.unionByName(new_sigs)
     ba = _band_rows(all_sigs, id_col, band_size)
     bb = _band_rows(new_sigs, id_col, band_size)
@@ -228,15 +231,16 @@ def minhash_incremental_pairs(corpus: DataFrame, sig_store: DataFrame,
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"))
         .distinct()
     )
-    # persist: cands feeds THREE consumers (both unions of `touched` and
-    # the final verify join) — unpersisted, the band self-join re-runs
-    # per consumer (~3x the shuffles, measured in SCALE.md round 1)
-    cands = cands.persist()
+    # checkpoint: cands feeds THREE consumers (both unions of `touched`
+    # and the final verify join) — unmaterialized, the band self-join
+    # re-runs per consumer (~3x the shuffles, measured in SCALE.md
+    # round 1); checkpointed so per-batch state is GC-reclaimable
+    cands = cands.localCheckpoint()
     touched = (cands.select(F.col("doc_a").alias("cid"))
                .union(cands.select(F.col("doc_b").alias("cid"))).distinct())
     needed = corpus.join(touched, corpus[id_col] == touched.cid).drop("cid")
-    # persist: the candidate docs' shingle sets feed both join sides below
-    sh = _doc_shingles(needed, text_col, id_col, n).persist()
+    # checkpoint: the candidate docs' shingle sets feed both join sides
+    sh = _doc_shingles(needed, text_col, id_col, n).localCheckpoint()
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("set_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("set_b"))
     common = F.size(F.array_intersect("set_a", "set_b"))

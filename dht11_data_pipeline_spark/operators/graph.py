@@ -30,12 +30,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _union_find_components(edge_rows: list[tuple],
-                           spark) -> DataFrame:
+def _union_find_components(edge_rows: list[tuple], spark,
+                           node_type) -> DataFrame:
     """Driver-side union-find over a collected edge list; returns the
-    same (node, cluster_id=min member) frame as the distributed path.
+    same (node, cluster_id=min member) frame as the distributed path,
+    typed after the caller's id column (ids only need to be orderable).
     O(E α(E)) — microseconds per edge — versus one Spark job round per
     graph-diameter step."""
+    from pyspark.sql import types as T
     parent: dict = {}
 
     def find(x):
@@ -58,14 +60,19 @@ def _union_find_components(edge_rows: list[tuple],
         if r not in comp_min or n < comp_min[r]:
             comp_min[r] = n
     rows = [(n, comp_min[find(n)]) for n in parent]
-    return spark.createDataFrame(rows, "node bigint, cluster_id bigint")
+    schema = T.StructType([T.StructField("node", node_type),
+                           T.StructField("cluster_id", node_type)])
+    return spark.createDataFrame(rows, schema)
 
 
 # near-dup edge lists are the REDUCED output of a dedup pass — usually
-# tiny next to the corpus. Below this count (≈32 MB of driver memory)
-# union-find on the driver beats diameter-many Spark job rounds; above
-# it the distributed propagation loop takes over.
-SMALL_EDGE_LIMIT = 2_000_000
+# tiny next to the corpus. Below this count union-find on the driver
+# beats diameter-many Spark job rounds. Budget honestly: 200k edges
+# collect as ~200k Row objects + tuple list + two dicts of up to 400k
+# entries — some tens to ~150 MB of Python heap, safe under the 8 GB
+# driver; the earlier 2M default measured in the GBs. Above the limit
+# the star rounds run fully distributed.
+SMALL_EDGE_LIMIT = 200_000
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
@@ -91,9 +98,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     n_edges = edges.count()
     if n_edges <= small_edge_limit:
         rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        node_type = pairs.schema[a_col].dataType
         edges.unpersist()
         pairs.unpersist()
-        return _union_find_components(rows, pairs.sparkSession)
+        return _union_find_components(rows, pairs.sparkSession, node_type)
     labels = _star_components(edges, max_iterations)
     edges.unpersist()
     pairs.unpersist()

@@ -167,14 +167,18 @@ def dense_rank_distributed(df: DataFrame, order_cols: list[str],
     across a range boundary get an arbitrary-but-valid order — same
     contract as a global ROW_NUMBER over non-unique keys.
 
-    The input is persisted (the offset count and the final numbering
-    both consume the shuffled frame); callers materialize promptly.
+    The shuffled frame has two consumers (the offset count and the
+    final numbering); it is ``localCheckpoint``ed rather than
+    ``persist``ed so the materialized copy is RELEASED by the context
+    cleaner once unreferenced — a ``persist`` here would pin one SQL
+    cache entry per call forever, a real leak on the per-micro-batch
+    streaming SCD2 path.
     """
     spark = df.sparkSession
     n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
     staged = (df.repartitionByRange(n_parts, *order_cols)
               .withColumn("_dr_pid", F.spark_partition_id())
-              .persist())
+              .localCheckpoint())
     counts = {r["_dr_pid"]: r["cnt"] for r in
               staged.groupBy("_dr_pid")
               .agg(F.count(F.lit(1)).alias("cnt")).collect()}

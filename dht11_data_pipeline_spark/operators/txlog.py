@@ -72,44 +72,60 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
-def _commit(table_dir: str, manifest: dict) -> int:
-    """Atomically publish ``manifest`` as the next version. Optimistic
-    concurrency in the Delta style: the version file is claimed with an
-    exclusive create — a concurrent committer that already took the
-    number surfaces as a conflict the CALLER must resolve by re-running
-    its transaction against the new latest version (blind retry here
-    would silently drop the winner's bucket updates)."""
+def _commit(table_dir: str, manifest: dict,
+            base_version: int | None = None) -> int:
+    """Atomically publish ``manifest`` as the version after
+    ``base_version`` (default: the latest on disk at call time).
+    Optimistic concurrency in the Delta style: the fully-written
+    manifest is published with ``os.link`` — one syscall that both
+    creates the version file WITH its content (no empty-file crash
+    window) and fails if a concurrent committer already took the
+    number. A conflict means the caller's snapshot is stale; it must
+    re-run its transaction against the new latest version (blind retry
+    here would silently drop the winner's bucket updates)."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
-    v = (current_version(table_dir) or 0) + 1
+    if base_version is None:
+        base_version = current_version(table_dir) or 0
+    v = base_version + 1
     manifest = {**manifest, "version": v, "committed_at": time.time()}
     target = _manifest_path(table_dir, v)
     tmp = target + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
+        os.link(tmp, target)  # atomic create-with-content + exclusivity
     except FileExistsError:
         os.unlink(tmp)
         raise RuntimeError(
             f"concurrent commit detected at version {v} in {table_dir}; "
             "re-run the transaction against the latest snapshot") from None
-    os.replace(tmp, target)  # atomic content publish
+    os.unlink(tmp)
     return v
+
+
+def _commit_dir_name(version: int) -> str:
+    """Unique per writer+attempt: two committers racing toward the same
+    version number must never share a data directory (the loser's
+    mode-overwrite write would destroy the winner's committed files —
+    the manifest conflict alone can't protect a shared path)."""
+    return f"commit-{version:08d}-{os.getpid()}-{int(time.time() * 1000)}"
 
 
 def init_table(df: DataFrame, table_dir: str, cfg: SCD2Config,
                n_buckets: int = 64) -> int:
     """Materialize ``df`` as version 1 of a logged, bucket-partitioned
     table."""
-    commit_dir = os.path.join(table_dir, "data", "commit-00000001")
+    name = _commit_dir_name(1)
+    commit_dir = os.path.join(table_dir, "data", name)
     (df.withColumn(BUCKET_COL, key_bucket(cfg, n_buckets))
      .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir))
     written = {int(d.split("=", 1)[1])
                for d in os.listdir(commit_dir) if d.startswith(f"{BUCKET_COL}=")}
-    buckets = {str(b): f"data/commit-00000001/{BUCKET_COL}={b}"
-               for b in written}
-    return _commit(table_dir, {"n_buckets": n_buckets, "buckets": buckets})
+    buckets = {str(b): f"data/{name}/{BUCKET_COL}={b}" for b in written}
+    return _commit(table_dir, {"n_buckets": n_buckets, "buckets": buckets},
+                   base_version=0)
 
 
 def read_table(spark: SparkSession, table_dir: str,
@@ -178,7 +194,7 @@ def apply_scd2_logged(spark: SparkSession, staging: DataFrame,
                            high_water=(int(hw[0]), int(hw[1])))
 
     next_v = int(m["version"]) + 1
-    commit_name = f"commit-{next_v:08d}"
+    commit_name = _commit_dir_name(next_v)
     commit_dir = os.path.join(table_dir, "data", commit_name)
     (new_slice.withColumn(BUCKET_COL, key_bucket(cfg, n_buckets))
      .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir))
@@ -193,7 +209,10 @@ def apply_scd2_logged(spark: SparkSession, staging: DataFrame,
         else:
             # bucket emptied (e.g. all rows deleted AND history empty)
             buckets.pop(key, None)
-    return _commit(table_dir, {"n_buckets": n_buckets, "buckets": buckets})
+    # base pinned to the snapshot this transaction READ: a committer
+    # working off a stale manifest must conflict, not clobber
+    return _commit(table_dir, {"n_buckets": n_buckets, "buckets": buckets},
+                   base_version=int(m["version"]))
 
 
 def change_feed(spark: SparkSession, table_dir: str,

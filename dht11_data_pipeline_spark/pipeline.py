@@ -48,10 +48,14 @@ def _hist_path(warehouse_dir: str) -> str:
 
 def read_history(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     path = _hist_path(warehouse_dir)
+    if os.path.exists(os.path.join(path, "_txlog")):
+        # transaction-logged layout (default historize path)
+        from dht11_data_pipeline_spark.operators import txlog
+        return txlog.read_table(spark, path)
     if os.path.exists(path):
         df = spark.read.parquet(path)
-        # bucket-partitioned layout (default historize path) carries the
-        # physical bucket column; hide it from the logical schema
+        # legacy bucket-partitioned layout carries the physical bucket
+        # column; hide it from the logical schema
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
     # empty target with the full SCD2 schema
     landing_like = "device_id string, timezone string, humidity string, temperature string, ts timestamp"
@@ -63,32 +67,44 @@ def read_history(spark: SparkSession, warehouse_dir: str) -> DataFrame:
 
 
 def historize(spark: SparkSession, warehouse_dir: str, load_key: int,
-              load_ts: str | None = None, partitioned: bool = True,
+              load_ts: str | None = None, mode: str = "logged",
               n_buckets: int = 64) -> DataFrame:
     """SCD2 apply over the intermediate batch (reference Historization
     DAG, Delta_detection_query_gen.py:335-351).
 
-    Default path (``partitioned=True``): the target lives in a
-    key-bucket-partitioned layout and the apply rewrites ONLY the
-    buckets holding keys that actually changed (I/U/PD — dynamic
-    partition overwrite after a narrow classification join) — the
-    parquet-native equivalent of the reference's MERGE touching only
-    matched rows, and the scale path at 100 TB where a full-target
-    rewrite per batch is 1000x write amplification. Snapshot-compare
-    semantics (PD for target keys absent from staging, the reference's
-    FULL OUTER mode) widen only the classification READ to all current
-    rows; the rewrite stays pruned to changed buckets. For atomic
-    multi-bucket commits + time travel use operators/txlog
-    (apply_scd2_logged) — the streaming sink already offers both.
+    Default ``mode="logged"``: the target is a transaction-logged,
+    bucket-partitioned table (operators/txlog). Each batch classifies
+    changed keys with a narrow join, writes ONLY the changed buckets to
+    an immutable commit dir, and publishes the whole batch as ONE
+    atomic manifest commit — MERGE-equivalent write amplification AND
+    full crash atomicity (a crash anywhere leaves the previous version
+    intact; no torn buckets, no reader ever sees a mix), plus time
+    travel per batch for free.
 
-    ``partitioned=False`` keeps the original whole-target atomic swap:
-    new state materialized to a staging dir then moved over the target
-    (replaces the reference's non-atomic MERGE-then-INSERT two-phase
-    commit, SURVEY §7.4.2).
+    ``mode="partitioned"``: the unlogged dynamic-partition-overwrite
+    apply — same pruning, but bucket dirs commit one by one (a crash
+    mid-commit can tear the target); kept for layouts without a log.
+
+    ``mode="swap"``: the original whole-target atomic swap — full
+    rewrite per batch, single-rename atomicity (replaces the
+    reference's non-atomic MERGE-then-INSERT two-phase commit,
+    SURVEY §7.4.2).
     """
     staging = read_intermediate(spark, warehouse_dir, load_key)
     final = _hist_path(warehouse_dir)
-    if partitioned:
+    if mode == "logged":
+        from dht11_data_pipeline_spark.operators import txlog
+        if txlog.current_version(final) is None:
+            target = read_history(spark, warehouse_dir)
+            new_state = apply_scd2(staging, target, HIST_CFG,
+                                   load_ts=load_ts, deterministic_keys=True)
+            txlog.init_table(new_state, final, HIST_CFG, n_buckets=n_buckets)
+        else:
+            txlog.apply_scd2_logged(
+                spark, staging, final, HIST_CFG, load_ts=load_ts,
+                deterministic_keys=True, incremental=False)
+        return read_history(spark, warehouse_dir)
+    if mode == "partitioned":
         target = read_history(spark, warehouse_dir)
         if not os.path.exists(final):
             # first batch: full apply on the empty target, then lay the
@@ -101,6 +117,8 @@ def historize(spark: SparkSession, warehouse_dir: str, load_key: int,
                 spark, staging, final, HIST_CFG, n_buckets=n_buckets,
                 load_ts=load_ts, deterministic_keys=True, incremental=False)
         return read_history(spark, warehouse_dir)
+    if mode != "swap":
+        raise ValueError(f"unknown historize mode {mode!r}")
     target = read_history(spark, warehouse_dir)
     new_state = apply_scd2(staging, target, HIST_CFG, load_ts=load_ts,
                            deterministic_keys=True)

@@ -57,9 +57,9 @@ def start_minhash_dedup_stream(spark: SparkSession, source_path: str,
     while growing the doc/signature store under ``state_dir``."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
         if batch_df.isEmpty():
             return
+        batch_df = batch_df.persist()
         s = batch_df.sparkSession
         old_docs = _read_or_empty(s, f"{state_dir}/docs", "doc_id long, text string")
         old_sigs = _read_or_empty(s, f"{state_dir}/sigs", _SIG_SCHEMA)
@@ -99,16 +99,21 @@ def start_cluster_stream(spark: SparkSession, source_path: str,
     pairs), never a recompute over all historical pairs.
 
     The label table is REWRITTEN per batch (it is the reduced state —
-    doc-count rows, not pair-count), via a batch-keyed subdir + _LATEST
-    pointer so a replay converges to the same assignment."""
+    doc-count rows, not pair-count) into a FRESH attempt-unique subdir
+    + an atomic _LATEST pointer swap: a replayed batch reads the
+    previous snapshot and writes a new directory, never overwriting the
+    files its own plan is reading (orphaned attempt dirs are swept by
+    the next successful batch)."""
     import os
+    import shutil
+    import time as _time
 
     from dht11_data_pipeline_spark.operators.graph import update_components
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
         if batch_df.isEmpty():
             return
+        batch_df = batch_df.persist()
         s = batch_df.sparkSession
         old_docs = _read_or_empty(s, f"{state_dir}/docs", "doc_id long, text string")
         old_sigs = _read_or_empty(s, f"{state_dir}/sigs", _SIG_SCHEMA)
@@ -129,11 +134,19 @@ def start_cluster_stream(spark: SparkSession, source_path: str,
         updated = update_components(
             labels.unionByName(new_nodes),
             pairs.select("doc_a", "doc_b"))
-        out = os.path.join(labels_dir, f"batch={batch_id}")
+        # attempt-unique dir: a replay READS the previous snapshot, so
+        # writing a fixed batch=N path would overwrite its own input
+        out = os.path.join(
+            labels_dir, f"batch={batch_id}.{int(_time.time() * 1000)}")
         updated.write.mode("overwrite").parquet(out)
         with open(latest + ".tmp", "w") as fh:
             fh.write(out)
         os.replace(latest + ".tmp", latest)  # atomic pointer swap
+        # sweep superseded snapshots (previous batches + failed attempts)
+        for d in os.listdir(labels_dir):
+            p = os.path.join(labels_dir, d)
+            if d.startswith("batch=") and p != out:
+                shutil.rmtree(p, ignore_errors=True)
 
         minhash_signature(batch_df).write.mode("overwrite").parquet(
             f"{state_dir}/sigs/batch={batch_id}")

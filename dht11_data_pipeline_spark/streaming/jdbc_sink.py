@@ -64,11 +64,22 @@ def jdbc_batch_writer(url: str, table: str,
             BATCH_COL, F.lit(int(batch_id)).cast("long"))
         spark = batch_df.sparkSession
         props = {"driver": driver}
-        # first batch ever: let spark.write.jdbc create the table
+        # first batch ever: let spark.write.jdbc create the table.
+        # ONLY a genuine table-not-found may skip the anti-replay
+        # DELETE — treating a transient JDBC failure (connection
+        # refused, lock timeout) as "missing table" would re-append a
+        # replayed batch and silently break exactly-once, so anything
+        # else propagates and the batch retries.
         exists = True
         try:
             spark.read.jdbc(url, table, properties=props).schema
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 - filtered below
+            msg = str(exc).lower()
+            if not any(p in msg for p in (
+                    "does not exist",       # Derby 42X05
+                    "not found",            # Postgres/MySQL phrasing
+                    "table_or_view_not_found")):
+                raise
             exists = False
         if exists:
             _delete_batch(spark, url, table, driver, batch_id)

@@ -90,14 +90,16 @@ def test_empty_batch_short_circuit(spark, tmp_path):
     assert ctl.previous_run("STG_1020")["load_status"] == "Success"
 
 
-def test_historize_partitioned_prunes_nc_buckets(spark, tmp_path):
-    """Default historize path is bucket-partitioned: batch 2's rewrite
-    must not touch parquet files in buckets holding only NC keys
-    (reference MERGE parity at 100 TB write-amplification cost)."""
+def test_historize_logged_prunes_nc_buckets(spark, tmp_path):
+    """Default historize path is the transaction-logged table: batch 2
+    commits ONE new manifest version where only buckets holding changed
+    keys point at the new commit dir; NC-only buckets keep their
+    original immutable directories (reference MERGE parity at 100 TB
+    write-amplification cost, plus crash atomicity + time travel)."""
     import os
 
-    from dht11_data_pipeline_spark.operators.scd2_partitioned import (
-        BUCKET_COL, key_bucket)
+    from dht11_data_pipeline_spark.operators import txlog
+    from dht11_data_pipeline_spark.operators.scd2_partitioned import key_bucket
     from dht11_data_pipeline_spark.pipeline import HIST_CFG
 
     wh = str(tmp_path / "wh")
@@ -108,16 +110,14 @@ def test_historize_partitioned_prunes_nc_buckets(spark, tmp_path):
               load_ts="2024-05-05 12:00:00", since_ts="1970-01-01 00:00:00")
 
     hist_path = os.path.join(wh, "hist_dht11_data")
-    assert any(d.startswith(f"{BUCKET_COL}=") for d in os.listdir(hist_path))
-    before = {}
-    for root, _dirs, files in os.walk(hist_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                p = os.path.join(root, f)
-                before[p] = os.path.getmtime(p)
+    assert txlog.current_version(hist_path) == 1
+    before = txlog.read_manifest(hist_path)["buckets"]
 
     run_batch(spark, wh, str(t2), "DEV01",
               load_ts="2024-05-06 12:00:00", since_ts="1970-01-01 00:00:00")
+
+    assert txlog.current_version(hist_path) == 2
+    after = txlog.read_manifest(hist_path)["buckets"]
 
     # changed keys of batch 2: the U (11:35:35) and the I (2024-05-06)
     changed = spark.createDataFrame(
@@ -125,20 +125,16 @@ def test_historize_partitioned_prunes_nc_buckets(spark, tmp_path):
         "device_id string, ts string",
     ).select(F.col("device_id"), F.col("ts").cast("timestamp"))
     changed_buckets = {
-        r["b"] for r in changed.select(
+        str(r["b"]) for r in changed.select(
             key_bucket(HIST_CFG, 64).alias("b")).collect()}
-    nc_bucket = spark.createDataFrame(
-        [("DEV01", "2024-05-05 11:30:35")], "device_id string, ts string"
-    ).select(F.col("device_id"), F.col("ts").cast("timestamp")).select(
-        key_bucket(HIST_CFG, 64).alias("b")).first()["b"]
 
-    if nc_bucket not in changed_buckets:
-        nc_dir = f"{BUCKET_COL}={nc_bucket}"
-        nc_files = [p for p in before if nc_dir in p]
-        assert nc_files, "NC key's bucket missing from batch-1 layout"
-        for p in nc_files:
-            assert os.path.exists(p) and os.path.getmtime(p) == before[p], \
-                f"NC-only bucket rewritten: {p}"
+    moved = {b for b in after if after[b] != before.get(b)}
+    assert moved == changed_buckets
+    for b, path in before.items():
+        if b not in changed_buckets:
+            assert after[b] == path, f"NC-only bucket re-pointed: {b}"
+    # batch-1 state remains time-travelable
+    assert txlog.read_table(spark, hist_path, version=1).count() == 2
 
     hist = read_history(spark, wh)
     assert hist.filter(F.col("da_current_flag") == "Y").count() == 3
