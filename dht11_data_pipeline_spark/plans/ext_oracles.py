@@ -294,6 +294,72 @@ _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
 EXT_ORACLES: dict[str, str] = {
+    # bloom probe: positions from the SAME double-hash arithmetic the
+    # Spark operator uses (h = 60-bit sha prefix; pos_j = (h%m + j*(1+h%(m-1)))%m,
+    # m=65536, k=4); "bit set in the filter" == "position in the store's
+    # distinct position set", exactly.
+    "dedup_bloom_probe": """
+WITH store AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+sk AS (SELECT DISTINCT CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS h
+       FROM store),
+spos AS (SELECT DISTINCT (h % 65536 + t.j * (1 + h % 65535)) % 65536 AS pos
+         FROM sk CROSS JOIN range(4) t(j)),
+bk AS (SELECT doc_id, CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS h
+       FROM batch),
+bpos AS (SELECT DISTINCT doc_id,
+                (h % 65536 + t.j * (1 + h % 65535)) % 65536 AS pos
+         FROM bk CROSS JOIN range(4) t(j)),
+hits AS (SELECT doc_id,
+                MIN(CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END) AS all_hit
+         FROM bpos b LEFT JOIN spos s USING (pos) GROUP BY doc_id),
+sh AS (SELECT DISTINCT sha256(text) AS ch FROM store),
+dup AS (SELECT b.doc_id,
+               CASE WHEN s.ch IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM batch b LEFT JOIN sh s ON sha256(b.text) = s.ch)
+SELECT h.doc_id,
+       CASE WHEN h.all_hit = 1 THEN 'Y' ELSE 'N' END AS bloom_hit,
+       CASE WHEN h.all_hit = 1 AND d.is_dup = 1 THEN 'dup'
+            WHEN h.all_hit = 1 THEN 'false_positive'
+            ELSE 'clean' END AS verdict
+FROM hits h JOIN dup d ON h.doc_id = d.doc_id
+""",
+
+    "cur_gopher_filter": """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tok,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         n_chars - len(tok) + 1 AS sum_token_len,
+         len(list_filter(tok, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(tok),
+             ['the','a','and','of','to','in','is','on'])) AS n_stop
+  FROM t
+),
+v AS (
+  SELECT *,
+         CASE WHEN n_tokens < 25 THEN 'too_few_tokens'
+              WHEN sum_token_len < 3 * n_tokens
+                   OR sum_token_len > 10 * n_tokens THEN 'word_length'
+              WHEN n_alpha * 5 < n_tokens * 4 THEN 'low_alpha'
+              WHEN n_stop < 2 THEN 'low_stopword'
+              ELSE 'kept' END AS reason
+  FROM m
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(sum_token_len AS INTEGER) AS sum_token_len,
+       CAST(n_alpha AS INTEGER) AS n_alpha_tokens,
+       CAST(n_stop AS INTEGER) AS n_stop_distinct,
+       reason,
+       CASE WHEN reason = 'kept' THEN 'Y' ELSE 'N' END AS keep_flag
+FROM v
+""",
+
     "meta_profile_orders": _profile_sql("orders", [
         ("o_orderkey", "num"), ("o_custkey", "num"),
         ("o_orderstatus", "other"), ("o_totalprice", "num"),

@@ -856,9 +856,70 @@ def cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter front door for incremental dedup: an ingestion
+    batch (even doc_ids) probed against a filter built from the store
+    (doc_id % 3 != 0). The splits overlap on purpose — ids ≡ 2,4 mod 6
+    are replayed documents already in the store (the reference's
+    late/duplicate idempotency case, SURVEY §2.9 T2) and must come back
+    ``dup``; ids ≡ 0 mod 6 are genuinely new and come back ``clean``
+    (or ``false_positive`` on a bloom collision). Hits are
+    exact-verified; misses are provably unseen — the 100 TB shape where
+    each batch pays a broadcast-size bit-array probe instead of a full
+    store join."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.bloom_probe_new_docs(store, batch)
+
+
+def cur_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, adapted thresholds)
+    with a first-failing-rule verdict per document. All integer /
+    rational arithmetic → exact differential hash:
+
+    - too_few_tokens:  n_tokens < 25
+    - word_length:     mean token length outside [3, 10]  (compared as
+      (n_chars - n_tokens + 1) vs 3·n_tokens / 10·n_tokens — chars
+      minus separators over tokens, exact for the space-joined corpus)
+    - low_alpha:       < 80% of tokens contain an alphabetic character
+    - low_stopword:    < 2 distinct stopwords present
+
+    Shuffle-free row-local codegen (array ops, no explode), like the
+    rest of the curation family."""
+    from dht11_data_pipeline_spark.functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_tok = F.size(tok)
+    n_chars = F.length("text")
+    sum_len = n_chars - n_tok + 1
+    n_alpha = F.size(F.filter(tok, lambda t: t.rlike("[a-z]")))
+    stop = F.array([F.lit(s) for s in STOPWORDS])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(tok), stop))
+    reason = (
+        F.when(n_tok < 25, "too_few_tokens")
+        .when((sum_len < 3 * n_tok) | (sum_len > 10 * n_tok), "word_length")
+        .when(n_alpha * 5 < n_tok * 4, "low_alpha")
+        .when(n_stop_distinct < 2, "low_stopword")
+        .otherwise("kept")
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        sum_len.cast("int").alias("sum_token_len"),
+        n_alpha.cast("int").alias("n_alpha_tokens"),
+        n_stop_distinct.cast("int").alias("n_stop_distinct"),
+        reason.alias("reason"),
+        F.when(reason == "kept", "Y").otherwise("N").alias("keep_flag"),
+    )
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "dedup_bloom_probe": dedup_bloom_probe,
+    "cur_gopher_filter": cur_gopher_filter,
     "sim_semantic_dedup": sim_semantic_dedup,
     "text_sentence_stats": text_sentence_stats,
     "cur_token_budget": cur_token_budget,
