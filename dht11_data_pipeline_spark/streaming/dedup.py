@@ -166,6 +166,102 @@ def start_cluster_stream(spark: SparkSession, source_path: str,
     return writer.start()
 
 
+def start_bloom_dedup_stream(spark: SparkSession, source_path: str,
+                             state_dir: str, verdicts_dir: str,
+                             checkpoint_dir: str,
+                             num_bits: int = 65536, num_hashes: int = 4,
+                             max_files_per_trigger: int | None = 1,
+                             available_now: bool = True) -> StreamingQuery:
+    """Streaming EXACT dedup with the Bloom front door
+    (operators/dedup.bloom_probe_new_docs): each micro-batch is probed
+    against the accumulated filter; hits are exact-verified against the
+    content-hash store; per-doc verdicts (dup / false_positive / clean)
+    land under ``verdicts_dir/batch=N``.
+
+    State is two append-only, batch-partitioned tables under
+    ``state_dir``: ``words`` (this batch's OR-mergeable bloom words —
+    ≤ num_bits/64 rows per batch, merged with one tiny groupBy bit_or
+    at probe time) and ``hashes`` (sha256 per doc, read ONLY to verify
+    the bloom-hit subset). Replays are idempotent: a batch's own state
+    partitions are excluded from the filter it probes (otherwise a
+    replayed batch would flag itself as already seen) and every write
+    is a batch-keyed overwrite. At 100 TB the words table stays
+    kilobytes per batch regardless of corpus size — the probe never
+    touches the hash store for provably-unseen docs."""
+    from dht11_data_pipeline_spark.operators.dedup import (
+        _bloom_positions, _content_key, bloom_build_words)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        s = batch_df.sparkSession
+        # prior state, excluding this batch's own (replayed) partitions
+        try:
+            words = (s.read.parquet(f"{state_dir}/words")
+                     .filter(F.col("batch") != batch_id)
+                     .groupBy("word_idx").agg(F.bit_or("word").alias("word")))
+            hashes = (s.read.parquet(f"{state_dir}/hashes")
+                      .filter(F.col("batch") != batch_id)
+                      .select("content_hash"))
+        except AnalysisException:  # first batch: no store yet
+            words = s.createDataFrame([], "word_idx int, word long")
+            hashes = s.createDataFrame([], "content_hash string")
+
+        bpos = batch_df.select(
+            "doc_id",
+            F.explode(_bloom_positions(_content_key("text"),
+                                       num_bits, num_hashes)).alias("pos"),
+        ).select(
+            "doc_id",
+            F.shiftright("pos", 6).alias("word_idx"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("mask"),
+        )
+        probed = (
+            bpos.join(F.broadcast(words), "word_idx", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("word").isNotNull()
+                       & (F.col("word").bitwiseAND(F.col("mask")) != 0), 1)
+                .otherwise(0).alias("bit_set"))
+            .groupBy("doc_id").agg(F.min("bit_set").alias("all_hit"))
+        )
+        hashed = batch_df.select(
+            "doc_id", F.sha2("text", 256).alias("content_hash"))
+        # exact-verify ONLY the bloom-hit subset (the whole point)
+        hits = probed.filter(F.col("all_hit") == 1).join(hashed, "doc_id")
+        confirmed = (
+            hits.join(hashes.distinct().withColumn("_seen", F.lit(1)),
+                      "content_hash", "left")
+            .select("doc_id",
+                    F.when(F.col("_seen") == 1, "dup")
+                    .otherwise("false_positive").alias("verdict"))
+        )
+        verdicts = (
+            probed.join(confirmed, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("all_hit") == 1, "Y").otherwise("N").alias("bloom_hit"),
+                F.coalesce("verdict", F.lit("clean")).alias("verdict"))
+        )
+        verdicts.write.mode("overwrite").parquet(f"{verdicts_dir}/batch={batch_id}")
+        bloom_build_words(batch_df, "text", num_bits, num_hashes).write.mode(
+            "overwrite").parquet(f"{state_dir}/words/batch={batch_id}")
+        hashed.select("content_hash").write.mode("overwrite").parquet(
+            f"{state_dir}/hashes/batch={batch_id}")
+        batch_df.unpersist()
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.json(source_path)
+              .writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def current_labels(spark: SparkSession, labels_dir: str) -> DataFrame:
     """The complete (node, cluster_id) assignment as of the last
     committed batch (atomic _LATEST pointer)."""

@@ -41,6 +41,72 @@ def test_streamed_pairs_equal_full_run(spark, tmp_path, sf_dir):
     assert streamed.groupBy("doc_a", "doc_b").count().filter("count > 1").count() == 0
 
 
+def test_bloom_stream_matches_batch_operator(spark, tmp_path, sf_dir):
+    """The streaming bloom-dedup state path (per-batch OR-merged word
+    tables + hash store) emits exactly the verdicts the batch operator
+    gives with store = union of all strictly-earlier batches; replayed
+    identical content is flagged 'dup', first sightings are not."""
+    from dht11_data_pipeline_spark.operators.dedup import bloom_probe_new_docs
+    from dht11_data_pipeline_spark.streaming.dedup import start_bloom_dedup_stream
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").collect())
+    # chunk 2 replays the first 50 docs under new ids (re-crawled
+    # identical content) — these MUST come back 'dup'
+    chunks = [
+        docs[0:150],
+        docs[150:300],
+        docs[300:400] + [{"doc_id": r["doc_id"] + 100_000, "text": r["text"]}
+                         for r in docs[0:50]],
+    ]
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    for i, chunk in enumerate(chunks):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"],
+                                    "text": r["text"]}) + "\n")
+
+    verdicts_dir = str(tmp_path / "verdicts")
+    q = start_bloom_dedup_stream(
+        spark, src, state_dir=str(tmp_path / "state"),
+        verdicts_dir=verdicts_dir, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(verdicts_dir)  # batch partition column
+    assert out.count() == sum(len(c) for c in chunks)
+
+    # map each stream batch to its chunk by doc_id membership, then
+    # compare against the batch operator with store = earlier chunks
+    batch_ids = [r["batch"] for r in out.select("batch").distinct().collect()]
+    chunk_ids = [frozenset(r["doc_id"] for r in c) for c in chunks]
+    seen_rows: list = []
+    order: dict[int, int] = {}
+    for b in batch_ids:
+        ids = frozenset(r["doc_id"] for r in
+                        out.filter(F.col("batch") == b).select("doc_id").collect())
+        order[b] = chunk_ids.index(ids)
+    for b in sorted(batch_ids, key=lambda x: order[x]):
+        i = order[b]
+        store_rows = [r for j in range(i) for r in chunks[j]]
+        store = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in store_rows] or [],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in chunks[i]],
+            "doc_id long, text string")
+        want = {(r["doc_id"], r["bloom_hit"], r["verdict"])
+                for r in bloom_probe_new_docs(store, batch).collect()}
+        got = {(r["doc_id"], r["bloom_hit"], r["verdict"])
+               for r in out.filter(F.col("batch") == b)
+               .select("doc_id", "bloom_hit", "verdict").collect()}
+        assert got == want, f"batch {b} (chunk {i})"
+        seen_rows += chunks[i]
+    # the replayed-content docs are exactly the dup set
+    dups = {r["doc_id"] for r in out.filter("verdict = 'dup'").collect()}
+    assert dups == {r["doc_id"] + 100_000 for r in docs[0:50]}
+
+
 def test_streamed_clusters_equal_one_shot(spark, tmp_path, sf_dir):
     """The continuous cluster-label store equals cluster_documents over
     the full corpus after all batches drain."""
