@@ -39,17 +39,16 @@ def shingles(tok: Column, n: int = 3) -> Column:
     element_at re-evaluates the whole ``tok`` child expression — O(len²)
     splits per document; measured 6x slower at sf0.1. zip_with walks
     the three pre-sliced arrays once."""
-    m = F.size(tok) - (n - 1)  # shingle count
-    if n == 2:
-        joined = F.zip_with(F.slice(tok, 1, m), F.slice(tok, 2, m),
-                            lambda a, b: F.concat_ws(" ", a, b))
-    elif n == 3:
-        tail = F.zip_with(F.slice(tok, 2, m), F.slice(tok, 3, m),
-                          lambda b, c: F.concat_ws(" ", b, c))
-        joined = F.zip_with(F.slice(tok, 1, m), tail,
-                            lambda a, bc: F.concat_ws(" ", a, bc))
-    else:
+    if n < 2:
         raise ValueError(f"unsupported shingle width {n}")
+    m = F.size(tok) - (n - 1)  # shingle count
+    # right-fold of zip_with over the n offset slices: slice i carries
+    # word i of every shingle; n-1 zip_withs, each walking pre-sliced
+    # arrays once — O(n·len), never the O(len²) element_at trap
+    joined = F.slice(tok, n, m)
+    for i in range(n - 1, 0, -1):
+        joined = F.zip_with(F.slice(tok, i, m), joined,
+                            lambda a, b: F.concat_ws(" ", a, b))
     # guard: negative slice lengths error for docs shorter than n tokens
     return F.when(
         F.size(tok) < n, F.array().cast("array<string>")

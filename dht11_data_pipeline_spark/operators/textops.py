@@ -143,3 +143,40 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.count(F.lit(1)).cast("int").alias("n_shingles"),
         )
     )
+
+
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Cross-document duplicated k-token spans — the substring-level
+    dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a span of ≥ k tokens shared verbatim by
+    two different documents marks boilerplate / templated content that
+    document-level dedup misses. The full suffix-array construction is
+    replaced by the vectorized equivalent for fixed k: every k-gram,
+    grouped, kept where ≥ 2 DISTINCT documents contain it (any shared
+    run of length L ≥ k appears here as L-k+1 overlapping grams, so no
+    run is missed).
+
+    Shape: row-local k-gram build (zip_with fold over token-array
+    slices — no explode until the grams exist, no window/shuffle for
+    gram construction) → ONE shuffle on the gram for the group count.
+    Map-side partial aggregation collapses within-partition repeats, so
+    a hot boilerplate gram arrives at the reducer as one partial row
+    per partition — count aggregation is skew-proof where a join on the
+    gram would not be."""
+    from dht11_data_pipeline_spark.functions.text import shingles
+
+    grams = right_size(df).filter(
+        F.size(F.split(F.col(text_col), " ")) >= k
+    ).select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col), k)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"),
+             F.min(id_col).alias("min_doc_id"),
+             F.max(id_col).alias("max_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

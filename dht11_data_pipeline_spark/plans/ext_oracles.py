@@ -40,8 +40,14 @@ _JACCARD_CORE = _SHINGLES + """
 """
 
 
+def _shingles_from(src: str) -> str:
+    """The _SHINGLES CTE chain over an arbitrary relation (must expose
+    doc_id, text)."""
+    return _SHINGLES.replace("FROM documents", f"FROM {src}")
+
+
 def _minhash_sql(num_hashes: int = 8, band_size: int = 2,
-                 threshold: float = 0.5) -> str:
+                 threshold: float = 0.5, src: str = "documents") -> str:
     sig_items = ", ".join(
         "list_aggregate(list_transform(shingle_set, "
         f"x -> substr(sha256('{s}' || chr(31) || x), 1, 16)), 'min')"
@@ -54,7 +60,7 @@ def _minhash_sql(num_hashes: int = 8, band_size: int = 2,
         + " AS band_key FROM sigs"
         for b in range(n_bands)
     )
-    return (_SHINGLES + f"""
+    return (_shingles_from(src) + f"""
 , sigs AS (SELECT doc_id, [{sig_items}] AS signature FROM sh)
 , bands AS ({band_selects})
 , cands AS (
@@ -294,6 +300,71 @@ _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
 EXT_ORACLES: dict[str, str] = {
+    # full curation pipeline: quality gate -> exact dedup -> minhash
+    # near-dedup (subquery over the surviving pool) -> per-source
+    # greedy token budget; disjoint union of stage kill sets
+    "cur_end_to_end": f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_unique,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the','a','and','of','to','in','is','on'], x))) AS n_stop
+  FROM documents
+),
+b2 AS (
+  SELECT doc_id, source, text, n_tokens,
+         CASE WHEN n_tokens < 20 THEN 'too_short'
+              WHEN n_unique * 2 <= n_tokens THEN 'too_repetitive'
+              WHEN n_stop * 50 < n_tokens THEN 'low_stopword'
+              ELSE 'kept' END AS q_reason
+  FROM base
+),
+poolq AS (SELECT * FROM b2 WHERE q_reason = 'kept'),
+ek AS (SELECT *, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS min_id FROM poolq),
+poole AS (SELECT doc_id, source, n_tokens, text FROM ek WHERE doc_id = min_id),
+nk AS (SELECT DISTINCT doc_b AS doc_id FROM ({_minhash_sql(src="poole")})),
+pooln AS (SELECT * FROM poole WHERE doc_id NOT IN (SELECT doc_id FROM nk)),
+bud AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source
+             ORDER BY sha256('e2e' || chr(31) || CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_t,
+         SUM(n_tokens) OVER (PARTITION BY source) AS total_t
+  FROM pooln
+),
+verdicts AS (
+  SELECT doc_id, source, n_tokens, 'quality:' || q_reason AS verdict
+  FROM b2 WHERE q_reason <> 'kept'
+  UNION ALL
+  SELECT doc_id, source, n_tokens, 'exact_dup' FROM ek WHERE doc_id <> min_id
+  UNION ALL
+  SELECT p.doc_id, p.source, p.n_tokens, 'near_dup'
+  FROM poole p JOIN nk USING (doc_id)
+  UNION ALL
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN before_t * 10 >= total_t * 6
+              THEN 'over_budget' ELSE 'kept' END
+  FROM bud
+)
+SELECT doc_id, source, n_tokens, verdict,
+       CASE WHEN verdict = 'kept' THEN 'Y' ELSE 'N' END AS keep_flag
+FROM verdicts
+""",
+
+    "dedup_common_spans": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+idx AS (
+  SELECT doc_id, tok, unnest(range(1, len(tok) - 6)) AS i
+  FROM t WHERE len(tok) >= 8
+),
+g AS (SELECT doc_id, array_to_string(tok[i : i + 7], ' ') AS gram FROM idx)
+SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+
     # bloom probe: positions from the SAME double-hash arithmetic the
     # Spark operator uses (h = 60-bit sha prefix; pos_j = (h%m + j*(1+h%(m-1)))%m,
     # m=65536, k=4); "bit set in the filter" == "position in the store's

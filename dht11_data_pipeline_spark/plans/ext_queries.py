@@ -915,9 +915,97 @@ def cur_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal: verbatim 8-token spans shared by
+    ≥ 2 distinct documents (boilerplate document-level dedup misses).
+    One shuffle on the gram; row-local gram construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.duplicated_spans(docs, k=8)
+
+
+def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan — the
+    composition a corpus run actually executes, with per-doc stage
+    attribution. Stages in cost order (cheap row-local gates first so
+    each expensive stage sees only survivors):
+
+    1. quality:<reason> — C4-style gate (cur_quality_filter rules)
+    2. exact_dup        — content-hash window among quality survivors
+                          (later ids of each identical-content group)
+    3. near_dup         — minhash-LSH verified Jaccard ≥ 0.5 among
+                          exact survivors (later member of each pair)
+    4. over_budget      — per-source greedy token budget (60% of the
+                          surviving stratum's tokens, deterministic
+                          hash order, exclusive prefix sum — the
+                          cur_sample_mixture discipline)
+    5. kept
+
+    The verdict table is the disjoint union of the stage kill sets —
+    every input doc appears exactly once. Scale: stage 1 is shuffle-
+    free; stage 2 shuffles surviving (hash, id) pairs once; stage 3 is
+    the sub-quadratic LSH pipeline on a reduced pool; stage 4 windows
+    at source grain."""
+    from dht11_data_pipeline_spark.functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    stop = F.array([F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(tok)
+    n_unique = F.size(F.array_distinct(tok))
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop, t)))
+    q_reason = (
+        F.when(n_tok < 20, "too_short")
+        .when(n_unique * 2 <= n_tok, "too_repetitive")
+        .when(n_stop * 50 < n_tok, "low_stopword")
+        .otherwise("kept")
+    )
+    base = docs.select("doc_id", "source", "text",
+                       n_tok.cast("int").alias("n_tokens"),
+                       q_reason.alias("q_reason"))
+    q_failed = base.filter(F.col("q_reason") != "kept").select(
+        "doc_id", "source", "n_tokens",
+        F.concat(F.lit("quality:"), F.col("q_reason")).alias("verdict"))
+
+    pool_q = base.filter(F.col("q_reason") == "kept")
+    wh = Window.partitionBy(F.sha2("text", 256))
+    marked = pool_q.withColumn("_min_id", F.min("doc_id").over(wh))
+    exact_killed = marked.filter(F.col("doc_id") != F.col("_min_id")).select(
+        "doc_id", "source", "n_tokens", F.lit("exact_dup").alias("verdict"))
+    pool_e = marked.filter(F.col("doc_id") == F.col("_min_id")).drop("_min_id")
+
+    near_ids = (dedup.minhash_near_duplicates(
+        pool_e.select("doc_id", "text"), threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id")).distinct())
+    near_killed = pool_e.join(near_ids, "doc_id").select(
+        "doc_id", "source", "n_tokens", F.lit("near_dup").alias("verdict"))
+    pool_n = pool_e.join(near_ids, "doc_id", "left_anti")
+
+    hashed = pool_n.withColumn(
+        "_h", F.sha2(F.concat_ws("\x1f", F.lit("e2e"),
+                                 F.col("doc_id").cast("string")), 256))
+    w_before = (Window.partitionBy("source").orderBy("_h", "doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    w_total = Window.partitionBy("source")
+    budgeted = (
+        hashed
+        .withColumn("_before", F.coalesce(
+            F.sum("n_tokens").over(w_before), F.lit(0)))
+        .withColumn("_total", F.sum("n_tokens").over(w_total))
+        .select("doc_id", "source", "n_tokens",
+                F.when(F.col("_before") * 10 >= F.col("_total") * 6,
+                       "over_budget").otherwise("kept").alias("verdict"))
+    )
+    out = q_failed.unionByName(exact_killed).unionByName(
+        near_killed).unionByName(budgeted)
+    return out.withColumn(
+        "keep_flag", F.when(F.col("verdict") == "kept", "Y").otherwise("N"))
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_end_to_end": cur_end_to_end,
+    "dedup_common_spans": dedup_common_spans,
     "dedup_bloom_probe": dedup_bloom_probe,
     "cur_gopher_filter": cur_gopher_filter,
     "sim_semantic_dedup": sim_semantic_dedup,

@@ -41,6 +41,21 @@ def test_shingles_match_python_reference(spark, docs):
         assert got[i] == _py_shingles(tokens), (i, words)
 
 
+@_slow
+@given(docs=st.lists(DOC, min_size=1, max_size=6),
+       n=st.integers(2, 9))
+def test_generalized_shingle_width_matches_python(spark, docs, n):
+    """The zip_with fold must produce exactly the k-grams for ANY width
+    (duplicated_spans uses k=8; minhash/jaccard use 3)."""
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], "doc_id int, text string")
+    got = {r["doc_id"]: list(r["s"]) for r in
+           df.select("doc_id", distinct_shingles("text", n).alias("s")).collect()}
+    for i, words in enumerate(docs):
+        tokens = " ".join(words).split(" ")
+        assert got[i] == _py_shingles(tokens, n), (i, words, n)
+
+
 CFG = SCD2Config(natural_keys=["k"], ak_col="ak", key_col="key")
 
 ROWS = st.dictionaries(st.integers(0, 50), st.integers(0, 5),
