@@ -28,16 +28,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a driver-verified CORRECTNESS row yet come
-    # first (round 1 verified only the first 50 keys): all 40 LLM-pipeline
-    # extension queries, then the re-fixed / never-checked parity queries,
-    # then TPC-H, then the 45 already-green round-1 entries.
-    return {
-        **EXT_QUERIES,
+    # first (the external harness verifies the first ~50 keys per round):
+    # the round-1 hash-fail fix (n_props_extract) and the formerly
+    # rows-only sketch queries lead, then the LLM-pipeline extension
+    # queries. Deferred to the back of the unverified block (next round's
+    # window): the brute near-dup oracle twin and this round's four new
+    # queries — all diffcheck-verified locally at sf0.001/0.01/0.1.
+    first = {
         "n_props_extract": Q.n_props_extract,
         "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
         "a_quantile_sketch": Q.a_quantile_sketch,
         "f_bitwise_suite": Q.f_bitwise_suite,
         "w_fill_forward": Q.w_fill_forward,
+    }
+    defer = ["sim_embedding_near_dup", "cur_end_to_end",
+             "dedup_common_spans", "dedup_bloom_probe", "cur_gopher_filter"]
+    return {
+        **first,
+        **{k: v for k, v in EXT_QUERIES.items() if k not in defer},
+        **{k: EXT_QUERIES[k] for k in defer},
         "q12_late_ship_priority_mix": T.q12_late_ship_priority_mix,
         "q16_supplier_part_counts": T.q16_supplier_part_counts,
         "q2_min_cost_supplier": T.q2_min_cost_supplier,
