@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_bitwise_suite": Q.f_bitwise_suite,
         "w_fill_forward": Q.w_fill_forward,
     }
-    defer = ["sim_embedding_near_dup", "cur_end_to_end",
+    defer = ["sim_embedding_near_dup", "cur_end_to_end", "dedup_span_coverage",
              "dedup_common_spans", "dedup_bloom_probe", "cur_gopher_filter"]
     return {
         **first,

@@ -180,3 +180,52 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
              F.max(id_col).alias("max_doc_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def span_coverage(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    tokens lying inside some k-token span that also appears verbatim in
+    ANOTHER document — the span-level drop signal (RefinedWeb-style
+    dedup scoring) built on duplicated_spans' gram table. Exact integer
+    output (covered token count + ppm ratio) for engine-portable
+    hashing.
+
+    Shape: gram build is row-local; ONE shuffle on the gram finds the
+    cross-doc duplicated grams; occurrences of those grams explode to
+    their k covered token indices and reduce per doc (countDistinct —
+    overlapping spans counted once). The duplicated-gram side of the
+    join is corpus-dup-fraction sized; the final left join restores
+    never-covered docs at zero."""
+    from dht11_data_pipeline_spark.functions.text import shingles
+
+    base = df.select(F.col(id_col),
+                     F.size(tokens(text_col)).cast("int").alias("n_tokens"))
+    grams = right_size(df).filter(
+        F.size(F.split(F.col(text_col), " ")) >= k
+    ).select(
+        F.col(id_col),
+        F.posexplode(shingles(tokens(text_col), k)).alias("pos", "gram"),
+    )
+    dup = (grams.groupBy("gram")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") >= 2).select("gram"))
+    covered = (
+        grams.join(dup, "gram")
+        .select(F.col(id_col),
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + (k - 1))).alias("ti"))
+        .groupBy(id_col)
+        .agg(F.countDistinct("ti").cast("int").alias("covered_tokens"))
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.expr("CAST(coalesce(covered_tokens, 0) AS BIGINT) * 1000000 "
+                   "DIV n_tokens").alias("coverage_ppm"),
+            F.when(F.coalesce("covered_tokens", F.lit(0)) * 2
+                   >= F.col("n_tokens"), "Y").otherwise("N").alias("drop_flag"),
+        )
+    )

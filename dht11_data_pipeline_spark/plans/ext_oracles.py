@@ -353,6 +353,30 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    "dedup_span_coverage": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+base AS (SELECT doc_id, len(tok) AS n_tokens FROM t),
+idx AS (
+  SELECT doc_id, tok, unnest(range(1, len(tok) - 6)) AS i
+  FROM t WHERE len(tok) >= 8
+),
+g AS (SELECT doc_id, i, array_to_string(tok[i : i + 7], ' ') AS gram FROM idx),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT doc_id, i FROM g JOIN dup USING (gram)),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT ti) AS covered
+  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS ti FROM occ)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INTEGER) AS n_tokens,
+       CAST(COALESCE(covered, 0) AS INTEGER) AS covered_tokens,
+       COALESCE(covered, 0) * 1000000 // b.n_tokens AS coverage_ppm,
+       CASE WHEN COALESCE(covered, 0) * 2 >= b.n_tokens
+            THEN 'Y' ELSE 'N' END AS drop_flag
+FROM base b LEFT JOIN cov USING (doc_id)
+""",
+
     "dedup_common_spans": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
 idx AS (

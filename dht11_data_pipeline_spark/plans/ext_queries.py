@@ -923,6 +923,13 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.duplicated_spans(docs, k=8)
 
 
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of tokens inside cross-document duplicated
+    8-token spans, with a drop flag at ≥ 50% coverage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.span_coverage(docs, k=8)
+
+
 def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as ONE declarative plan — the
     composition a corpus run actually executes, with per-doc stage
@@ -1005,6 +1012,7 @@ EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
     "cur_end_to_end": cur_end_to_end,
+    "dedup_span_coverage": dedup_span_coverage,
     "dedup_common_spans": dedup_common_spans,
     "dedup_bloom_probe": dedup_bloom_probe,
     "cur_gopher_filter": cur_gopher_filter,
