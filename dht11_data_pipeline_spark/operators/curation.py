@@ -79,6 +79,39 @@ def stratified_quota(df: DataFrame, strata: list[str], k: int,
     )
 
 
+def reservoir_salted(df: DataFrame, group_col: str = "source", k: int = 100,
+                     id_col: str = "doc_id", salt: str = "res1",
+                     n_salts: int = 16) -> DataFrame:
+    """Deterministic per-group uniform sample of ``k`` rows — the
+    hot-group-safe two-phase physical plan for stratified_quota's
+    semantics (A-Res reservoir with a content hash as the priority).
+
+    Phase 1 ranks within (group, hash-salt) sub-strata, so ``n_salts``
+    reducers share one giant group's sort and each keeps only its local
+    top-k; phase 2 ranks the ≤ n_salts*k survivors per group. The global
+    top-k per group is always contained in the union of per-sub-stratum
+    top-k, so output is bit-identical to the single-window form — the
+    oracle is the plain ROW_NUMBER() query. At 100 TB the first window
+    sees |group|/n_salts rows per task and the second sees O(k·n_salts).
+    """
+    rank_key = F.substring(
+        F.sha2(F.concat_ws(SEP, F.lit(salt), F.col(id_col).cast("string")), 256),
+        1, 16)
+    sub = _hash_bucket(F.col(id_col), salt + "~sub", n_salts)
+    w1 = Window.partitionBy(group_col, "sub").orderBy("rank_key", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("rank_key", id_col)
+    return (
+        df.select(group_col, id_col, rank_key.alias("rank_key"),
+                  sub.alias("sub"))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col,
+                F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
 def chunk_tokens(df: DataFrame, chunk_size: int = 32, stride: int = 24,
                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Split each document's token stream into fixed-size overlapping

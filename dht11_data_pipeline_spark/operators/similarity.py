@@ -248,3 +248,48 @@ def embedding_near_duplicates_lsh(corpus: DataFrame, threshold: float = 0.95,
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "bucket", "sim")
     )
+
+
+def prototype_prune(corpus: DataFrame, group_col: str = "label",
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    prune_pct: int = 10) -> DataFrame:
+    """Prototypicality pruning (SSL-prototypes / SemDeDup-style data
+    pruning): each group's centroid is the exact mean embedding;
+    vectors rank by cosine-to-centroid (rounded to 4 decimals, id
+    tiebreak) and the farthest ``prune_pct`` percent of each group are
+    flagged drop — the "remove the outliers / keep the prototypical
+    core" curation signal for embedding-clustered corpora.
+
+    Scale: the centroid build is a dim-exploded two-level aggregate —
+    map-side partials reduce each partition to (group, dim) sums before
+    the ONE shuffle, and the post-shuffle table is groups x dim rows;
+    the assembled centroid table is |groups| rows -> broadcast back.
+    Scoring is a narrow per-row expression; the rank is one window
+    shuffle on the group key. Integer rank/count math for the flag —
+    no float ever decides membership.
+    """
+    e = corpus.select(F.col(group_col).alias("g"),
+                      F.col(id_col).alias("vid"),
+                      F.col(vec_col).alias("v"))
+    dims = right_size(e).select("g", F.posexplode("v").alias("i", "x"))
+    cent = (
+        dims.groupBy("g", "i").agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
+        .select("g", F.transform("sm", lambda s: s["m"]).alias("cv"))
+    )
+    scored = (
+        e.join(F.broadcast(cent), "g")
+        .withColumn("sim", F.round(cosine(F.col("v"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("sim").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("g")))
+        .select(
+            F.col("vid").alias(id_col), F.col("g").alias(group_col), "sim",
+            F.col("rank").cast("int").alias("rank"),
+            F.when(F.col("rank") * 100 <= F.col("n") * (100 - prune_pct), "Y")
+            .otherwise("N").alias("keep_flag"),
+        )
+    )

@@ -229,3 +229,54 @@ def span_coverage(df: DataFrame, text_col: str = "text",
                    >= F.col("n_tokens"), "Y").otherwise("N").alias("drop_flag"),
         )
     )
+
+
+def dsir_weights(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", target_col: str = "lang",
+                 target_value: str = "en", buckets: int = 128,
+                 salt: str = "dsir1") -> DataFrame:
+    """DSIR-style importance weights (hashed-bigram importance
+    resampling, Xie et al. 2023): bigrams hash into ``buckets`` feature
+    buckets; each bucket's target-vs-raw frequency ratio (in ppm,
+    integer arithmetic) is the feature weight, and a document's
+    importance score is the mean ratio over its bigram occurrences.
+    Documents that look like the target slice (here: target_col ==
+    target_value) score near 1e6; off-distribution ones score low.
+
+    Shape: ONE shuffle builds the bucket statistics table (map-side
+    partial counts; ``buckets`` rows out), which broadcasts back onto
+    the per-doc gram stream; the per-doc reduce is the second shuffle.
+    Integer ppm ratios end-to-end — no float enters the output."""
+    from dht11_data_pipeline_spark.functions.text import shingles
+    from dht11_data_pipeline_spark.operators.curation import _hash_bucket
+
+    base = df.select(F.col(id_col))
+    grams = right_size(df).filter(F.size(tokens(text_col)) >= 2).select(
+        F.col(id_col),
+        (F.col(target_col) == target_value).alias("is_target"),
+        F.explode(shingles(tokens(text_col), 2)).alias("gram"),
+    ).withColumn("bucket", _hash_bucket(F.col("gram"), salt, buckets))
+    stats = (
+        grams.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("raw_n"),
+             F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_n"))
+        .select("bucket",
+                F.expr("tgt_n * 1000000 DIV raw_n").alias("ratio_ppm"))
+    )
+    per_doc = (
+        grams.join(F.broadcast(stats), "bucket")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("ratio_ppm").alias("w"))
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            F.coalesce("w", F.lit(0)).cast("bigint").alias("weight_ppm_sum"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("w DIV n_bigrams"))
+            .cast("bigint").alias("score_ppm"),
+        )
+    )

@@ -353,6 +353,71 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    "cur_reservoir_sample": """
+WITH h AS (
+  SELECT source, doc_id,
+         substr(sha256('res1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16)
+           AS rank_key
+  FROM documents),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY rank_key, doc_id) AS rk
+  FROM h)
+SELECT source, doc_id, CAST(rk AS INTEGER) AS sample_rank
+FROM r WHERE rk <= 100
+""",
+
+    "sim_prototype_prune": """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+dx AS (SELECT label, i, v[i] AS x FROM dims),
+cent AS (
+  SELECT label, list(m ORDER BY i) AS cv
+  FROM (SELECT label, i, AVG(x) AS m FROM dx GROUP BY label, i)
+  GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(e.v, c.cv), 4) AS sim
+  FROM e JOIN cent c USING (label)),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY sim DESC, vec_id) AS rank,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM scored)
+SELECT vec_id, label, sim, CAST(rank AS INTEGER) AS rank,
+       CASE WHEN rank * 100 <= n * 90 THEN 'Y' ELSE 'N' END AS keep_flag
+FROM r
+""",
+
+    "text_dsir_weight": """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+idx AS (
+  SELECT doc_id, lang, tok, unnest(range(1, len(tok))) AS i
+  FROM t WHERE len(tok) >= 2),
+g AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(sha256('dsir1' || chr(31)
+               || array_to_string(tok[i : i + 1], ' ')), 1, 8))::BIGINT
+              % 128 AS INTEGER) AS bucket
+  FROM idx),
+stats AS (
+  SELECT bucket,
+         COUNT(*) AS raw_n,
+         COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+  FROM g GROUP BY bucket),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_grams, SUM(tgt_n * 1000000 // raw_n) AS w
+  FROM g JOIN stats USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS INTEGER) AS n_bigrams,
+       CAST(COALESCE(w, 0) AS BIGINT) AS weight_ppm_sum,
+       CAST(CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0
+                 ELSE w // n_grams END AS BIGINT) AS score_ppm
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+
     "dedup_span_coverage": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
 base AS (SELECT doc_id, len(tok) AS n_tokens FROM t),

@@ -930,6 +930,27 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.span_coverage(docs, k=8)
 
 
+def cur_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 100-doc-per-source uniform sample via the salted
+    two-phase reservoir (hot-source-safe top-k plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.reservoir_salted(docs, group_col="source", k=100)
+
+
+def sim_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning: rank every embedding by cosine to its
+    label centroid; flag the farthest 10% of each label for drop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.prototype_prune(emb, prune_pct=10)
+
+
+def text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance score per document against the
+    lang='en' target slice (integer ppm ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.dsir_weights(docs, target_col="lang", target_value="en")
+
+
 def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as ONE declarative plan — the
     composition a corpus run actually executes, with per-doc stage
@@ -1011,6 +1032,9 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_reservoir_sample": cur_reservoir_sample,
+    "sim_prototype_prune": sim_prototype_prune,
+    "text_dsir_weight": text_dsir_weight,
     "cur_end_to_end": cur_end_to_end,
     "dedup_span_coverage": dedup_span_coverage,
     "dedup_common_spans": dedup_common_spans,
