@@ -140,3 +140,71 @@ def test_chunk_tokens_property_full_coverage(spark):
         assert covered == set(range(n_tokens))
 
     check()
+
+
+def test_reservoir_salted_matches_single_window(spark, sf_dir):
+    """The two-phase salted plan must be bit-identical to the plain
+    one-window hash-ordered top-k (containment argument in the
+    docstring) — for several k and salt-count settings."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql.window import Window
+    from dht11_data_pipeline_spark.functions.hashing import SEP
+
+    for k, n_salts in ((5, 4), (100, 16), (1, 2)):
+        two = curation.reservoir_salted(docs, group_col="source", k=k,
+                                        n_salts=n_salts)
+        rank_key = F.substring(
+            F.sha2(F.concat_ws(SEP, F.lit("res1"),
+                               F.col("doc_id").cast("string")), 256), 1, 16)
+        w = Window.partitionBy("source").orderBy(rank_key, F.col("doc_id"))
+        one = (docs.select("source", "doc_id")
+               .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+               .filter(F.col("sample_rank") <= k))
+        assert two.exceptAll(one).count() == 0
+        assert one.exceptAll(two).count() == 0
+
+
+def test_reservoir_salted_quota_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.reservoir_salted(docs, group_col="source", k=10)
+    per = out.groupBy("source").agg(F.count("*").alias("n"),
+                                    F.max("sample_rank").alias("mx")).collect()
+    for r in per:
+        assert r["n"] <= 10 and r["mx"] == r["n"]  # dense ranks 1..n
+    again = curation.reservoir_salted(docs, group_col="source", k=10)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_dsir_weights_target_scores_higher(spark, sf_dir):
+    """Importance scoring must separate the target slice: the mean
+    score of lang='en' docs exceeds the corpus mean, and every score
+    is a valid ppm in [0, 1e6]."""
+    from dht11_data_pipeline_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = textops.dsir_weights(docs, target_col="lang", target_value="en")
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    rows = joined.filter(F.col("n_bigrams") > 0).groupBy(
+        (F.col("lang") == "en").alias("is_en")
+    ).agg(F.avg("score_ppm").alias("avg_score")).collect()
+    scores = {r["is_en"]: r["avg_score"] for r in rows}
+    assert scores[True] > scores[False]
+    bad = w.filter((F.col("score_ppm") < 0) | (F.col("score_ppm") > 1000000))
+    assert bad.count() == 0
+
+
+def test_prototype_prune_flags_bottom_decile(spark, sf_dir):
+    from dht11_data_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.prototype_prune(emb, prune_pct=10)
+    assert out.count() == emb.count()
+    per = out.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("keep_flag") == "Y", 1).otherwise(0)).alias("kept"),
+    ).collect()
+    for r in per:
+        assert r["kept"] == (r["n"] * 90) // 100
+    # the most prototypical row in each label is always kept
+    top = out.filter(F.col("rank") == 1)
+    assert top.filter(F.col("keep_flag") == "N").count() == 0
