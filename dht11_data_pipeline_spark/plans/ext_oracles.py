@@ -353,6 +353,32 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    "mm_audio_decode": """
+WITH chars AS (
+  SELECT doc_id, text, unnest(range(1, octet_length(encode(text)) + 1)) AS i
+  FROM documents),
+s AS (
+  SELECT doc_id, (ascii(substr(text, i, 1)) - 128) * 256 AS smp
+  FROM chars)
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(COUNT(*) * 1000 // 8000 AS INTEGER) AS duration_ms,
+       CAST(MAX(ABS(smp)) AS INTEGER) AS peak,
+       CAST(SUM(smp * smp) AS BIGINT) AS energy
+FROM s GROUP BY doc_id
+""",
+
+    "mm_audio_resample": """
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS rate_in,
+       CAST(3000 AS INTEGER) AS rate_out,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_in,
+       CAST(octet_length(encode(text)) * 3000 // 8000 AS INTEGER) AS n_out
+FROM documents
+""",
+
     "cur_reservoir_sample": """
 WITH h AS (
   SELECT source, doc_id,

@@ -930,6 +930,28 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.span_coverage(docs, k=8)
 
 
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no stub: each document's bytes synthesize an
+    actual mono 16-bit PCM WAV (vendored RIFF codec), whose container
+    is then chunk-walked back into integer signal features — synthesize
+    -> decode, all inside Arrow batches. All-integer features, so the
+    oracle reproduces the decode arithmetic from the text bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.attach_audio_payload(docs, rate=8000))
+
+
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + nearest-neighbor resample (8 kHz -> 3 kHz) +
+    re-encode of the WAV column. The checksum column is dropped here
+    (raw bytes aren't expressible to the SQL oracle); the byte-level
+    roundtrip is pinned in tests/test_audiocodec."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resample_audio(
+        multimodal.attach_audio_payload(docs, rate=8000), out_rate=3000,
+    ).select("doc_id", "rate_in", "rate_out", "n_in", "n_out")
+
+
 def cur_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 100-doc-per-source uniform sample via the salted
     two-phase reservoir (hot-source-safe top-k plan)."""
@@ -1032,6 +1054,8 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "mm_audio_decode": mm_audio_decode,
+    "mm_audio_resample": mm_audio_resample,
     "cur_reservoir_sample": cur_reservoir_sample,
     "sim_prototype_prune": sim_prototype_prune,
     "text_dsir_weight": text_dsir_weight,
