@@ -210,3 +210,65 @@ def update_components(labels: DataFrame, new_pairs: DataFrame,
     carried = (labels.join(updated.select(F.col("node").alias("_n")),
                            labels.node == F.col("_n"), "left_anti"))
     return updated.unionByName(carried.select("node", "cluster_id"))
+
+
+def pagerank_integer(nodes: DataFrame, pairs: DataFrame, iters: int = 5,
+                     node_col: str = "node", a_col: str = "id_a",
+                     b_col: str = "id_b") -> DataFrame:
+    """Fixed-point-integer PageRank over an undirected pair list — the
+    corpus-quality / centrality signal web-scale curation pipelines
+    attach to documents (a la harmonic-centrality weighting of crawl
+    graphs). All arithmetic is integer (ranks scaled by 1e6, damping
+    0.85 as *850 DIV 1000, per-edge shares as p DIV deg), so every
+    engine reproduces the exact same ranks — no float ever enters.
+
+    Law: p0 = 1_000_000 for every node; p_{k+1}(n) = 150_000 +
+    (850 * Σ_{m→n} (p_k(m) DIV deg(m))) DIV 1000. Nodes with no edges
+    settle at the 150_000 baseline; connected hubs accumulate shares.
+
+    Scale: the pair list is scanned ONCE — symmetrization is an
+    explode of the two directions, not a self-union that would run the
+    (possibly expensive) pair-generation lineage twice. The
+    degree-annotated edge list persists across all rounds; each
+    iteration is one join keyed on the source node + one aggregate
+    keyed on the destination — two shuffles per round on the node id,
+    the minimum for message passing. Pre-bucketing ranks and edges by
+    node id makes the join side shuffle-free in production. EAGER
+    ``localCheckpoint`` every round truncates lineage (the plan stays
+    O(1) across iterations) and guarantees each round computes exactly
+    once — a lazy checkpoint would let the final action re-derive
+    every round after the persisted edges are released.
+    """
+    edges = (
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+            F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst").distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").persist()
+    base = nodes.select(F.col(node_col).alias("node")).distinct().persist()
+    p = base.select("node", F.lit(1000000).cast("bigint").alias("p"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(p, ed["src"] == p["node"])
+            .select("dst", F.expr("p DIV deg").alias("share"))
+            .groupBy("dst").agg(F.sum("share").alias("c"))
+        )
+        p = (
+            base.join(contrib, base["node"] == contrib["dst"], "left")
+            .select("node",
+                    F.expr("CAST(150000 + (850 * coalesce(c, CAST(0 AS BIGINT)))"
+                           " DIV 1000 AS BIGINT)").alias("p"))
+        ).localCheckpoint(eager=True)
+    dd = ed.select("src", "deg").distinct()
+    out = (
+        p.join(dd, p["node"] == dd["src"], "left")
+        .select("node",
+                F.coalesce("deg", F.lit(0)).cast("int").alias("degree"),
+                F.col("p").alias("rank_ppm"))
+    ).localCheckpoint(eager=True)
+    ed.unpersist()
+    base.unpersist()
+    return out

@@ -283,6 +283,34 @@ FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
 """
 
 
+def _pagerank_sql(threshold: float = 0.4, iters: int = 5) -> str:
+    """Mirror of graph.pagerank_integer over the multiprobe near-dup
+    graph: unrolled fixed-point-integer iterations (all `//` integer
+    division on positive BIGINTs — bit-identical to Spark's DIV)."""
+    its = ""
+    prev = "p0"
+    for k in range(1, iters + 1):
+        its += f""",
+c{k} AS (SELECT ed.dst AS node, SUM(p.p // ed.deg) AS c
+         FROM ed JOIN {prev} p ON p.node = ed.src GROUP BY ed.dst),
+p{k} AS (SELECT b.node,
+                CAST(150000 + (850 * COALESCE(c.c, 0)) // 1000 AS BIGINT) AS p
+         FROM p0 b LEFT JOIN c{k} c USING (node))"""
+        prev = f"p{k}"
+    return f"""
+WITH pairs AS ({_multiprobe_near_dup_sql(threshold=threshold)}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+p0 AS (SELECT vec_id AS node, CAST(1000000 AS BIGINT) AS p FROM embeddings){its}
+SELECT b.node AS vec_id,
+       CAST(COALESCE(d.deg, 0) AS INTEGER) AS degree,
+       p.p AS rank_ppm
+FROM p0 b JOIN {prev} p USING (node) LEFT JOIN deg d ON d.src = b.node
+"""
+
+
 def _incremental_sql(threshold: float = 0.5, mod: int = 4) -> str:
     """A pair is emitted by the incremental run iff the full run emits
     it and at least one side is in the new batch (id % mod == 0) —
@@ -352,6 +380,8 @@ SELECT doc_id, source, n_tokens, verdict,
        CASE WHEN verdict = 'kept' THEN 'Y' ELSE 'N' END AS keep_flag
 FROM verdicts
 """,
+
+    "graph_pagerank": _pagerank_sql(threshold=0.4, iters=5),
 
     "mm_audio_decode": """
 WITH chars AS (

@@ -930,6 +930,19 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.span_coverage(docs, k=8)
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (5 iterations, damping 850/1000)
+    over the semantic near-dup graph — the centrality/quality signal
+    attached to every vector; isolated vectors settle at the 150000
+    ppm baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.4)
+    return graph.pagerank_integer(
+        emb.select(F.col("vec_id")), pairs, iters=5, node_col="vec_id",
+    ).withColumnRenamed("node", "vec_id")
+
+
 def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no stub: each document's bytes synthesize an
     actual mono 16-bit PCM WAV (vendored RIFF codec), whose container
@@ -1054,6 +1067,7 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "graph_pagerank": graph_pagerank,
     "mm_audio_decode": mm_audio_decode,
     "mm_audio_resample": mm_audio_resample,
     "cur_reservoir_sample": cur_reservoir_sample,

@@ -102,3 +102,27 @@ def test_update_components_matches_full_recompute(spark):
             for r in connected_components(old.unionByName(new)).collect()}
     assert got == want
     assert got[21] == 10 and got[4] == 1 and got[31] == 30
+
+
+def test_pagerank_integer_laws(spark):
+    from pyspark.sql import functions as F
+
+    from dht11_data_pipeline_spark.operators.graph import pagerank_integer
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    #   0-1-2 triangle-ish chain, 3 isolated, 4-5 pair, 6-7 pair
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (6, 7)], "id_a long, id_b long")
+    out = {r["node"]: r for r in pagerank_integer(nodes, pairs).collect()}
+    assert len(out) == 8
+    # isolated node at the baseline
+    assert out[3]["rank_ppm"] == 150000 and out[3]["degree"] == 0
+    # symmetric pairs get identical ranks
+    assert out[4]["rank_ppm"] == out[5]["rank_ppm"] == out[6]["rank_ppm"]
+    # chain middle (node 1, degree 2) outranks the endpoints
+    assert out[1]["degree"] == 2
+    assert out[1]["rank_ppm"] > out[0]["rank_ppm"] == out[2]["rank_ppm"]
+    # determinism across re-runs (integer arithmetic end-to-end)
+    again = {r["node"]: r["rank_ppm"]
+             for r in pagerank_integer(nodes, pairs).collect()}
+    assert again == {k: v["rank_ppm"] for k, v in out.items()}
