@@ -1,0 +1,55 @@
+"""Co-occurrence similarity (item-item affinity) over an interaction
+log — the collaborative-filtering / "users who did A also did B"
+signal, computed as the cosine between item interaction-count vectors
+indexed by user.
+
+Shape: ONE shuffle aggregates the (user, item) interaction matrix
+with map-side partials; the self-join on user fans out to
+|items-per-user|^2 pairs per user (bounded by the item vocabulary,
+not the corpus); the pair aggregate is the second shuffle, keyed on
+the item pair. Item norms are an |items|-row table -> broadcast.
+Power users are the skew hazard: cap or sample per-user item sets at
+ingest (the standard CF truncation) — semantics here are the exact
+uncapped version. Cosine rounds to 4 decimals over exact integer
+counts, so any engine reproduces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def item_affinity(df: DataFrame, user_col: str = "user_id",
+                  item_col: str = "event_type") -> DataFrame:
+    """Unordered item pairs (item_a < item_b) with: n_users sharing
+    both, dot product of count vectors, and cosine affinity."""
+    m = (df.groupBy(user_col, item_col)
+         .agg(F.count(F.lit(1)).alias("n"))).persist()
+    norms = (m.groupBy(item_col)
+             .agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm")))
+    a = m.select(F.col(user_col).alias("u"), F.col(item_col).alias("item_a"),
+                 F.col("n").alias("na"))
+    b = m.select(F.col(user_col).alias("u"), F.col(item_col).alias("item_b"),
+                 F.col("n").alias("nb"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"),
+             F.sum(F.col("na") * F.col("nb")).alias("dot"))
+    )
+    na = norms.select(F.col(item_col).alias("item_a"),
+                      F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col(item_col).alias("item_b"),
+                      F.col("norm").alias("norm_b"))
+    return (
+        pairs.join(F.broadcast(na), "item_a").join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a", "item_b",
+            F.col("n_users").cast("int").alias("n_users"),
+            F.col("dot").cast("bigint").alias("dot"),
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 4)
+            .alias("affinity"),
+        )
+    )

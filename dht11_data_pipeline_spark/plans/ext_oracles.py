@@ -381,6 +381,39 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    "j_fuzzy_part_match": """
+SELECT a.p_brand,
+       a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS text_a, b.p_name AS text_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+       CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+            THEN 'exact' ELSE 'near' END AS match_grade
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+
+    "t_event_type_affinity": """
+WITH m AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type),
+norms AS (
+  SELECT event_type, sqrt(SUM(n * n)) AS norm FROM m GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         COUNT(*) AS n_users, SUM(a.n * b.n) AS dot
+  FROM m a
+  JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT item_a, item_b,
+       CAST(n_users AS INTEGER) AS n_users,
+       CAST(dot AS BIGINT) AS dot,
+       round(dot / (na.norm * nb.norm), 4) AS affinity
+FROM p
+JOIN norms na ON na.event_type = p.item_a
+JOIN norms nb ON nb.event_type = p.item_b
+""",
+
     "graph_pagerank": _pagerank_sql(threshold=0.4, iters=5),
 
     "mm_audio_decode": """

@@ -930,6 +930,23 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.span_coverage(docs, k=8)
 
 
+def j_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: brand-blocked fuzzy
+    self-join, edit distance <= 2, graded exact/near."""
+    from dht11_data_pipeline_spark.operators import linkage
+    part = load_table(spark, sf_dir, "part")
+    return linkage.blocked_fuzzy_pairs(
+        part, ["p_brand"], "p_name", "p_partkey", max_dist=2)
+
+
+def t_event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering affinity: cosine between
+    event-type interaction-count vectors indexed by user."""
+    from dht11_data_pipeline_spark.operators import cooccur
+    events = load_table(spark, sf_dir, "events")
+    return cooccur.item_affinity(events, "user_id", "event_type")
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank (5 iterations, damping 850/1000)
     over the semantic near-dup graph — the centrality/quality signal
@@ -1067,6 +1084,8 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "j_fuzzy_part_match": j_fuzzy_part_match,
+    "t_event_type_affinity": t_event_type_affinity,
     "graph_pagerank": graph_pagerank,
     "mm_audio_decode": mm_audio_decode,
     "mm_audio_resample": mm_audio_resample,
