@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 def item_affinity(df: DataFrame, user_col: str = "user_id",
                   item_col: str = "event_type") -> DataFrame:
     """Unordered item pairs (item_a < item_b) with: n_users sharing
-    both, dot product of count vectors, and cosine affinity."""
+    both, dot product of count vectors, and cosine affinity.
+
+    The (user, item) count matrix feeds four consumers (both join
+    sides + both norm lookups) and pre-AQE Spark does NOT reuse that
+    exchange, so it persists for the computation; the returned frame is
+    an eager localCheckpoint of the |items|^2-row result, letting the
+    cache release before return (no lingering executor memory)."""
     m = (df.groupBy(user_col, item_col)
          .agg(F.count(F.lit(1)).alias("n"))).persist()
     norms = (m.groupBy(item_col)
@@ -43,7 +49,7 @@ def item_affinity(df: DataFrame, user_col: str = "user_id",
                       F.col("norm").alias("norm_a"))
     nb = norms.select(F.col(item_col).alias("item_b"),
                       F.col("norm").alias("norm_b"))
-    return (
+    out = (
         pairs.join(F.broadcast(na), "item_a").join(F.broadcast(nb), "item_b")
         .select(
             "item_a", "item_b",
@@ -52,4 +58,6 @@ def item_affinity(df: DataFrame, user_col: str = "user_id",
             F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 4)
             .alias("affinity"),
         )
-    )
+    ).localCheckpoint(eager=True)
+    m.unpersist()
+    return out
