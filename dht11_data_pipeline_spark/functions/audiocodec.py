@@ -36,8 +36,12 @@ def encode_wav(samples: list[int], rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
-    """(n_channels, sample_rate, samples) from a PCM WAV payload.
-    Chunk-walks the RIFF container; raises on non-PCM / non-16-bit."""
+    """(n_channels, sample_rate, samples) from a mono PCM WAV payload.
+    Chunk-walks the RIFF container; raises on non-PCM / non-16-bit /
+    non-mono (interleaved frames would silently corrupt duration math
+    and channel-mix under sample-and-hold resampling downstream) and
+    on chunks whose declared length overruns the payload (a truncated
+    file must surface, not quietly decode to fewer samples)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i = 12
@@ -46,12 +50,18 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     while i + 8 <= len(payload):
         cid = payload[i:i + 4]
         (clen,) = struct.unpack_from("<I", payload, i + 4)
+        if i + 8 + clen > len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {clen} bytes, "
+                f"{len(payload) - i - 8} remain")
         body = payload[i + 8:i + 8 + clen]
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV (format={fmt}, bits={bits})")
+            if fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError(
+                    f"unsupported WAV (format={fmt}, bits={bits}, "
+                    f"channels={channels}); only mono PCM16 is handled")
         elif cid == b"data":
             samples = list(struct.unpack(f"<{len(body) // 2}h",
                                          body[:len(body) // 2 * 2]))

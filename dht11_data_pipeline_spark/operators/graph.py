@@ -245,7 +245,10 @@ def pagerank_integer(nodes: DataFrame, pairs: DataFrame, iters: int = 5,
             F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
         )).alias("e"))
         .select("e.src", "e.dst").distinct()
-    )
+    ).persist()  # feeds both deg and the join: without this the pair-
+    # generation lineage (possibly an expensive LSH self-join) plans
+    # twice — deg's exchange child is the partial agg, so ReuseExchange
+    # cannot dedup it against the join side
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = edges.join(deg, "src").persist()
     base = nodes.select(F.col(node_col).alias("node")).distinct().persist()
@@ -270,5 +273,6 @@ def pagerank_integer(nodes: DataFrame, pairs: DataFrame, iters: int = 5,
                 F.col("p").alias("rank_ppm"))
     ).localCheckpoint(eager=True)
     ed.unpersist()
+    edges.unpersist()
     base.unpersist()
     return out

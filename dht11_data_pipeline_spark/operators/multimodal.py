@@ -77,7 +77,7 @@ def attach_image_payload(df: DataFrame, text_col: str = "text",
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "payload": [text_to_ppm(t.encode("utf-8"), width)
                             for t in pdf[text_col]],
             })
@@ -250,7 +250,7 @@ def attach_audio_payload(df: DataFrame, text_col: str = "text",
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "payload": [text_to_wav(t.encode("utf-8"), rate)
                             for t in pdf[text_col]],
             })

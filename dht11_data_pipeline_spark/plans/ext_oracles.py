@@ -416,21 +416,33 @@ JOIN norms nb ON nb.event_type = p.item_b
 
     "graph_pagerank": _pagerank_sql(threshold=0.4, iters=5),
 
+    # NOTE: reproduces the byte->sample law via per-CHARACTER code
+    # points — equivalent to the UTF-8 bytes the Spark side encodes
+    # only because the fixture corpus is pure ASCII (where char count
+    # == byte count and ascii(c) == the byte). The LEFT JOIN restores
+    # zero-length documents (Spark emits an all-zero feature row for
+    # them; a bare GROUP BY would drop them).
     "mm_audio_decode": """
 WITH chars AS (
   SELECT doc_id, text, unnest(range(1, octet_length(encode(text)) + 1)) AS i
   FROM documents),
 s AS (
   SELECT doc_id, (ascii(substr(text, i, 1)) - 128) * 256 AS smp
-  FROM chars)
-SELECT doc_id,
+  FROM chars),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_samples,
+         MAX(ABS(smp)) AS peak,
+         SUM(smp * smp) AS energy
+  FROM s GROUP BY doc_id)
+SELECT d.doc_id,
        CAST(1 AS INTEGER) AS n_channels,
        CAST(8000 AS INTEGER) AS sample_rate,
-       CAST(COUNT(*) AS INTEGER) AS n_samples,
-       CAST(COUNT(*) * 1000 // 8000 AS INTEGER) AS duration_ms,
-       CAST(MAX(ABS(smp)) AS INTEGER) AS peak,
-       CAST(SUM(smp * smp) AS BIGINT) AS energy
-FROM s GROUP BY doc_id
+       CAST(COALESCE(n_samples, 0) AS INTEGER) AS n_samples,
+       CAST(COALESCE(n_samples, 0) * 1000 // 8000 AS INTEGER) AS duration_ms,
+       CAST(COALESCE(peak, 0) AS INTEGER) AS peak,
+       CAST(COALESCE(energy, 0) AS BIGINT) AS energy
+FROM documents d LEFT JOIN agg USING (doc_id)
 """,
 
     "mm_audio_resample": """

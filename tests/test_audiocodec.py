@@ -92,3 +92,13 @@ def test_audio_operators_end_to_end(spark):
     res2 = {r["doc_id"]: r["out_checksum"] for r in
             multimodal.resample_audio(wav, out_rate=4000).collect()}
     assert res2 == {k: v["out_checksum"] for k, v in res.items()}
+
+
+def test_decode_rejects_stereo_and_truncated():
+    bad = bytearray(encode_wav([1, 2, 3, 4], 8000))
+    bad[22] = 2  # channels = 2
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+    whole = encode_wav([1, 2, 3, 4], 8000)
+    with pytest.raises(ValueError):
+        decode_wav(whole[:-3])  # data chunk declares more than remains
