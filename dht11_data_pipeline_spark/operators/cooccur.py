@@ -23,15 +23,27 @@ from pyspark.sql import functions as F
 def item_affinity(df: DataFrame, user_col: str = "user_id",
                   item_col: str = "event_type") -> DataFrame:
     """Unordered item pairs (item_a < item_b) with: n_users sharing
-    both, dot product of count vectors, and cosine affinity.
+    both, dot product of count vectors, and cosine affinity."""
+    counts = df.groupBy(user_col, item_col).agg(F.count(F.lit(1)).alias("n"))
+    return item_affinity_from_counts(counts, user_col, item_col, "n")
 
-    The (user, item) count matrix feeds four consumers (both join
-    sides + both norm lookups) and pre-AQE Spark does NOT reuse that
-    exchange, so it persists for the computation; the returned frame is
-    an eager localCheckpoint of the |items|^2-row result, letting the
-    cache release before return (no lingering executor memory)."""
-    m = (df.groupBy(user_col, item_col)
-         .agg(F.count(F.lit(1)).alias("n"))).persist()
+
+def item_affinity_from_counts(counts: DataFrame, user_col: str = "user_id",
+                              item_col: str = "event_type",
+                              n_col: str = "n") -> DataFrame:
+    """Affinity over a precomputed (user, item) -> count matrix — the
+    entry point an INCREMENTAL pipeline uses: the count matrix is a sum
+    monoid, so a streaming rollup (streaming/rollup.py) maintains it
+    per-batch and this view re-derives affinities from merged partials
+    without ever rescanning history.
+
+    The matrix feeds four consumers (both join sides + both norm
+    lookups) and pre-AQE Spark does NOT reuse that exchange, so it
+    persists for the computation; the returned frame is an eager
+    localCheckpoint of the |items|^2-row result, letting the cache
+    release before return (no lingering executor memory)."""
+    m = counts.select(F.col(user_col), F.col(item_col),
+                      F.col(n_col).cast("bigint").alias("n")).persist()
     norms = (m.groupBy(item_col)
              .agg(F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("norm")))
     a = m.select(F.col(user_col).alias("u"), F.col(item_col).alias("item_a"),

@@ -29,17 +29,43 @@ def blocked_fuzzy_pairs(df: DataFrame, block_cols: list[str],
                         max_dist: int = 2) -> DataFrame:
     """Self entity-resolution: unordered pairs (id_a < id_b) agreeing
     on every blocking column with edit_distance(text) <= max_dist.
-    Output grades matches: 'exact' (0) vs 'near' (1..max_dist)."""
-    a = df.select(*block_cols, F.col(id_col).alias("id_a"),
-                  F.col(text_col).alias("text_a"))
-    b = df.select(*block_cols, F.col(id_col).alias("id_b"),
-                  F.col(text_col).alias("text_b"))
-    return (
+    Output grades matches: 'exact' (0) vs 'near' (1..max_dist).
+
+    Dedupe-then-link: the edit-distance DP runs only over DISTINCT
+    (block, text) values — the vocabulary — and the id-level pair set
+    re-expands through hash equi-joins on (block, text). Naively
+    pairing rows is quadratic in the BLOCK size (which grows with the
+    corpus: this exact shape measured 30x super-linear in SCALING.md);
+    the vocabulary does not grow with row count, so the expensive DP
+    stage is corpus-size-independent and only the genuinely quadratic
+    OUTPUT (duplicate-heavy blocks) costs join time."""
+    rows = df.select(*block_cols, F.col(id_col).alias("_id"),
+                     F.col(text_col).alias("_text"))
+    names = rows.select(*block_cols, "_text").distinct()
+    a = names.select(*block_cols, F.col("_text").alias("text_a"))
+    b = names.select(*block_cols, F.col("_text").alias("text_b"))
+    cand = (
         a.join(b, block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("text_a") <= F.col("text_b"))
         .filter(F.abs(F.length("text_a") - F.length("text_b")) <= max_dist)
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= max_dist)
+    )
+    # both orientations for distinct-name pairs, one for identical names:
+    # after the id joins, id_a < id_b keeps exactly one row per id pair
+    # with text_a always the smaller id's text (the row-pair contract)
+    sym = cand.unionByName(
+        cand.filter(F.col("text_a") < F.col("text_b")).select(
+            *block_cols, F.col("text_b").alias("text_a"),
+            F.col("text_a").alias("text_b"), "dist"))
+    ids_a = rows.select(*block_cols, F.col("_id").alias("id_a"),
+                        F.col("_text").alias("text_a"))
+    ids_b = rows.select(*block_cols, F.col("_id").alias("id_b"),
+                        F.col("_text").alias("text_b"))
+    return (
+        sym.join(ids_a, [*block_cols, "text_a"])
+        .join(ids_b, [*block_cols, "text_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             *block_cols, "id_a", "id_b", "text_a", "text_b",
             F.col("dist").cast("int").alias("dist"),
@@ -60,12 +86,20 @@ def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
                     F.col(left_text).alias("left_text"))
     b = right.select(*block_cols, F.col(right_id).alias("right_id"),
                      F.col(right_text).alias("right_text"))
-    return (
-        a.join(b, block_cols)
+    # same dedupe-then-link shape as blocked_fuzzy_pairs: DP over the
+    # two vocabularies, id expansion through equi-joins
+    na = a.select(*block_cols, "left_text").distinct()
+    nb = b.select(*block_cols, "right_text").distinct()
+    cand = (
+        na.join(nb, block_cols)
         .filter(F.abs(F.length("left_text") - F.length("right_text"))
                 <= max_dist)
         .withColumn("dist", F.levenshtein("left_text", "right_text"))
         .filter(F.col("dist") <= max_dist)
+    )
+    return (
+        cand.join(a, [*block_cols, "left_text"])
+        .join(b, [*block_cols, "right_text"])
         .select(*block_cols, "left_id", "right_id", "left_text",
                 "right_text", F.col("dist").cast("int").alias("dist"))
     )

@@ -324,3 +324,36 @@ def resample_audio(binary_df: DataFrame, out_rate: int = 4000) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(_batches, schema=RESAMPLE_AUDIO_SCHEMA)
+
+
+AUDIO_EMBED_SCHEMA = "doc_id long, embedding array<float>"
+
+
+def audio_embed(binary_df: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL audio -> embedding: decode each WAV and build a histogram
+    over the decoded samples' amplitude classes (abs(sample) DIV 256
+    mod dim). A stand-in for a learned audio encoder with the same
+    Spark shape (Arrow batches in, array<float> out), but — unlike the
+    byte-histogram stub — computed from the DECODED signal, so a SQL
+    oracle can reproduce the vector exactly from first principles and
+    the output feeds the similarity operators unchanged (attach ->
+    embed -> top-k is the multimodal retrieval pipeline at 100 TB).
+
+    Deliberately RAW integer counts, not unit-normalized: cosine is
+    scale-invariant, and small-integer counts are exact in float32 —
+    both engines then score identical values and the rounded ranking
+    can never diverge on a normalization ulp."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dht11_data_pipeline_spark.functions.audiocodec import decode_wav
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                _, _, samples = decode_wav(bytes(p))
+                arr = np.abs(np.asarray(samples, dtype=np.int64)) // 256 % dim
+                vecs.append(np.bincount(arr, minlength=dim).astype("float32"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return binary_df.mapInPandas(_batches, schema=AUDIO_EMBED_SCHEMA)

@@ -381,6 +381,36 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    # embedding = per-doc histogram of abs(ascii(ch)-128) % 16 over the
+    # (ASCII) text — exactly the amplitude classes audio_embed derives
+    # from the decoded samples ((b-128)*256 -> abs DIV 256 % 16)
+    "mm_audio_ann": """
+WITH chars AS (
+  SELECT doc_id, text, unnest(range(1, octet_length(encode(text)) + 1)) AS i
+  FROM documents),
+bu AS (
+  SELECT doc_id, abs(ascii(substr(text, i, 1)) - 128) % 16 AS b FROM chars),
+hist AS (SELECT doc_id, b, COUNT(*) AS c FROM bu GROUP BY doc_id, b),
+dense AS (
+  SELECT d.doc_id, r.b, CAST(COALESCE(h.c, 0) AS DOUBLE) AS c
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS b) r
+  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.b = r.b),
+vecs AS (SELECT doc_id, list(c ORDER BY b) AS v FROM dense GROUP BY doc_id),
+q AS (SELECT doc_id AS query_id, v AS qv FROM vecs WHERE doc_id % 100 = 0),
+c2 AS (SELECT doc_id AS neighbor_id, v AS cv FROM vecs),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 4) AS sim
+  FROM q CROSS JOIN c2 WHERE query_id <> neighbor_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rk
+  FROM s)
+SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 3
+""",
+
     "j_fuzzy_part_match": """
 SELECT a.p_brand,
        a.p_partkey AS id_a, b.p_partkey AS id_b,

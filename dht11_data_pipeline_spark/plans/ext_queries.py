@@ -982,6 +982,19 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "rate_in", "rate_out", "n_in", "n_out")
 
 
+def mm_audio_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal retrieval pipeline in one plan: synthesize
+    WAV -> REAL decode -> amplitude-class histogram embedding -> exact
+    cosine top-3 for every 100th document. Integer-count embeddings
+    keep both engines' scores bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = multimodal.audio_embed(
+        multimodal.attach_audio_payload(docs, rate=8000), dim=16)
+    queries = emb.filter(F.col("doc_id") % 100 == 0)
+    return similarity.cosine_topk(emb, queries, k=3,
+                                  id_col="doc_id", vec_col="embedding")
+
+
 def cur_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 100-doc-per-source uniform sample via the salted
     two-phase reservoir (hot-source-safe top-k plan)."""
@@ -1084,6 +1097,7 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "mm_audio_ann": mm_audio_ann,
     "j_fuzzy_part_match": j_fuzzy_part_match,
     "t_event_type_affinity": t_event_type_affinity,
     "graph_pagerank": graph_pagerank,

@@ -115,3 +115,17 @@ def compact_rollup(spark: SparkSession, state_dir: str,
     # the swapped-away path can occur afterwards
     merged = merge_rollups(parts.limit(0), parts, keys)
     swap_target(merged, f"{state_dir}/partials")
+
+
+def affinity_over_rollup(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Continuously-maintained item-item affinity: the (user, item)
+    interaction-count matrix is a sum monoid, so the rollup stream
+    keeps it incrementally (per-batch partials, O(batch) cost) and the
+    cosine affinities re-derive from the merged matrix on read — no
+    history rescan, the streaming twin of cooccur.item_affinity."""
+    from dht11_data_pipeline_spark.operators.cooccur import (
+        item_affinity_from_counts)
+    counts = current_rollup(spark, state_dir,
+                            keys=["user_id", "event_type"]).select(
+        "user_id", "event_type", F.col("n_events").alias("n"))
+    return item_affinity_from_counts(counts, "user_id", "event_type", "n")

@@ -87,3 +87,19 @@ def test_post_compaction_batches_coexist(spark, sf_dir, tmp_path):
     q2 = SR.start_rollup_stream(spark, src, state, ckpt)
     q2.awaitTermination(120)
     assert _rows(SR.current_rollup(spark, state)) == _rows(_expected(spark, sf_dir))
+
+
+def test_streamed_affinity_equals_batch(spark, sf_dir, tmp_path):
+    """Item-item affinity over the continuously-maintained count
+    matrix must equal the one-shot batch affinity over all events —
+    the monoid-merge argument, end to end through the stream."""
+    from dht11_data_pipeline_spark.operators.cooccur import item_affinity
+
+    src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+    _write_feed(spark, sf_dir, src)
+    q = SR.start_rollup_stream(spark, src, state, ckpt,
+                               keys=["user_id", "event_type"])
+    q.awaitTermination(120)
+    streamed = SR.affinity_over_rollup(spark, state)
+    batch = item_affinity(load_table(spark, sf_dir, "events"))
+    assert _rows(streamed) == _rows(batch)
