@@ -38,7 +38,12 @@ def blocked_fuzzy_pairs(df: DataFrame, block_cols: list[str],
     corpus: this exact shape measured 30x super-linear in SCALING.md);
     the vocabulary does not grow with row count, so the expensive DP
     stage is corpus-size-independent and only the genuinely quadratic
-    OUTPUT (duplicate-heavy blocks) costs join time."""
+    OUTPUT (duplicate-heavy blocks) costs join time.
+
+    The input projects three times (vocabulary + both id-expansion
+    sides) — fine for catalog-scale entity tables with column-pruned
+    scans; for fact-scale inputs persist the (block, id, text)
+    projection first and pass that in."""
     rows = df.select(*block_cols, F.col(id_col).alias("_id"),
                      F.col(text_col).alias("_text"))
     names = rows.select(*block_cols, "_text").distinct()

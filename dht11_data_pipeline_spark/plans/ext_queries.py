@@ -989,10 +989,15 @@ def mm_audio_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep both engines' scores bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
     emb = multimodal.audio_embed(
-        multimodal.attach_audio_payload(docs, rate=8000), dim=16)
+        multimodal.attach_audio_payload(docs, rate=8000), dim=16).persist()
+    # persist: the corpus and query sides would otherwise each re-run
+    # the synthesize->decode->embed Python chain; checkpoint the
+    # (small) top-k result and release the embedding cache
     queries = emb.filter(F.col("doc_id") % 100 == 0)
-    return similarity.cosine_topk(emb, queries, k=3,
-                                  id_col="doc_id", vec_col="embedding")
+    out = similarity.cosine_topk(emb, queries, k=3, id_col="doc_id",
+                                 vec_col="embedding").localCheckpoint(eager=True)
+    emb.unpersist()
+    return out
 
 
 def cur_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
