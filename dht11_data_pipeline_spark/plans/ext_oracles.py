@@ -381,6 +381,56 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    # literal patterns only: replace-based counting has the same
+    # left-to-right non-overlapping semantics as regexp_extract_all
+    "t_journey_patterns": """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(length(journey) AS INTEGER) AS journey_len,
+       CAST((length(journey) - length(replace(journey, 'vc', ''))) // 2
+            AS INTEGER) AS n_view_click,
+       CAST((length(journey) - length(replace(journey, 'cp', ''))) // 2
+            AS INTEGER) AS n_click_purchase,
+       CAST((length(journey) - length(replace(journey, 'se', ''))) // 2
+            AS INTEGER) AS n_error_after_signup,
+       CASE WHEN strpos(journey, 'p') > 0 THEN 'Y' ELSE 'N' END AS converted,
+       CAST(strpos(journey, 'p') AS INTEGER) AS first_purchase_pos
+FROM j
+""",
+
+    # sign * (abs(num) * scale // den): floor division and Spark's
+    # truncating DIV agree on non-negative operands only, so the sign
+    # factors out before the division on both sides
+    "ts_trend_per_type": """
+WITH pts AS (
+  SELECT event_type,
+         day(CAST(ts AS TIMESTAMP)) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+  FROM events GROUP BY event_type, day(CAST(ts AS TIMESTAMP))),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS INTEGER) AS n_points,
+       CAST(sy AS BIGINT) AS total_y,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE (CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                            WHEN n * sxy - sx * sy < 0 THEN -1
+                            ELSE 0 END)
+                      * (abs(n * sxy - sx * sy) * 1000000
+                         // (n * sxx - sx * sx))
+            END AS BIGINT) AS slope_ppm,
+       CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+            WHEN n * sxy - sx * sy < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM agg
+""",
+
     # embedding = per-doc histogram of abs(ascii(ch)-128) % 16 over the
     # (ASCII) text — exactly the amplitude classes audio_embed derives
     # from the decoded samples ((b-128)*256 -> abs DIV 256 % 16)

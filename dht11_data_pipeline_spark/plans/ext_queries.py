@@ -982,6 +982,32 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "rate_in", "rate_out", "n_in", "n_out")
 
 
+def t_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style journey analysis: each user's event-type initials in
+    time order, with non-overlapping adjacency-pattern counts and
+    first-purchase position."""
+    from dht11_data_pipeline_spark.operators import sequence
+    events = load_table(spark, sf_dir, "events")
+    return sequence.journey_patterns(events, {
+        "n_view_click": "vc",
+        "n_click_purchase": "cp",
+        "n_error_after_signup": "se",
+    })
+
+
+def ts_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact least-squares trend of daily spend (cents) per
+    event type over the day-of-month axis."""
+    from dht11_data_pipeline_spark.operators import sequence
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth(F.col("ts").cast("timestamp")).alias("day_x"),
+        F.col("value").cast("decimal(18,2)").alias("v"))
+    return sequence.linear_trend(
+        events, "event_type", "day_x",
+        (F.sum("v") * 100).cast("bigint"))
+
+
 def mm_audio_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal retrieval pipeline in one plan: synthesize
     WAV -> REAL decode -> amplitude-class histogram embedding -> exact
@@ -1102,6 +1128,8 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "t_journey_patterns": t_journey_patterns,
+    "ts_trend_per_type": ts_trend_per_type,
     "mm_audio_ann": mm_audio_ann,
     "j_fuzzy_part_match": j_fuzzy_part_match,
     "t_event_type_affinity": t_event_type_affinity,
