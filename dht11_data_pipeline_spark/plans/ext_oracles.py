@@ -381,6 +381,30 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    "j_entity_resolution": """
+WITH RECURSIVE
+fp AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM part a
+  JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+edges AS (SELECT id_a AS a, id_b AS b FROM fp
+          UNION ALL SELECT id_b, id_a FROM fp),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(node, origin) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, r.origin FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node, MIN(origin) AS cid FROM reach GROUP BY node),
+lab AS (
+  SELECT p.p_partkey, COALESCE(c.cid, p.p_partkey) AS entity_id
+  FROM part p LEFT JOIN comp c ON c.node = p.p_partkey)
+SELECT p_partkey, entity_id,
+       CASE WHEN p_partkey = entity_id THEN 'Y' ELSE 'N' END AS is_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY entity_id) AS INTEGER) AS n_members
+FROM lab
+""",
+
     # literal patterns only: replace-based counting has the same
     # left-to-right non-overlapping semantics as regexp_extract_all
     "t_journey_patterns": """

@@ -982,6 +982,27 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "rate_in", "rate_out", "n_in", "n_out")
 
 
+def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data entity resolution end to end: brand-blocked fuzzy
+    pairs -> transitive closure -> every part labeled with its entity
+    (min member key), canonical flag, and entity size. The golden-
+    record pipeline: linkage.blocked_fuzzy_pairs feeds
+    graph.cluster_documents unchanged."""
+    from dht11_data_pipeline_spark.operators import linkage
+    part = load_table(spark, sf_dir, "part")
+    pairs = linkage.blocked_fuzzy_pairs(
+        part, ["p_brand"], "p_name", "p_partkey", max_dist=2
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    labeled = graph.cluster_documents(part, pairs, id_col="p_partkey")
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "p_partkey",
+        F.col("cluster_id").alias("entity_id"),
+        "is_canonical",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_members"),
+    )
+
+
 def t_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-style journey analysis: each user's event-type initials in
     time order, with non-overlapping adjacency-pattern counts and
@@ -1128,6 +1149,7 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "j_entity_resolution": j_entity_resolution,
     "t_journey_patterns": t_journey_patterns,
     "ts_trend_per_type": ts_trend_per_type,
     "mm_audio_ann": mm_audio_ann,

@@ -73,3 +73,26 @@ def test_item_affinity_exact_small_case(spark):
     bc = out[("B", "C")]
     assert bc["n_users"] == 1 and bc["dot"] == 1
     assert ("A", "C") not in out  # no shared user
+
+
+def test_entity_clusters_transitive(spark):
+    """A~B and B~C must land A, C in one entity even when
+    dist(A, C) > max_dist — the closure over fuzzy pairs."""
+    from dht11_data_pipeline_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [
+            (1, "B1", "red widget"),
+            (2, "B1", "red widgets"),    # 1 edit from id 1
+            (3, "B1", "red widgetsxx"),  # 2 edits from id 2, 3 from id 1
+            (4, "B1", "blue gear"),      # singleton
+        ],
+        "id long, brand string, name string")
+    pairs = linkage.blocked_fuzzy_pairs(
+        df, ["brand"], "name", "id", max_dist=2
+    ).selectExpr("id_a AS doc_a", "id_b AS doc_b")
+    out = {r["id"]: r for r in
+           graph.cluster_documents(df, pairs, id_col="id").collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[4]["cluster_id"] == 4
+    assert out[1]["is_canonical"] == "Y" and out[3]["is_canonical"] == "N"
