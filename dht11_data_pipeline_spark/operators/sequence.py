@@ -98,3 +98,45 @@ def linear_trend(df: DataFrame, key_col: str, x_col: str, y_cents: F.Column,
         F.when(num > 0, "up").when(num < 0, "down").otherwise("flat")
         .alias("trend"),
     )
+
+
+def cusum_changepoint(df: DataFrame, key_col: str, x_col: str,
+                      y_col: str) -> DataFrame:
+    """Integer-exact CUSUM change-point per key: over points (x, y) in
+    x order, S_k = n * prefix_sum(y)_k - k * total(y) — the cumulative
+    deviation from the mean, scaled by n so no division ever happens.
+    The change point is the x maximizing |S_k| (earliest x on ties);
+    its sign says whether the series ran above ('high-then-drop') or
+    below ('low-then-rise') its mean up to that point.
+
+    One shuffle on the key; the prefix/total sums are one window pass
+    over the (key, x) grain (pre-aggregate to that grain first — the
+    windows never see raw fact rows)."""
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy(key_col)
+    pts = df.select(key_col, F.col(x_col).cast("bigint").alias("x"),
+                    F.col(y_col).cast("bigint").alias("y"))
+    scored = pts.select(
+        key_col, "x",
+        (F.count(F.lit(1)).over(w_all) * F.sum("y").over(
+            Window.partitionBy(key_col).orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+         - F.row_number().over(Window.partitionBy(key_col).orderBy("x"))
+         * F.sum("y").over(w_all)).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    pick = Window.partitionBy(key_col).orderBy(F.abs(F.col("s")).desc(), "x")
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            key_col,
+            F.col("n").cast("int").alias("n_points"),
+            F.col("x").alias("change_x"),
+            F.abs("s").cast("bigint").alias("cusum_abs"),
+            F.when(F.col("s") > 0, "high-then-drop")
+            .when(F.col("s") < 0, "low-then-rise")
+            .otherwise("none").alias("shape"),
+        )
+    )

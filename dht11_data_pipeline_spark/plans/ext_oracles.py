@@ -381,6 +381,35 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    "ts_changepoint_per_type": """
+WITH pts AS (
+  SELECT event_type,
+         day(CAST(ts AS TIMESTAMP)) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+  FROM events GROUP BY event_type, day(CAST(ts AS TIMESTAMP))),
+scored AS (
+  SELECT event_type, x,
+         COUNT(*) OVER (PARTITION BY event_type)
+           * SUM(y) OVER (PARTITION BY event_type ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+           * SUM(y) OVER (PARTITION BY event_type) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pts),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs(s) DESC, x) AS rk
+  FROM scored)
+SELECT event_type,
+       CAST(n AS INTEGER) AS n_points,
+       CAST(x AS BIGINT) AS change_x,
+       CAST(abs(s) AS BIGINT) AS cusum_abs,
+       CASE WHEN s > 0 THEN 'high-then-drop'
+            WHEN s < 0 THEN 'low-then-rise'
+            ELSE 'none' END AS shape
+FROM pick WHERE rk = 1
+""",
+
     "j_entity_resolution": """
 WITH RECURSIVE
 fp AS (

@@ -1029,6 +1029,19 @@ def ts_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("v") * 100).cast("bigint"))
 
 
+def ts_changepoint_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM change-point of daily spend per event type:
+    the day where the cumulative deviation from the series mean peaks."""
+    from dht11_data_pipeline_spark.operators import sequence
+    events = load_table(spark, sf_dir, "events")
+    daily = (events.groupBy(
+        "event_type",
+        F.dayofmonth(F.col("ts").cast("timestamp")).alias("day_x"))
+        .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("cents")))
+    return sequence.cusum_changepoint(daily, "event_type", "day_x", "cents")
+
+
 def mm_audio_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal retrieval pipeline in one plan: synthesize
     WAV -> REAL decode -> amplitude-class histogram embedding -> exact
@@ -1149,6 +1162,7 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "ts_changepoint_per_type": ts_changepoint_per_type,
     "j_entity_resolution": j_entity_resolution,
     "t_journey_patterns": t_journey_patterns,
     "ts_trend_per_type": ts_trend_per_type,

@@ -70,3 +70,16 @@ def test_linear_trend_truncation_sign_symmetry(spark):
     out = {r["k"]: r["slope_ppm"] for r in sequence.linear_trend(
         df, "k", "x", F.sum("y")).collect()}
     assert out["a"] == -out["b"]
+
+
+def test_cusum_changepoint_step_series(spark):
+    """A step series (low then high) peaks |CUSUM| at the step; sign
+    says it ran below its mean first."""
+    rows = [("step", x, 10 if x <= 5 else 110) for x in range(1, 11)]
+    rows += [("const", x, 50) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, x int, y long")
+    out = {r["k"]: r for r in sequence.cusum_changepoint(
+        df, "k", "x", "y").collect()}
+    assert out["step"]["change_x"] == 5
+    assert out["step"]["shape"] == "low-then-rise"
+    assert out["const"]["cusum_abs"] == 0 and out["const"]["shape"] == "none"
