@@ -188,3 +188,30 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         F.col(id_col), *counts,
         F.sha2(scrubbed, 256).alias("scrubbed_hash"),
     )
+
+
+def dup_aware_sample(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     salt: str = "dupsample1") -> DataFrame:
+    """Duplication-aware sampling: each doc keeps with probability
+    1/|its exact-duplicate cluster|, so every distinct CONTENT
+    contributes one expected copy to the sample regardless of how many
+    times it was crawled (the down-weight-don't-drop alternative to
+    hard dedup). Deterministic: the keep decision is a content+id hash
+    against the cluster-size threshold, so re-runs and the SQL oracle
+    reproduce the same subset.
+
+    One shuffle: the content-hash window that sizes each cluster.
+    The hash bucket is uniform in [0, 1e6); keep iff bucket * size <
+    1e6 — integer arithmetic, exactly probability 1/size for sizes
+    that divide 1e6 and within 1ppm otherwise."""
+    h = F.sha2(F.col(text_col), 256)
+    w = Window.partitionBy(h)
+    bucket = _hash_bucket(F.col(id_col), salt, 1000000)
+    return df.select(
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).cast("int").alias("cluster_size"),
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket * F.count(F.lit(1)).over(w) < 1000000, "Y")
+        .otherwise("N").alias("keep_flag"),
+    )

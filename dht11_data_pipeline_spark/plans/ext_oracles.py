@@ -381,6 +381,21 @@ SELECT doc_id, source, n_tokens, verdict,
 FROM verdicts
 """,
 
+    "cur_dup_aware_sample": """
+WITH sized AS (
+  SELECT doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY sha256(text)) AS INTEGER)
+           AS cluster_size,
+         CAST(('0x' || substr(sha256('dupsample1' || chr(31)
+               || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000 AS INTEGER) AS bucket
+  FROM documents)
+SELECT doc_id, cluster_size, bucket,
+       CASE WHEN bucket * cluster_size < 1000000 THEN 'Y' ELSE 'N' END
+         AS keep_flag
+FROM sized
+""",
+
     "ts_changepoint_per_type": """
 WITH pts AS (
   SELECT event_type,

@@ -1029,6 +1029,14 @@ def ts_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("v") * 100).cast("bigint"))
 
 
+def cur_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware sampling: keep each doc with probability
+    1/|its exact-dup cluster| — every distinct content contributes one
+    expected copy, deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dup_aware_sample(docs)
+
+
 def ts_changepoint_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact CUSUM change-point of daily spend per event type:
     the day where the cumulative deviation from the series mean peaks."""
@@ -1162,6 +1170,7 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_dup_aware_sample": cur_dup_aware_sample,
     "ts_changepoint_per_type": ts_changepoint_per_type,
     "j_entity_resolution": j_entity_resolution,
     "t_journey_patterns": t_journey_patterns,

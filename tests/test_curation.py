@@ -208,3 +208,19 @@ def test_prototype_prune_flags_bottom_decile(spark, sf_dir):
     # the most prototypical row in each label is always kept
     top = out.filter(F.col("rank") == 1)
     assert top.filter(F.col("keep_flag") == "N").count() == 0
+
+
+def test_dup_aware_sample_expected_one_copy(spark):
+    """Clusters of size n keep each member with probability 1/n: for a
+    size-1 cluster the member always survives; keep decisions are
+    deterministic and cluster sizes exact."""
+    rows = [(i, "unique text %d" % i, "s") for i in range(10)]
+    rows += [(100 + i, "same text", "s") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in curation.dup_aware_sample(docs).collect()}
+    for i in range(10):
+        assert out[i]["cluster_size"] == 1 and out[i]["keep_flag"] == "Y"
+    assert all(out[100 + i]["cluster_size"] == 5 for i in range(5))
+    again = {r["doc_id"]: r["keep_flag"]
+             for r in curation.dup_aware_sample(docs).collect()}
+    assert again == {k: v["keep_flag"] for k, v in out.items()}
