@@ -27,6 +27,9 @@ PARITY_KEYS = [
     "q19_disjunctive_revenue",
     "q20_heavy_promo_suppliers",
     "q22_idle_wealthy_customers",
+    # extension queries whose oracle texts are also valid Spark SQL
+    "j_fuzzy_part_match",
+    "t_event_type_affinity",
 ]
 
 
