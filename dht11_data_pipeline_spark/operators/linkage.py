@@ -58,11 +58,25 @@ def blocked_fuzzy_pairs(df: DataFrame, block_cols: list[str],
     )
     # both orientations for distinct-name pairs, one for identical names:
     # after the id joins, id_a < id_b keeps exactly one row per id pair
-    # with text_a always the smaller id's text (the row-pair contract)
-    sym = cand.unionByName(
-        cand.filter(F.col("text_a") < F.col("text_b")).select(
-            *block_cols, F.col("text_b").alias("text_a"),
-            F.col("text_a").alias("text_b"), "dist"))
+    # with text_a always the smaller id's text (the row-pair contract).
+    # Single-scan symmetrization (explode, not a self-union) so the
+    # levenshtein DP stage never evaluates twice.
+    sym = (
+        cand.select(
+            *block_cols, "dist",
+            F.explode(F.when(
+                F.col("text_a") < F.col("text_b"),
+                F.array(F.struct(F.col("text_a").alias("ta"),
+                                 F.col("text_b").alias("tb")),
+                        F.struct(F.col("text_b").alias("ta"),
+                                 F.col("text_a").alias("tb"))),
+            ).otherwise(
+                F.array(F.struct(F.col("text_a").alias("ta"),
+                                 F.col("text_b").alias("tb"))),
+            )).alias("e"))
+        .select(*block_cols, F.col("e.ta").alias("text_a"),
+                F.col("e.tb").alias("text_b"), "dist")
+    )
     ids_a = rows.select(*block_cols, F.col("_id").alias("id_a"),
                         F.col("_text").alias("text_a"))
     ids_b = rows.select(*block_cols, F.col("_id").alias("id_b"),

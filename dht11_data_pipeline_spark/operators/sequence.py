@@ -22,14 +22,18 @@ from pyspark.sql import functions as F
 def journey_patterns(df: DataFrame, patterns: dict[str, str],
                      user_col: str = "user_id",
                      type_col: str = "event_type", ts_col: str = "ts",
-                     order_col: str = "event_id") -> DataFrame:
+                     order_col: str = "event_id",
+                     convert_char: str | None = "p") -> DataFrame:
     """Per-user journey string (event-type initials in time order) with
     a non-overlapping occurrence count per named literal pattern.
 
     ``patterns`` maps an output column name to a literal initial
     sequence, e.g. {"n_view_click": "vc"} counts immediate view->click
     adjacencies. Literals only — regex alternation/backtracking
-    semantics differ across engines; adjacency literals do not."""
+    semantics differ across engines; adjacency literals do not.
+    ``convert_char`` names the conversion-marking initial (default 'p'
+    for purchase); pass None to omit the converted/first-position
+    columns for vocabularies without a conversion event."""
     enc = df.select(
         F.col(user_col),
         F.struct(
@@ -52,13 +56,17 @@ def journey_patterns(df: DataFrame, patterns: dict[str, str],
         .cast("int").alias(name)
         for name, pat in patterns.items()
     ]
+    convert_cols = [] if convert_char is None else [
+        F.when(F.instr(F.col("journey"), convert_char) > 0, "Y")
+        .otherwise("N").alias("converted"),
+        F.instr(F.col("journey"), convert_char).cast("int")
+        .alias("first_purchase_pos"),
+    ]
     return j.select(
         user_col,
         F.length("journey").cast("int").alias("journey_len"),
         *counts,
-        F.when(F.instr(F.col("journey"), "p") > 0, "Y").otherwise("N")
-        .alias("converted"),
-        F.instr(F.col("journey"), "p").cast("int").alias("first_purchase_pos"),
+        *convert_cols,
     )
 
 
@@ -73,27 +81,31 @@ def linear_trend(df: DataFrame, key_col: str, x_col: str, y_cents: F.Column,
     Two-level aggregate: the (key, x) grain reduces first (map-side
     partials), then key-level sums — the same partial-aggregation
     economics as every rollup here. No float enters the slope."""
+    # internal aliases prefixed so key_col/x_col named n/x/y/s* can't
+    # collide with them
     pts = (df.groupBy(key_col, x_col)
-           .agg(y_cents.alias("y"))
-           .select(key_col, F.col(x_col).cast("bigint").alias("x"),
-                   F.col("y").cast("bigint").alias("y")))
+           .agg(y_cents.alias("_lt_y"))
+           .select(key_col, F.col(x_col).cast("bigint").alias("_lt_x"),
+                   F.col("_lt_y").cast("bigint").alias("_lt_y")))
     agg = pts.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("_lt_n"),
+        F.sum("_lt_x").alias("_lt_sx"),
+        F.sum("_lt_y").alias("_lt_sy"),
+        F.sum(F.col("_lt_x") * F.col("_lt_y")).alias("_lt_sxy"),
+        F.sum(F.col("_lt_x") * F.col("_lt_x")).alias("_lt_sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = (F.col("_lt_n") * F.col("_lt_sxy")
+           - F.col("_lt_sx") * F.col("_lt_sy"))
+    den = (F.col("_lt_n") * F.col("_lt_sxx")
+           - F.col("_lt_sx") * F.col("_lt_sx"))
     slope = F.when(den == 0, F.lit(0)).otherwise(
         F.signum(num).cast("bigint")
-        * F.expr(f"abs(n * sxy - sx * sy) * {scale} DIV "
-                 "(n * sxx - sx * sx)"))
+        * F.expr(f"abs(_lt_n * _lt_sxy - _lt_sx * _lt_sy) * {scale} DIV "
+                 "(_lt_n * _lt_sxx - _lt_sx * _lt_sx)"))
     return agg.select(
         key_col,
-        F.col("n").cast("int").alias("n_points"),
-        F.col("sy").alias("total_y"),
+        F.col("_lt_n").cast("int").alias("n_points"),
+        F.col("_lt_sy").alias("total_y"),
         slope.cast("bigint").alias("slope_ppm"),
         F.when(num > 0, "up").when(num < 0, "down").otherwise("flat")
         .alias("trend"),
@@ -110,13 +122,14 @@ def cusum_changepoint(df: DataFrame, key_col: str, x_col: str,
     below ('low-then-rise') its mean up to that point.
 
     One shuffle on the key; the prefix/total sums are one window pass
-    over the (key, x) grain (pre-aggregate to that grain first — the
-    windows never see raw fact rows)."""
+    over the (key, x) grain. Input reduces to that grain here (sum of
+    y per (key, x)) so duplicate x values can never make the prefix
+    order — and therefore the result — depend on partition order."""
     from pyspark.sql.window import Window
 
     w_all = Window.partitionBy(key_col)
-    pts = df.select(key_col, F.col(x_col).cast("bigint").alias("x"),
-                    F.col(y_col).cast("bigint").alias("y"))
+    pts = (df.groupBy(key_col, F.col(x_col).cast("bigint").alias("x"))
+           .agg(F.sum(F.col(y_col).cast("bigint")).alias("y")))
     scored = pts.select(
         key_col, "x",
         (F.count(F.lit(1)).over(w_all) * F.sum("y").over(

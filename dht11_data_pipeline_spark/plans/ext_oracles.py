@@ -391,8 +391,8 @@ WITH sized AS (
               % 1000000 AS INTEGER) AS bucket
   FROM documents)
 SELECT doc_id, cluster_size, bucket,
-       CASE WHEN bucket * cluster_size < 1000000 THEN 'Y' ELSE 'N' END
-         AS keep_flag
+       CASE WHEN CAST(bucket AS BIGINT) * cluster_size < 1000000
+            THEN 'Y' ELSE 'N' END AS keep_flag
 FROM sized
 """,
 

@@ -35,21 +35,29 @@ def main() -> None:
     for sf_dir in SF_DIRS:
         for t in TABLES:
             load_table(spark, sf_dir, t).count()
+    broken: dict[str, str] = {}
     for name in names:  # codegen/JIT warm pass at the smallest scale
         try:
             qs[name](spark, SF_DIRS[0]).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001
+            broken[name] = f"{type(exc).__name__}: {exc}"
 
-    times: dict[str, list[float]] = {n: [] for n in names}
+    times: dict[str, list[float]] = {n: [] for n in names if n not in broken}
     for sf_dir in SF_DIRS:
-        for name in names:
+        for name in list(times):
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                except Exception as exc:  # noqa: BLE001
+                    # one bad SF must not throw away every other timing
+                    broken[name] = f"{sf_dir}: {type(exc).__name__}: {exc}"
+                    times.pop(name)
+                    break
                 best = min(best, time.perf_counter() - t0)
-            times[name].append(best)
+            else:
+                times[name].append(best)
 
     rows = sorted(times.items(), key=lambda kv: -(kv[1][2] / kv[1][1]))
     out = [
@@ -71,6 +79,9 @@ def main() -> None:
     out += ["", f"Totals: sf0.001 {tot[0]:.1f}s, sf0.01 {tot[1]:.1f}s, "
             f"sf0.1 {tot[2]:.1f}s — a 100x data increase costs "
             f"{tot[2] / tot[0]:.1f}x wall-clock on this fixed 32-core box."]
+    if broken:
+        out += ["", "FAILED (not timed):"]
+        out += [f"- {n}: {err[:200]}" for n, err in sorted(broken.items())]
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "SCALING.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
