@@ -27,26 +27,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so queries WITHOUT a driver-verified CORRECTNESS row yet come
-    # first (the external harness verifies the first ~50 keys per round):
-    # the round-1 hash-fail fix (n_props_extract) and the formerly
-    # rows-only sketch queries lead, then the LLM-pipeline extension
-    # queries. Deferred to the back of the unverified block (next round's
-    # window): the brute near-dup oracle twin and this round's four new
-    # queries — all diffcheck-verified locally at sf0.001/0.01/0.1.
-    first = {
+    # Ordered so the external harness's first-50-keys verification window
+    # covers (a) the 38 queries that never had a driver-side CORRECTNESS
+    # row through round 2 (the round-2 verdict's item 1 — TPC-H q2–q22,
+    # the PQ/IVF-PQ invariants, decontaminate, funnel/cohort, anomaly,
+    # quality/gopher filters, postings, and the former defer list), then
+    # (b) the 7 queries whose implementation changed this round (fixed-k
+    # centroids, cooccur cap, linkage checkpoint, key-mint input
+    # checkpoint, journey literal validation, the new PNG decode) so the
+    # changes get re-verified driver-side. All 45 are diffcheck-green
+    # locally at sf0.01.
+    window = [
+        # -- never driver-verified through r02
+        "cur_pack_sequences", "cur_pii_scrub", "ts_user_correlation",
+        "sim_kmeans_clusters", "text_tfidf_topk", "text_bm25_search",
+        "text_inverted_postings", "sim_pq_ann", "sim_ivfpq_ann",
+        "cur_decontaminate", "t_funnel_conversion", "t_cohort_retention",
+        "ts_anomaly_days", "cur_quality_filter", "sim_embedding_near_dup",
+        "cur_end_to_end", "dedup_span_coverage", "dedup_common_spans",
+        "dedup_bloom_probe", "cur_gopher_filter",
+        "q2_min_cost_supplier", "q4_priority_with_late_ship",
+        "q6_forecast_revenue", "q7_bination_volume", "q8_market_share",
+        "q9_profit_by_nation_year", "q10_returned_item_customers",
+        "q11_important_part_values", "q12_late_ship_priority_mix",
+        "q13_customer_order_distribution", "q14_promo_revenue_share",
+        "q15_top_revenue_supplier", "q16_supplier_part_counts",
+        "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+        "q20_heavy_promo_suppliers", "q21_sole_late_supplier",
+        "q22_idle_wealthy_customers",
+        # -- changed this round: re-verify driver-side
+        "mm_png_decode", "sim_ivf_ann", "t_event_type_affinity",
+        "j_entity_resolution", "j_fuzzy_part_match",
+        "w1_surrogate_key_mint", "t_journey_patterns",
+    ]
+    rest = {
         "n_props_extract": Q.n_props_extract,
         "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
         "a_quantile_sketch": Q.a_quantile_sketch,
         "f_bitwise_suite": Q.f_bitwise_suite,
         "w_fill_forward": Q.w_fill_forward,
-    }
-    defer = ["sim_embedding_near_dup", "cur_end_to_end", "dedup_span_coverage",
-             "dedup_common_spans", "dedup_bloom_probe", "cur_gopher_filter"]
-    return {
-        **first,
-        **{k: v for k, v in EXT_QUERIES.items() if k not in defer},
-        **{k: EXT_QUERIES[k] for k in defer},
+        **EXT_QUERIES,
         "q12_late_ship_priority_mix": T.q12_late_ship_priority_mix,
         "q16_supplier_part_counts": T.q16_supplier_part_counts,
         "q2_min_cost_supplier": T.q2_min_cost_supplier,
@@ -113,6 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_quality_audit": Q.meta_quality_audit,
         "a_mode_event_type": Q.a_mode_event_type,
     }
+    missing = [k for k in window if k not in rest]
+    if missing:
+        raise KeyError(f"verify-window names not registered: {missing}")
+    return {**{k: rest[k] for k in window},
+            **{k: v for k, v in rest.items() if k not in window}}
 
 
 def oracle_sql() -> dict[str, str]:

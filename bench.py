@@ -91,15 +91,36 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # compact separators: the line is consumed by a driver that keeps a
-    # bounded tail of stdout — every byte of slack costs visibility
     line = json.dumps(result, separators=(",", ":"))
-    # also persist in-repo: the driver's tail buffer can truncate the
-    # line once the query set grows, so keep the authoritative copy here
+    # the AUTHORITATIVE full per-query map lives in-repo: the driver
+    # keeps only a bounded (~2000-char) tail of stdout, and 135 query
+    # timings are ~4 KB — they cannot fit however compactly encoded
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LATEST.json"), "w") as fh:
         fh.write(line + "\n")
     print(line)
+    # LAST line: a bounded summary guaranteed to fit the driver's tail
+    # whole — total + per-query coverage stats + the slowest queries —
+    # so the recorded artifact always holds one complete parseable JSON
+    # object even though the full map above gets cut
+    vals = sorted(timings.values())
+    summary = {
+        "metric": "headline_queries_total",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "median_sec": round(vals[len(vals) // 2], 3) if vals else 0.0,
+        "over_2s": sum(1 for v in vals if v > 2.0),
+        "full_map": "BENCH_LATEST.json",
+        "slowest": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:25]),
+    }
+    line2 = json.dumps(summary, separators=(",", ":"))
+    while len(line2) > 1900 and summary["slowest"]:
+        summary["slowest"].pop(min(summary["slowest"],
+                                   key=summary["slowest"].get))
+        line2 = json.dumps(summary, separators=(",", ":"))
+    print(line2)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,35 @@ from pyspark.sql import functions as F
 
 from dht11_data_pipeline_spark.functions.partitioning import right_size
 
+# Knuth-style multiplicative scatter over a Mersenne-ish prime field,
+# kept in BIGINT range at every step (max product ~2.6e18 < 2^63) so
+# Spark longs and DuckDB BIGINTs compute the identical value — the
+# cross-engine deterministic "random" order behind fixed-k sampling.
+CENTROID_HASH_SQL = "(({id} % 1000000007) * 2654435761) % 1000000007"
+
+
+def select_centroids(corpus: DataFrame, k: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic FIXED-SIZE centroid sample: the k vectors first in
+    multiplicative-hash order (id tiebreak). Replaces the old
+    ``id % centroid_mod == 0`` convention whose centroid count grew
+    with the corpus (k = N/mod ⇒ the driver collect, the broadcast and
+    the per-row assignment all scaled with N — quadratic total work at
+    100 TB). Here k is constant: assignment stays O(N·k), the collect
+    is k rows no matter the corpus size, and the physical plan is a
+    TakeOrderedAndProject (per-partition top-k, no global sort). The
+    hash order is engine-portable, so a SQL oracle reproduces the exact
+    same sample with ``ORDER BY <hash>, id LIMIT k``.
+    """
+    if k < 1:
+        raise ValueError("need k >= 1 centroids")
+    h = F.expr(CENTROID_HASH_SQL.format(id=id_col))
+    rows = (right_size(corpus)
+            .select(F.col(id_col).cast("long").alias(id_col), vec_col)
+            .orderBy(h, F.col(id_col)).limit(k).collect())
+    return sorted((int(r[id_col]), [float(x) for x in r[vec_col]])
+                  for r in rows)
+
 
 def assign_clusters(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -82,19 +111,26 @@ def _recompute(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]
 
 def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 centroid_mod: int = 40, max_iter: int = 5,
+                 k: int = 50, centroid_mod: int | None = None,
+                 max_iter: int = 5,
                  tol: float = 1e-6) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Returns (assignments, centroids) after convergence or max_iter.
 
-    Init = the same deterministic sample IVF uses (id % centroid_mod),
-    so round 0 of this IS similarity.ivf_topk's index — every further
-    round strictly refines it (objective is non-increasing; pinned in
-    tests/test_kmeans.py).
+    Init = the same deterministic FIXED-k hash-ordered sample IVF uses
+    (``select_centroids``), so round 0 of this IS similarity.ivf_topk's
+    index — every further round strictly refines it (objective is
+    non-increasing; pinned in tests/test_kmeans.py). ``centroid_mod``
+    keeps the legacy ``id % mod == 0`` seeding for oracle twins and
+    back-compat tests; its k grows with the corpus, so it is NOT the
+    scale path.
     """
-    init = (right_size(corpus).filter(F.col(id_col) % centroid_mod == 0)
-            .select(F.col(id_col).cast("long"), vec_col).collect())
-    centroids = sorted(
-        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
+    if centroid_mod is not None:
+        init = (right_size(corpus).filter(F.col(id_col) % centroid_mod == 0)
+                .select(F.col(id_col).cast("long"), vec_col).collect())
+        centroids = sorted(
+            (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
+    else:
+        centroids = select_centroids(corpus, k, id_col, vec_col)
     for _ in range(max_iter):
         assigned = assign_clusters(corpus, centroids, id_col, vec_col)
         new_centroids = _recompute(assigned, vec_col)

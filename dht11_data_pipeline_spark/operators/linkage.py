@@ -40,12 +40,15 @@ def blocked_fuzzy_pairs(df: DataFrame, block_cols: list[str],
     stage is corpus-size-independent and only the genuinely quadratic
     OUTPUT (duplicate-heavy blocks) costs join time.
 
-    The input projects three times (vocabulary + both id-expansion
-    sides) — fine for catalog-scale entity tables with column-pruned
-    scans; for fact-scale inputs persist the (block, id, text)
-    projection first and pass that in."""
+    The (block, id, text) projection feeds three consumers (vocabulary
+    + both id-expansion sides), so it is materialized ONCE here via an
+    eager ``localCheckpoint`` — the input plan (which may be an
+    arbitrary upstream join/filter tree) evaluates a single time and
+    all three reads hit the checkpointed narrow frame. ``persist``
+    would pin a SQL-cache entry per call; the checkpoint is released by
+    the context cleaner once the result is unreferenced."""
     rows = df.select(*block_cols, F.col(id_col).alias("_id"),
-                     F.col(text_col).alias("_text"))
+                     F.col(text_col).alias("_text")).localCheckpoint()
     names = rows.select(*block_cols, "_text").distinct()
     a = names.select(*block_cols, F.col("_text").alias("text_a"))
     b = names.select(*block_cols, F.col("_text").alias("text_b"))
@@ -101,12 +104,15 @@ def blocked_fuzzy_join(left: DataFrame, right: DataFrame,
     """Two-table variant: link every left row to the right rows in its
     block within ``max_dist`` edits (deduplication's sibling: linkage
     across sources)."""
-    a = left.select(*block_cols, F.col(left_id).alias("left_id"),
-                    F.col(left_text).alias("left_text"))
-    b = right.select(*block_cols, F.col(right_id).alias("right_id"),
-                     F.col(right_text).alias("right_text"))
     # same dedupe-then-link shape as blocked_fuzzy_pairs: DP over the
-    # two vocabularies, id expansion through equi-joins
+    # two vocabularies, id expansion through equi-joins; each side
+    # feeds two consumers (vocabulary + expansion) so each projection
+    # materializes once (same localCheckpoint rationale as the
+    # self-pair variant)
+    a = left.select(*block_cols, F.col(left_id).alias("left_id"),
+                    F.col(left_text).alias("left_text")).localCheckpoint()
+    b = right.select(*block_cols, F.col(right_id).alias("right_id"),
+                     F.col(right_text).alias("right_text")).localCheckpoint()
     na = a.select(*block_cols, "left_text").distinct()
     nb = b.select(*block_cols, "right_text").distinct()
     cand = (

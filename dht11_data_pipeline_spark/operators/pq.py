@@ -73,7 +73,7 @@ def _assign_codes(subrows: DataFrame, codebooks: Codebooks, id_col: str,
 
     if not codebooks:
         raise ValueError("empty codebooks: training seed selected no vectors "
-                         "(no id % code_mod == 0 rows?)")
+                         "(empty corpus, or no id % code_mod == 0 rows?)")
     want = set(range(max(codebooks) + 1))
     if set(codebooks) != want or any(not cb for cb in codebooks.values()):
         raise ValueError(
@@ -117,22 +117,32 @@ def _assign_codes(subrows: DataFrame, codebooks: Codebooks, id_col: str,
 
 
 def train_pq(spark: SparkSession, corpus: DataFrame, m: int = 8,
-             code_mod: int = 25, iters: int = 2, train_mod: int = 1,
+             n_codes: int = 32, code_mod: int | None = None,
+             iters: int = 2, train_mod: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding") -> Codebooks:
-    """Per-subspace codebooks, deterministically initialized (every
-    ``code_mod``-th vector's subvectors are the seed codes — same
-    convention as the IVF coarse quantizer) then refined with Lloyd
-    rounds run for all m subspaces in a single job per iteration.
-    Empty codes keep their previous centroid (no reseeding).
+    """Per-subspace codebooks, deterministically initialized (the
+    subvectors of the ``n_codes`` vectors first in the portable
+    multiplicative-hash order — the same FIXED-k convention as the IVF
+    coarse quantizer, so codebook size stays CONSTANT as the corpus
+    grows) then refined with Lloyd rounds run for all m subspaces in a
+    single job per iteration. Empty codes keep their previous centroid
+    (no reseeding). The legacy ``code_mod`` seeding (k = N/mod) is kept
+    only for oracle twins / back-compat — its codebooks grow with N.
 
     ``train_mod`` > 1 trains on the deterministic 1/train_mod sample
     (id % train_mod == 0) — the standard production shape: codebooks
     converge on a sample; the full corpus is only ever *encoded*."""
+    from dht11_data_pipeline_spark.operators.kmeans import CENTROID_HASH_SQL
     _check_divisible(corpus, m, vec_col)
     train = corpus if train_mod <= 1 else corpus.filter(
         F.col(id_col) % train_mod == 0)
     subrows = _subvector_rows(train, m, id_col, vec_col)
-    seed = (subrows.filter(F.col(id_col) % code_mod == 0)
+    if code_mod is not None:
+        seed_src = train.filter(F.col(id_col) % code_mod == 0)
+    else:
+        h = F.expr(CENTROID_HASH_SQL.format(id=id_col))
+        seed_src = train.orderBy(h, F.col(id_col)).limit(n_codes)
+    seed = (_subvector_rows(seed_src, m, id_col, vec_col)
             .select(id_col, "sub_idx", "subvec").collect())
     codebooks: Codebooks = {}
     for r in seed:
@@ -240,7 +250,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
-               m: int = 8, k: int = 5, centroid_mod: int = 40,
+               m: int = 8, k: int = 5, n_centroids: int = 50,
+               centroid_mod: int | None = None,
                nprobe: int = 2, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """IVF-PQ: coarse-quantize the corpus into inverted cells (the
@@ -258,13 +269,19 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
     """
     import numpy as np
 
-    from dht11_data_pipeline_spark.operators.kmeans import assign_clusters
+    from dht11_data_pipeline_spark.operators.kmeans import (
+        assign_clusters, select_centroids)
 
-    cent_rows = sorted(
-        corpus.filter(F.col(id_col) % centroid_mod == 0)
-        .select(id_col, vec_col).collect(), key=lambda r: r[id_col])
-    centroids = [(int(r[id_col]), [float(x) for x in r[vec_col]])
-                 for r in cent_rows]
+    if centroid_mod is not None:
+        cent_rows = sorted(
+            corpus.filter(F.col(id_col) % centroid_mod == 0)
+            .select(id_col, vec_col).collect(), key=lambda r: r[id_col])
+        centroids = [(int(r[id_col]), [float(x) for x in r[vec_col]])
+                     for r in cent_rows]
+    else:
+        # fixed-k coarse quantizer: constant centroid count regardless
+        # of corpus size (see kmeans.select_centroids)
+        centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
     cmat = np.array([v for _, v in centroids], dtype=np.float64)
     cids = np.array([c for c, _ in centroids], dtype=np.int64)
 

@@ -173,10 +173,18 @@ def dense_rank_distributed(df: DataFrame, order_cols: list[str],
     cleaner once unreferenced — a ``persist`` here would pin one SQL
     cache entry per call forever, a real leak on the per-micro-batch
     streaming SCD2 path.
+
+    The INPUT is also checkpointed first: ``repartitionByRange`` runs a
+    sampling job to pick range bounds, which would otherwise evaluate
+    the upstream plan twice (sample + shuffle) — for an expensive
+    upstream (the SCD2 full-outer delta feeding the key mint) that
+    doubled the whole query. Both checkpoints hold only the narrow
+    numbered projection, not the upstream plan.
     """
     spark = df.sparkSession
     n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    staged = (df.repartitionByRange(n_parts, *order_cols)
+    narrow = df.localCheckpoint()
+    staged = (narrow.repartitionByRange(n_parts, *order_cols)
               .withColumn("_dr_pid", F.spark_partition_id())
               .localCheckpoint())
     counts = {r["_dr_pid"]: r["cnt"] for r in

@@ -51,6 +51,16 @@ def journey_patterns(df: DataFrame, patterns: dict[str, str],
             .alias("journey"),
         )
     )
+    # the literal goes straight into a Java regex: enforce the
+    # documented literals-only contract, otherwise a metacharacter
+    # (e.g. '.') would silently diverge from the replace()-based SQL
+    # oracle and from the literal semantics promised above
+    for name, pat in patterns.items():
+        if not pat.isalnum():
+            raise ValueError(
+                f"pattern {name}={pat!r} must be alphanumeric initials "
+                "(literal adjacency only — regex metacharacters are not "
+                "portable across engines)")
     counts = [
         F.size(F.regexp_extract_all("journey", F.lit(pat), F.lit(0)))
         .cast("int").alias(name)

@@ -165,26 +165,35 @@ def embedding_near_duplicates_multiprobe(
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             centroid_mod: int = 40,
+             n_centroids: int = 50, centroid_mod: int | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
              queries_from_corpus: bool = False) -> DataFrame:
-    """IVF-flavored ANN: inverted file over a deterministic centroid
-    sample (every ``centroid_mod``-th vector = a centroid — IVF with
-    random-sample centroids and no Lloyd refinement, kept deterministic
-    so the SQL oracle can reproduce it bit-for-bit).
+    """IVF-flavored ANN: inverted file over a deterministic FIXED-SIZE
+    centroid sample (the ``n_centroids`` vectors first in the portable
+    multiplicative-hash order — IVF with random-sample centroids and no
+    Lloyd refinement, kept deterministic so the SQL oracle reproduces
+    it bit-for-bit via ``ORDER BY hash, id LIMIT n``).
 
     Build: every vector is assigned to its nearest centroid (argmax
     cosine) — one broadcast pass over the corpus, N x C dot products.
     Probe (nprobe=1): a query searches only its centroid's inverted
     list — expected N/C candidates instead of N.
 
-    Scale: C grows with N (N/centroid_mod), so both build and probe are
-    ~N·N/centroid_mod total work spread over partitions; the inverted
-    lists are a plain DataFrame keyed by centroid id — at 100 TB you
-    persist them bucketed by cent_id and probes become pruned scans.
+    Scale: C is CONSTANT (n_centroids), so the build is O(N·C) with a
+    C-row broadcast and probes read N/C candidates; the inverted lists
+    are a plain DataFrame keyed by centroid id — at 100 TB you persist
+    them bucketed by cent_id and probes become pruned scans. The legacy
+    ``centroid_mod`` seeding (k = N/mod, grows with the corpus) is kept
+    only for oracle twins / back-compat — not the scale path.
     """
-    cent = right_size(corpus).filter(F.col(id_col) % centroid_mod == 0).select(
+    from dht11_data_pipeline_spark.operators.kmeans import CENTROID_HASH_SQL
+    base = right_size(corpus).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
+    if centroid_mod is not None:
+        cent = base.filter(F.col("cent_id") % centroid_mod == 0)
+    else:
+        h = F.expr(CENTROID_HASH_SQL.format(id="cent_id"))
+        cent = base.orderBy(h, F.col("cent_id")).limit(n_centroids)
 
     def nearest_centroid(df: DataFrame, out_id: str) -> DataFrame:
         scored = (

@@ -873,7 +873,9 @@ FROM r WHERE rk <= 5
 
     "sim_ivf_ann": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 40 = 0),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007, vec_id
+         LIMIT 50),
 assign AS (
   SELECT vec_id, cent_id, v FROM (
     SELECT e.vec_id, c.cent_id, e.v,
@@ -1038,6 +1040,19 @@ SELECT doc_id,
        CAST(16 AS INTEGER) AS out_width,
        CAST(16 AS INTEGER) AS out_height,
        CAST(13 + 16 * 16 * 3 AS INTEGER) AS out_n_bytes
+FROM documents
+""",
+
+    # same raster arithmetic as mm_image_decode (32-wide RGB rows,
+    # zero-padded); the byte-exact roundtrip is the Spark-side boolean
+    "mm_png_decode": """
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS width,
+       GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 96.0) AS INTEGER))
+         AS height,
+       CAST(96 * GREATEST(1, CAST(CEIL(octet_length(encode(text)) / 96.0)
+                                  AS INTEGER)) AS INTEGER) AS n_pixel_bytes,
+       TRUE AS roundtrip_ok
 FROM documents
 """,
 
@@ -1360,7 +1375,7 @@ WHERE abs((CAST(day_total_d AS DOUBLE) - s / n)
     # TRUE literals the invariants must produce on any correct engine
     "sim_kmeans_clusters": """
 SELECT (SELECT COUNT(*) FROM embeddings) AS n_points,
-       (SELECT COUNT(*) FROM embeddings WHERE vec_id % 40 = 0) AS k,
+       (SELECT LEAST(50, COUNT(*)) FROM embeddings) AS k,
        TRUE AS all_assigned,
        TRUE AS clusters_within_seeds,
        TRUE AS inertia_decreased

@@ -144,7 +144,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-sample centroids) for the same query set."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(emb, queries, k=5, centroid_mod=40,
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=50,
                                queries_from_corpus=True)
 
 
@@ -215,6 +215,18 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_w=16, out_h=16,
     ).select("doc_id", "width", "height",
              "out_width", "out_height", "out_n_bytes")
+
+
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (PNG via stdlib zlib): document
+    bytes → 8-bit RGB PNG → chunk/CRC/inflate/unfilter parse →
+    byte-exact roundtrip verdict. Dims and pixel-byte counts are
+    arithmetic over the text length, so the oracle checks them exactly;
+    the byte-level equality surfaces as a boolean the oracle pins TRUE
+    (the full codec including Sub/Up/Average/Paeth reconstruction is
+    property-tested in tests/test_imagecodec.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.png_roundtrip(docs, width=32)
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +462,11 @@ def ts_user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means refinement of the IVF coarse quantizer
-    (operators/kmeans): 3 rounds from the deterministic sample init.
+    (operators/kmeans): 3 rounds from the deterministic FIXED-k
+    hash-ordered sample init (k=50 — constant as the corpus grows, so
+    the centroid collect/broadcast and the per-row assignment cost are
+    corpus-size-independent; the oracle reproduces k exactly as
+    LEAST(50, COUNT(*))).
 
     Raw assignments aren't portable across engines (distributed float
     means shift boundary points with partitioning), so the query
@@ -461,16 +477,14 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     increase versus the initial assignment (monotonicity — the
     mathematical guarantee tests/test_kmeans.py also pins)."""
     from dht11_data_pipeline_spark.operators.kmeans import (
-        assign_clusters, inertia, lloyd_kmeans)
+        assign_clusters, inertia, lloyd_kmeans, select_centroids)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    init = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") % 40 == 0).collect())
+    init = select_centroids(emb, k=50)
     seed_ids = {cid for cid, _ in init}
     init_inertia = inertia(assign_clusters(emb, init))
 
-    assigned, _ = lloyd_kmeans(spark, emb, max_iter=3)
+    assigned, _ = lloyd_kmeans(spark, emb, k=50, max_iter=3)
     assigned = assigned.persist()  # two consumers: inertia + stats agg
     final_inertia = inertia(assigned)
     stats = assigned.agg(
@@ -564,18 +578,19 @@ def _ann_invariants(spark: SparkSession, emb: DataFrame, queries: DataFrame,
 
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq): codebooks trained on
-    the deterministic half sample (1 Lloyd round), corpus encoded to
+    the deterministic half sample (1 Lloyd round, FIXED 32-code
+    codebooks — constant size as the corpus grows), corpus encoded to
     m=8 byte codes, queries scored via ADC table lookups.
 
     ADC scores aren't portable across engines, so the query surfaces
     deterministic invariant verdicts (see _ann_invariants): structure
     of the top-k result plus a recall-vs-exact floor of 0.10 (measured
-    0.225–0.36 across fixture SFs; exact ranking pinned in
-    tests/test_pq.py)."""
+    0.175–0.30 across fixture SFs with the fixed-k seeds; exact ranking
+    pinned in tests/test_pq.py)."""
     from dht11_data_pipeline_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cbs = pq.train_pq(spark, emb, m=8, code_mod=25, iters=1, train_mod=2)
+    cbs = pq.train_pq(spark, emb, m=8, n_codes=32, iters=1, train_mod=2)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     approx = pq.pq_topk(emb, queries, cbs, m=8, k=5)
     return _ann_invariants(spark, emb, queries, approx, k=5,
@@ -589,15 +604,16 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape for billion-vector search.
 
     Surfaced as deterministic invariant verdicts (see _ann_invariants)
-    with a recall floor of 0.05 (measured 0.135–0.28 across fixture
-    SFs; recall-vs-nprobe monotonicity pinned in tests/test_pq.py)."""
+    with a recall floor of 0.05 (measured 0.105–0.24 across fixture
+    SFs with the fixed-k seeds; recall-vs-nprobe monotonicity pinned in
+    tests/test_pq.py)."""
     from dht11_data_pipeline_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cbs = pq.train_pq(spark, emb, m=8, code_mod=25, iters=1, train_mod=2)
+    cbs = pq.train_pq(spark, emb, m=8, n_codes=32, iters=1, train_mod=2)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     approx = pq.ivfpq_topk(emb, queries, cbs, m=8, k=5,
-                           centroid_mod=40, nprobe=2)
+                           n_centroids=50, nprobe=2)
     return _ann_invariants(spark, emb, queries, approx, k=5,
                            recall_floor=0.05)
 
@@ -1211,6 +1227,7 @@ EXT_QUERIES = {
     "mm_binary_features": mm_binary_features,
     "mm_resize": mm_resize,
     "mm_image_decode": mm_image_decode,
+    "mm_png_decode": mm_png_decode,
     "mm_frame_sample": mm_frame_sample,
     "meta_profile_orders": meta_profile_orders,
     "a_salted_event_totals": a_salted_event_totals,

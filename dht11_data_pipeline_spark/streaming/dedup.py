@@ -176,7 +176,12 @@ def start_bloom_dedup_stream(spark: SparkSession, source_path: str,
     (operators/dedup.bloom_probe_new_docs): each micro-batch is probed
     against the accumulated filter; hits are exact-verified against the
     content-hash store; per-doc verdicts (dup / false_positive / clean)
-    land under ``verdicts_dir/batch=N``.
+    land under ``verdicts_dir/batch=N``. Duplicates WITHIN one
+    micro-batch are also flagged: a cheap content-hash window keeps the
+    min-doc_id copy 'clean' and marks the rest 'dup' (the bloom store
+    only covers strictly-earlier batches, so without this window two
+    identical docs arriving together would both pass). ``bloom_hit``
+    still reports the cross-batch filter alone.
 
     State is two append-only, batch-partitioned tables under
     ``state_dir``: ``words`` (this batch's OR-mergeable bloom words —
@@ -237,12 +242,24 @@ def start_bloom_dedup_stream(spark: SparkSession, source_path: str,
                     F.when(F.col("_seen") == 1, "dup")
                     .otherwise("false_positive").alias("verdict"))
         )
+        # within-batch exact dups: every copy after the min-doc_id one
+        # is 'dup' regardless of the (earlier-batches-only) bloom verdict
+        from pyspark.sql.window import Window
+        intra = (
+            hashed.withColumn(
+                "_first",
+                F.min("doc_id").over(Window.partitionBy("content_hash")))
+            .filter(F.col("doc_id") != F.col("_first"))
+            .select("doc_id", F.lit(1).alias("_intra"))
+        )
         verdicts = (
             probed.join(confirmed, "doc_id", "left")
+            .join(intra, "doc_id", "left")
             .select(
                 "doc_id",
                 F.when(F.col("all_hit") == 1, "Y").otherwise("N").alias("bloom_hit"),
-                F.coalesce("verdict", F.lit("clean")).alias("verdict"))
+                F.when(F.col("_intra") == 1, "dup")
+                .otherwise(F.coalesce("verdict", F.lit("clean"))).alias("verdict"))
         )
         verdicts.write.mode("overwrite").parquet(f"{verdicts_dir}/batch={batch_id}")
         bloom_build_words(batch_df, "text", num_bits, num_hashes).write.mode(

@@ -63,7 +63,7 @@ def main() -> None:
     out = [
         "# SCALING — cross-scale-factor bench (local[32], warm engine)",
         "",
-        f"Same {len(names)} queries timed at sf0.001 / sf0.01 / sf0.1 (10x data per",
+        f"Same {len(times)} queries timed at sf0.001 / sf0.01 / sf0.1 (10x data per",
         "step; documents/embeddings scale with SF). The r(0.1/0.01) column",
         "is the wall-clock ratio for the last 10x step: values near 1 are",
         "fixed-overhead dominated (scheduling, JVM, Python daemons — noise",

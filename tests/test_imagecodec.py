@@ -130,3 +130,122 @@ try:
                 assert got[o:o + 3] == rgb[s:s + 3]
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# ------------------------------------------------------------- PNG
+
+def test_png_roundtrip_and_sniff():
+    from dht11_data_pipeline_spark.functions.imagecodec import (
+        decode_png, encode_png, text_to_png)
+
+    rgb = _gradient(7, 4)
+    p = encode_png(rgb, 7, 4)
+    assert p.startswith(b"\x89PNG\r\n\x1a\n")
+    assert sniff(p) == "png"
+    assert decode_dims(p) == (7, 4)
+    assert decode_png(p) == (7, 4, rgb)
+    # text_to_png mirrors text_to_ppm's raster (32-wide, zero-padded)
+    w, h, got = decode_png(text_to_png(b"hello png", width=32))
+    assert (w, h) == (32, 1)
+    assert got == b"hello png".ljust(96, b"\x00")
+
+
+def test_png_all_filter_types_reconstruct():
+    """The decoder must handle Sub/Up/Average/Paeth scanlines, not just
+    the filter-0 rows our encoder writes — build an IDAT by FILTERING
+    a known raster with every type and check exact reconstruction."""
+    import zlib
+
+    from dht11_data_pipeline_spark.functions.imagecodec import (
+        _png_chunk, decode_png)
+
+    w, h, bpp = 6, 5, 3
+    rgb = _gradient(w, h)
+    stride = w * bpp
+
+    def px(row, i):
+        return row[i] if i >= 0 else 0
+
+    lines = []
+    prev = bytes(stride)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = rgb[y * stride:(y + 1) * stride]
+        if ftype == 0:
+            filt = bytes(cur)
+        elif ftype == 1:
+            filt = bytes((cur[i] - px(cur, i - bpp)) & 0xFF
+                         for i in range(stride))
+        elif ftype == 2:
+            filt = bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:
+            filt = bytes((cur[i] - ((px(cur, i - bpp) + prev[i]) >> 1)) & 0xFF
+                         for i in range(stride))
+        else:
+            out = []
+            for i in range(stride):
+                a, b, c = px(cur, i - bpp), prev[i], px(prev, i - bpp)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((cur[i] - pred) & 0xFF)
+            filt = bytes(out)
+        lines.append(bytes([ftype]) + filt)
+        prev = cur
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(png) == (w, h, rgb)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import pytest as _pytest
+
+    from dht11_data_pipeline_spark.functions.imagecodec import (
+        decode_png, encode_png)
+
+    p = bytearray(encode_png(_gradient(4, 4), 4, 4))
+    p[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(p))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
+    # grayscale header (color type 0) must be refused loudly
+    good = encode_png(_gradient(2, 2), 2, 2)
+    import zlib as _z
+    body = bytearray(good[16:16 + 13]); body[9] = 0
+    ihdr = (len(body).to_bytes(4, "big") + b"IHDR" + bytes(body)
+            + (_z.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF).to_bytes(4, "big"))
+    bad = good[:8] + ihdr + good[8 + 25:]
+    with _pytest.raises(ValueError, match="8-bit RGB"):
+        decode_png(bad)
+
+
+def test_spark_png_roundtrip_query(spark, sf_dir):
+    from dht11_data_pipeline_spark.operators.multimodal import png_roundtrip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = png_roundtrip(docs, width=32)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["roundtrip_ok"] for r in rows)
+    assert all(r["n_pixel_bytes"] == 96 * r["height"] for r in rows)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(w=st.integers(1, 24), h=st.integers(1, 24),
+           seed=st.integers(0, 2**31))
+    def test_png_roundtrip_property(w, h, seed):
+        from dht11_data_pipeline_spark.functions.imagecodec import (
+            decode_png, encode_png)
+
+        rgb = bytes((seed * 2654435761 + i * 40503) % 256
+                    for i in range(w * h * 3))
+        assert decode_png(encode_png(rgb, w, h)) == (w, h, rgb)
+except ImportError:
+    pass

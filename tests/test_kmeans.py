@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dht11_data_pipeline_spark.operators.kmeans import (
-    assign_clusters, inertia, lloyd_kmeans)
+    assign_clusters, inertia, lloyd_kmeans, select_centroids)
 from dht11_data_pipeline_spark.sources.tables import load_table
 
 
@@ -16,15 +16,34 @@ def _corpus(spark, sf_dir):
 
 def test_objective_non_increasing_and_refines_ivf_sample(spark, sf_dir):
     emb = _corpus(spark, sf_dir)
-    init = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") % 40 == 0).collect())
+    init = select_centroids(emb, k=50)
     start = inertia(assign_clusters(emb, init))
-    assigned, centroids = lloyd_kmeans(spark, emb, max_iter=3)
+    assigned, centroids = lloyd_kmeans(spark, emb, k=50, max_iter=3)
     end = inertia(assigned)
     assert end <= start + 1e-9, (start, end)
     assert end < start, "3 Lloyd rounds should strictly refine this data"
     assert len(centroids) == len(init)
+
+
+def test_select_centroids_fixed_k_matches_sql_oracle(spark, sf_dir):
+    """The fixed-k sample is (a) exactly k rows however big the corpus,
+    (b) bit-identical to the DuckDB ORDER BY hash, id LIMIT k twin the
+    oracles use — the cross-engine contract behind every fixed-k
+    seeding (kmeans / IVF / PQ / IVF-PQ)."""
+    import duckdb
+
+    emb = _corpus(spark, sf_dir)
+    got = select_centroids(emb, k=13)
+    assert len(got) == 13
+    want_ids = [r[0] for r in duckdb.sql(
+        f"SELECT vec_id FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007, vec_id "
+        "LIMIT 13").fetchall()]
+    assert sorted(c for c, _ in got) == sorted(want_ids)
+    # legacy mod seeding still reproduces the old oracle-twin behavior
+    _, c_mod = lloyd_kmeans(spark, emb, centroid_mod=40, max_iter=1)
+    n_mod = emb.filter(F.col("vec_id") % 40 == 0).count()
+    assert len(c_mod) == n_mod
 
 
 def test_assignment_partitions_corpus(spark, sf_dir):

@@ -75,6 +75,29 @@ def test_item_affinity_exact_small_case(spark):
     assert ("A", "C") not in out  # no shared user
 
 
+def test_item_affinity_cap_noop_on_fixture_and_binds_on_power_user(spark, sf_dir):
+    """The default max_items_per_user cap must be invisible on organic
+    data (capped == uncapped on the events fixture) while actually
+    truncating a synthetic power user's pair fan-out."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    capped = cooccur.item_affinity(events).collect()
+    uncapped = cooccur.item_affinity(events, max_items_per_user=None).collect()
+    key = lambda r: (r["item_a"], r["item_b"])  # noqa: E731
+    assert sorted(map(tuple, capped), key=str) == sorted(map(tuple, uncapped), key=str)
+    assert len(capped) > 0
+
+    # one bot user interacting with 40 items: cap=5 bounds its fan-out
+    # to C(5,2)=10 pairs instead of C(40,2)=780
+    bot = spark.createDataFrame(
+        [(99, f"item_{i:02d}") for i in range(40)],
+        "user_id long, event_type string")
+    out = cooccur.item_affinity(bot, max_items_per_user=5)
+    assert out.count() == 10
+    # determinism: the same 5 items survive on every run
+    again = cooccur.item_affinity(bot, max_items_per_user=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_entity_clusters_transitive(spark):
     """A~B and B~C must land A, C in one entity even when
     dist(A, C) > max_dist — the closure over fuzzy pairs."""

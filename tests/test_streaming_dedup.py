@@ -52,12 +52,17 @@ def test_bloom_stream_matches_batch_operator(spark, tmp_path, sf_dir):
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text").orderBy("doc_id").collect())
     # chunk 2 replays the first 50 docs under new ids (re-crawled
-    # identical content) — these MUST come back 'dup'
+    # identical content) — these MUST come back 'dup'; it also carries
+    # one WITHIN-batch duplicate (same text, two ids in the same
+    # micro-batch) that the bloom store can't see — the intra-batch
+    # hash window must flag the higher id 'dup'
+    intra_dup_id = docs[300]["doc_id"] + 200_000
     chunks = [
         docs[0:150],
         docs[150:300],
         docs[300:400] + [{"doc_id": r["doc_id"] + 100_000, "text": r["text"]}
-                         for r in docs[0:50]],
+                         for r in docs[0:50]]
+        + [{"doc_id": intra_dup_id, "text": docs[300]["text"]}],
     ]
     src = str(tmp_path / "feed")
     os.makedirs(src)
@@ -97,14 +102,26 @@ def test_bloom_stream_matches_batch_operator(spark, tmp_path, sf_dir):
             "doc_id long, text string")
         want = {(r["doc_id"], r["bloom_hit"], r["verdict"])
                 for r in bloom_probe_new_docs(store, batch).collect()}
+        # overlay the stream-only within-batch semantics: for texts
+        # appearing twice in ONE chunk, every copy after the min doc_id
+        # is 'dup' whatever the (earlier-batches-only) store said
+        first_id: dict[str, int] = {}
+        for r in chunks[i]:
+            first_id[r["text"]] = min(first_id.get(r["text"], r["doc_id"]),
+                                      r["doc_id"])
+        intra = {r["doc_id"] for r in chunks[i]
+                 if r["doc_id"] != first_id[r["text"]]}
+        want = {(d, bh, "dup" if d in intra else v) for d, bh, v in want}
         got = {(r["doc_id"], r["bloom_hit"], r["verdict"])
                for r in out.filter(F.col("batch") == b)
                .select("doc_id", "bloom_hit", "verdict").collect()}
         assert got == want, f"batch {b} (chunk {i})"
         seen_rows += chunks[i]
-    # the replayed-content docs are exactly the dup set
+    # the replayed-content docs plus the within-batch copy are exactly
+    # the dup set
     dups = {r["doc_id"] for r in out.filter("verdict = 'dup'").collect()}
-    assert dups == {r["doc_id"] + 100_000 for r in docs[0:50]}
+    assert dups == ({r["doc_id"] + 100_000 for r in docs[0:50]}
+                    | {intra_dup_id})
 
 
 def test_streamed_clusters_equal_one_shot(spark, tmp_path, sf_dir):

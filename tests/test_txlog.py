@@ -88,6 +88,38 @@ def test_crash_before_manifest_is_invisible(spark, logged):
     assert "data/commit-99999999" in removed
 
 
+def test_crash_between_tmp_manifest_and_publish(spark, logged):
+    """Torn commit one step later than the data-only crash: the tmp
+    manifest was written and fsynced but the atomic os.link never ran.
+    The stale .tmp must be invisible to version resolution and readers,
+    must not block the NEXT committer from taking that version number,
+    and vacuum must leave every file of the surviving manifests."""
+    table, _ = logged
+    # orphaned data + a fully-written tmp manifest for would-be v2
+    orphan = os.path.join(table, "data", "commit-00000002-dead-0")
+    _df(spark, [B2[3]]).write.mode("overwrite").parquet(orphan)
+    m = txlog.read_manifest(table)
+    import json
+    tmp = os.path.join(table, "_txlog", "v00000002.json.tmp.99999")
+    with open(tmp, "w") as fh:
+        json.dump({**m, "version": 2,
+                   "buckets": {"0": "data/commit-00000002-dead-0"}}, fh)
+    # reader sees v1 only; the torn artifacts are invisible
+    assert txlog.current_version(table) == 1
+    assert txlog.read_table(spark, table).count() == 4
+    # the next real committer claims v2 without conflict
+    v = txlog.apply_scd2_logged(spark, _df(spark, [B2[1]]), table, CFG,
+                                load_ts="2024-05-06 12:00:00",
+                                deterministic_keys=True)
+    assert v == 2
+    assert txlog.read_table(spark, table).count() == 5
+    # vacuum collects the orphan dir but keeps every live manifest file
+    removed = txlog.vacuum(table, retain_versions=2)
+    assert "data/commit-00000002-dead-0" in removed
+    assert txlog.read_table(spark, table, version=1).count() == 4
+    assert txlog.read_table(spark, table, version=2).count() == 5
+
+
 def test_vacuum_retains_recent_versions(spark, logged):
     table, _ = logged
     txlog.apply_scd2_logged(spark, _df(spark, [B2[1]]), table, CFG,
