@@ -32,10 +32,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row through round 2 (the round-2 verdict's item 1 — TPC-H q2–q22,
     # the PQ/IVF-PQ invariants, decontaminate, funnel/cohort, anomaly,
     # quality/gopher filters, postings, and the former defer list), then
-    # (b) the 7 queries whose implementation changed this round (fixed-k
-    # centroids, cooccur cap, linkage checkpoint, key-mint input
-    # checkpoint, journey literal validation, the new PNG decode) so the
-    # changes get re-verified driver-side. All 45 are diffcheck-green
+    # (b) the 8 queries whose implementation changed this round (fixed-k
+    # centroids + nprobe, cooccur cap, linkage checkpoint, key-mint input
+    # checkpoint, journey literal validation, the new PNG decode), then
+    # (c) the 4 queries NEW this round (triangle count, containment,
+    # bigram rarity, attribution) — 50 keys exactly, all diffcheck-green
     # locally at sf0.01.
     window = [
         # -- never driver-verified through r02
@@ -56,9 +57,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_heavy_promo_suppliers", "q21_sole_late_supplier",
         "q22_idle_wealthy_customers",
         # -- changed this round: re-verify driver-side
-        "mm_png_decode", "sim_ivf_ann", "t_event_type_affinity",
+        "mm_png_decode", "sim_ivf_ann", "sim_ivf_ann_nprobe",
+        "t_event_type_affinity",
         "j_entity_resolution", "j_fuzzy_part_match",
         "w1_surrogate_key_mint", "t_journey_patterns",
+        # -- new this round
+        "graph_triangle_count", "dedup_containment",
+        "text_bigram_rarity", "t_attribution",
     ]
     rest = {
         "n_props_extract": Q.n_props_extract,

@@ -479,3 +479,54 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.5,
+                      max_shingle_df: int | None = 100_000) -> DataFrame:
+    """ASYMMETRIC n-gram containment: C(A in B) = |A∩B| / |A| — the
+    quotation / subset-duplication detector Jaccard misses. A short doc
+    fully embedded in a long one scores J = |A|/|B| (tiny) but
+    containment 1.0; LLM corpus curation flags exactly this shape
+    (quoted boilerplate, excerpt pages, truncated re-crawls).
+
+    Same inverted-index self-join as ``jaccard_pairs`` — ONE join with
+    the a<b canonicalization, then each unordered pair is emitted in
+    both directions with its own denominator, so the asymmetry costs
+    projection, not a second shuffle. ``max_shingle_df`` caps the
+    stop-shingle fan-out the same way (join side only; per-doc set
+    sizes stay exact). Output: (doc_a contained-in doc_b, n_common,
+    size_a, containment) for every directed pair at or above the
+    threshold.
+    """
+    inv = _doc_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingle_set").alias("shingle")
+    ).persist()
+    sizes = inv.groupBy(F.col(id_col).alias("sid")).agg(
+        F.count(F.lit(1)).cast("int").alias("set_size"))
+    joinable = inv
+    if max_shingle_df is not None:
+        hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_shingle_df).select("shingle"))
+        joinable = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("lo"), F.col(f"b.{id_col}").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    both = common.select(
+        F.explode(F.array(
+            F.struct(F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b")),
+            F.struct(F.col("hi").alias("doc_a"), F.col("lo").alias("doc_b")),
+        )).alias("d"), "n_common",
+    ).select(F.col("d.doc_a"), F.col("d.doc_b"), "n_common")
+    sa = sizes.select(F.col("sid").alias("doc_a"), F.col("set_size").alias("size_a"))
+    return (
+        both.join(sa, "doc_a")
+        .withColumn("containment", F.col("n_common") / F.col("size_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "containment")
+    )

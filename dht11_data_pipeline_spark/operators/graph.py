@@ -67,12 +67,14 @@ def _union_find_components(edge_rows: list[tuple], spark,
 
 # near-dup edge lists are the REDUCED output of a dedup pass — usually
 # tiny next to the corpus. Below this count union-find on the driver
-# beats diameter-many Spark job rounds. Budget honestly: 200k edges
-# collect as ~200k Row objects + tuple list + two dicts of up to 400k
-# entries — some tens to ~150 MB of Python heap, safe under the 8 GB
-# driver; the earlier 2M default measured in the GBs. Above the limit
-# the star rounds run fully distributed.
-SMALL_EDGE_LIMIT = 200_000
+# beats log²-many Spark job rounds. Budget honestly for the ARROW
+# collect path (toPandas of two primitive columns): 1M int64 pairs are
+# 16 MB over the wire; the tuple list + parent/min dicts peak at a few
+# hundred MB of Python heap — safe under the 8 GB driver (the old
+# Row-object collect measured ~10× that, which is why the previous
+# limit sat at 200k). Above the limit the star rounds run fully
+# distributed.
+SMALL_EDGE_LIMIT = 1_000_000
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
@@ -83,28 +85,29 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     cluster_id = min node id in the component. Only nodes that appear
     in at least one edge are returned (callers union in singletons).
 
-    Hybrid execution: if the DISTINCT edge count is under
-    ``small_edge_limit`` the closure runs as driver-side union-find
-    (one collect of the reduced edge list — the same O(small) driver
-    contract as kmeans centroids / PQ codebooks); otherwise the
-    large-star/small-star rounds run fully distributed."""
-    # pairs feeds both union branches — persist or the (possibly
-    # expensive: LSH bucket joins) pair computation runs twice
-    pairs = pairs.select(a_col, b_col).persist()
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.union(rev).distinct().persist()
-
-    n_edges = edges.count()
-    if n_edges <= small_edge_limit:
-        rows = [(r["src"], r["dst"]) for r in edges.collect()]
-        node_type = pairs.schema[a_col].dataType
-        edges.unpersist()
-        pairs.unpersist()
-        return _union_find_components(rows, pairs.sparkSession, node_type)
+    Hybrid execution: if the count of DISTINCT RAW PAIRS (undirected —
+    not the doubled symmetrized edge set, which is what the driver
+    would actually collect anyway) is under ``small_edge_limit`` the
+    closure runs as driver-side union-find over one Arrow collect (the
+    same O(small) driver contract as kmeans centroids / PQ codebooks);
+    otherwise the large-star/small-star rounds run fully distributed."""
+    # the deduped pair projection feeds either the collect or both
+    # symmetrize branches — persist or the (possibly expensive: LSH
+    # bucket joins) pair computation runs twice
+    und = pairs.select(a_col, b_col).distinct().persist()
+    n_pairs = und.count()
+    if n_pairs <= small_edge_limit:
+        node_type = und.schema[a_col].dataType
+        spark = und.sparkSession
+        pdf = und.toPandas()  # Arrow: two primitive columns, no Rows
+        und.unpersist()
+        rows = list(zip(pdf[a_col].tolist(), pdf[b_col].tolist()))
+        return _union_find_components(rows, spark, node_type)
+    fwd = und.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = und.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).distinct()
     labels = _star_components(edges, max_iterations)
-    edges.unpersist()
-    pairs.unpersist()
+    und.unpersist()
     return labels
 
 
@@ -146,15 +149,20 @@ def _star_components(edges: DataFrame, max_iterations: int) -> DataFrame:
     would need 100 rounds). Each round is two groupBy-min + join
     passes; ``localCheckpoint`` truncates lineage per round. Fixpoint =
     the undirected edge set stops changing; at that point every node
-    points at its component minimum (a star)."""
+    points at its component minimum (a star). The convergence test is
+    EXACT but pays at most one anti-semi job per round: equal counts +
+    empty exceptAll ⟺ equal multisets, and the exceptAll is skipped
+    entirely while the counts still differ (every round but the last)."""
     cur = edges.localCheckpoint()
     nodes = cur.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    cur_n = cur.count()
     for _ in range(max_iterations):
         nxt = (_symmetrize(_small_star(_symmetrize(_large_star(cur))))
                .localCheckpoint(eager=False))
-        changed = nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
-        cur = nxt
-        if changed == 0:
+        nxt_n = nxt.count()
+        converged = nxt_n == cur_n and nxt.exceptAll(cur).isEmpty()
+        cur, cur_n = nxt, nxt_n
+        if converged:
             break
     else:
         raise RuntimeError(
@@ -275,4 +283,62 @@ def pagerank_integer(nodes: DataFrame, pairs: DataFrame, iters: int = 5,
     ed.unpersist()
     edges.unpersist()
     base.unpersist()
+    return out
+
+
+def triangle_counts(pairs: DataFrame, a_col: str = "id_a",
+                    b_col: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected pair list — the
+    clustering-coefficient numerator, the standard "tightly-knit
+    duplicate community" signal over a near-dup graph (a boilerplate
+    family whose members all match EACH OTHER is a much stronger
+    removal candidate than a chain of pairwise matches).
+
+    Distributed shape (the Cohen / Suri-Vassilvitskii node-ordering
+    trick): orient every edge from the LOWER-(degree, id) endpoint to
+    the higher, so each wedge is enumerated at its lowest-rank corner
+    exactly once. The wedge self-join fans out to sum(out-degree²),
+    and out-degree under degree-ordering is bounded by O(sqrt(|E|))
+    even for hub nodes — a star's hub emits 0 wedges because every
+    edge points INTO it. Two shuffle joins + one aggregate; no
+    iteration. Counts are identical to the naive a<b<c enumeration
+    (each triangle found exactly once at its unique rank-minimum
+    corner), which is what the SQL oracle runs.
+    """
+    und = (pairs.select(F.least(a_col, b_col).alias("x"),
+                        F.greatest(a_col, b_col).alias("y"))
+           .filter(F.col("x") != F.col("y"))
+           .distinct().persist())
+    deg = (und.select(F.col("x").alias("node"))
+           .unionAll(und.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    # orient by (degree, id): src = rank-lower endpoint. Degrees are
+    # an O(|V|)-row table; the joins broadcast when small and shuffle
+    # on the edge key otherwise — never a cartesian.
+    oriented = (
+        und.join(dx, "x").join(dy, "y")
+        .select(
+            F.when((F.col("dx") < F.col("dy"))
+                   | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                   F.col("x")).otherwise(F.col("y")).alias("src"),
+            F.when((F.col("dx") < F.col("dy"))
+                   | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                   F.col("y")).otherwise(F.col("x")).alias("dst"))
+        .persist())
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    # wedges at the rank-minimum corner u (v != w canonicalized v < w),
+    # closed by the edge between the two higher-rank corners in EITHER
+    # orientation (rank order between v and w is not known here).
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    out = (tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+           .localCheckpoint(eager=True))
+    oriented.unpersist()
+    und.unpersist()
     return out

@@ -166,6 +166,7 @@ def embedding_near_duplicates_multiprobe(
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 50, centroid_mod: int | None = None,
+             nprobe: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
              queries_from_corpus: bool = False) -> DataFrame:
     """IVF-flavored ANN: inverted file over a deterministic FIXED-SIZE
@@ -176,15 +177,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Build: every vector is assigned to its nearest centroid (argmax
     cosine) — one broadcast pass over the corpus, N x C dot products.
-    Probe (nprobe=1): a query searches only its centroid's inverted
-    list — expected N/C candidates instead of N.
+    Probe: a query searches its ``nprobe`` nearest cells' inverted
+    lists — expected nprobe·N/C candidates instead of N. nprobe is the
+    standard recall-vs-cost knob: a true neighbor assigned to the
+    query's SECOND-closest cell is invisible at nprobe=1 and found at
+    nprobe=2, at exactly 2× probe cost.
 
     Scale: C is CONSTANT (n_centroids), so the build is O(N·C) with a
-    C-row broadcast and probes read N/C candidates; the inverted lists
-    are a plain DataFrame keyed by centroid id — at 100 TB you persist
-    them bucketed by cent_id and probes become pruned scans. The legacy
-    ``centroid_mod`` seeding (k = N/mod, grows with the corpus) is kept
-    only for oracle twins / back-compat — not the scale path.
+    C-row broadcast and probes read nprobe·N/C candidates; the inverted
+    lists are a plain DataFrame keyed by centroid id — at 100 TB you
+    persist them bucketed by cent_id and probes become pruned scans.
+    The legacy ``centroid_mod`` seeding (k = N/mod, grows with the
+    corpus) is kept only for oracle twins / back-compat — not the
+    scale path.
     """
     from dht11_data_pipeline_spark.operators.kmeans import CENTROID_HASH_SQL
     base = right_size(corpus).select(
@@ -195,7 +200,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         h = F.expr(CENTROID_HASH_SQL.format(id="cent_id"))
         cent = base.orderBy(h, F.col("cent_id")).limit(n_centroids)
 
-    def nearest_centroid(df: DataFrame, out_id: str) -> DataFrame:
+    def nearest_centroid(df: DataFrame, out_id: str, n: int = 1) -> DataFrame:
         scored = (
             right_size(df).select(F.col(id_col).alias(out_id),
                                   F.col(vec_col).alias("_v"))
@@ -205,11 +210,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         w = Window.partitionBy(out_id).orderBy(
             F.col("_csim").desc(), F.col("cent_id"))
         return (scored.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
+                .filter(F.col("_rn") <= n)
                 .select(out_id, "cent_id", "_v"))
 
     lists = nearest_centroid(corpus, "neighbor_id")
-    if queries_from_corpus:
+    if queries_from_corpus and nprobe == 1:
         # queries are corpus rows: reuse the build-side assignment via a
         # semi-join on id instead of re-running Q x C centroid scoring —
         # one broadcast filter, and assignment stays computed exactly once
@@ -219,7 +224,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         probes = (lists.join(F.broadcast(qids), "neighbor_id", "left_semi")
                   .withColumnRenamed("neighbor_id", "query_id"))
     else:
-        probes = nearest_centroid(queries, "query_id")
+        probes = nearest_centroid(queries, "query_id", n=nprobe)
     scored = (
         probes.select("query_id", "cent_id", F.col("_v").alias("qv"))
         .join(lists.select("neighbor_id", "cent_id", F.col("_v").alias("cv")),

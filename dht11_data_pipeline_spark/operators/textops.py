@@ -280,3 +280,56 @@ def dsir_weights(df: DataFrame, text_col: str = "text",
             .cast("bigint").alias("score_ppm"),
         )
     )
+
+
+def bigram_rarity(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Character-bigram LM surprisal proxy — the classic cheap
+    "perplexity-style" quality filter (a KenLM stand-in that needs no
+    external model): train character-bigram statistics on the corpus
+    itself, then score each document by how RARE its transitions are
+    under that model. Gibberish / mojibake / base64 blobs light up;
+    fluent text scores low.
+
+    All INTEGER arithmetic so every engine reproduces it exactly: with
+    C2(ab) = corpus count of bigram ab and C1(a) = corpus count of
+    bigrams starting at a, the per-occurrence rarity is
+    C1(a)*1_000_000 DIV C2(ab)  (= 1e6 / p(b|a), floored) and the doc
+    score is SUM(rarity) DIV n_bigrams. No log, no float.
+
+    Shape: the bigram explode is a codegen'd map stage (transform over
+    sequence + substring — no Python); the model is ONE groupBy on the
+    bigram key whose output is vocabulary-sized (≤ charset², ~10⁴ for
+    ASCII) → broadcast back onto the stream; the doc score is one
+    aggregate keyed by doc id. At 100 TB: train the model with a
+    partial-aggregated pass (map-side combine makes it charset²-bounded
+    per task), broadcast it, and the scoring pass is embarrassingly
+    parallel.
+    """
+    bg = (right_size(df)
+          .filter(F.char_length(F.col(text_col)) >= 2)
+          .select(
+              F.col(id_col),
+              F.explode(F.expr(
+                  f"transform(sequence(1, char_length({text_col}) - 1), "
+                  f"i -> substring({text_col}, i, 2))")).alias("bigram"))
+          .withColumn("pre", F.substring(F.col("bigram"), 1, 1))
+          .persist())
+    c2 = (bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+          .withColumn("pre", F.substring("bigram", 1, 1)))
+    c1 = bg.groupBy("pre").agg(F.count(F.lit(1)).alias("c1"))
+    model = (c2.join(c1, "pre")
+             .select("bigram",
+                     F.expr("c1 * 1000000 DIV c2").alias("rarity")))
+    out = (
+        bg.join(F.broadcast(model), "bigram")
+        .groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("rarity").alias("rarity_sum"))
+        .select(F.col(id_col),
+                F.col("n_bigrams").cast("int").alias("n_bigrams"),
+                F.expr("rarity_sum DIV n_bigrams").alias("rarity_score"))
+        .localCheckpoint(eager=True)
+    )
+    bg.unpersist()
+    return out

@@ -896,9 +896,130 @@ SELECT query_id, cent_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5
 """,
 
+    # nprobe=2 twin of sim_ivf_ann: build-side assignment is identical
+    # (rn = 1), probe-side keeps each query's TWO nearest cells (rn <= 2)
+    # and unions their inverted lists before the top-k window.
+    "sim_ivf_ann_nprobe": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         ORDER BY ((vec_id % 1000000007) * 2654435761) % 1000000007, vec_id
+         LIMIT 50),
+scoredc AS (
+  SELECT e.vec_id, c.cent_id, e.v,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cent_id) AS rn
+  FROM e CROSS JOIN cent c
+),
+probes AS (SELECT vec_id AS query_id, cent_id, v AS qv
+           FROM scoredc WHERE rn <= 2 AND vec_id % 50 = 0),
+lists AS (SELECT vec_id AS neighbor_id, cent_id, v AS cv
+          FROM scoredc WHERE rn = 1),
+s AS (
+  SELECT p.query_id, p.cent_id, l.neighbor_id,
+         round(list_cosine_similarity(p.qv, l.cv), 4) AS sim
+  FROM probes p JOIN lists l ON p.cent_id = l.cent_id AND p.query_id <> l.neighbor_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+SELECT query_id, cent_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 5
+""",
+
     "sim_embedding_near_dup": _multiprobe_near_dup_sql(threshold=0.4),
 
     "sim_embedding_near_dup_lsh": _bucketed_near_dup_sql(threshold=0.4),
+
+    # naive a<b<c triangle enumeration over the SAME (deterministic)
+    # near-dup edge set — the Spark side's degree-ordered wedge join
+    # finds each triangle exactly once at its rank-minimum corner, so
+    # per-node counts are identical by construction.
+    "graph_triangle_count": f"""
+WITH pairs AS ({_multiprobe_near_dup_sql(threshold=0.25)}),
+tri AS (
+  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+  FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+corners AS (SELECT unnest([x, y, z]) AS vec_id FROM tri)
+SELECT vec_id, COUNT(*) AS n_triangles FROM corners GROUP BY vec_id
+""",
+
+    # directed containment from the one a<b common-shingle join,
+    # mirrored from dedup.containment_pairs
+    "dedup_containment": _SHINGLES + """
+, sizes AS (SELECT doc_id, len(shingle_set) AS set_size FROM sh)
+, inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sh)
+, common AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+, directed AS (
+  SELECT lo AS doc_a, hi AS doc_b, n_common FROM common
+  UNION ALL
+  SELECT hi AS doc_a, lo AS doc_b, n_common FROM common
+)
+SELECT d.doc_a, d.doc_b, d.n_common,
+       CAST(s.set_size AS INTEGER) AS size_a,
+       d.n_common / s.set_size AS containment
+FROM directed d JOIN sizes s ON s.doc_id = d.doc_a
+WHERE d.n_common / s.set_size >= 0.5
+""",
+
+    # integer char-bigram LM: rarity = C1(prefix)*1e6 // C2(bigram),
+    # doc score = sum // count — no float anywhere
+    "text_bigram_rarity": """
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(text)),
+                               i -> substring(text, CAST(i AS INTEGER), 2))) AS bigram
+  FROM documents WHERE len(text) >= 2
+),
+bp AS (SELECT doc_id, bigram, substring(bigram, 1, 1) AS pre FROM bg),
+c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bp GROUP BY bigram),
+c1 AS (SELECT pre, COUNT(*) AS c1 FROM bp GROUP BY pre),
+model AS (SELECT bigram, c1 * 1000000 // c2 AS rarity
+          FROM c2 JOIN c1 ON substring(c2.bigram, 1, 1) = c1.pre),
+per AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(rarity) AS rarity_sum
+        FROM bp JOIN model USING (bigram) GROUP BY doc_id)
+SELECT doc_id, CAST(n_bigrams AS INTEGER) AS n_bigrams,
+       CAST(rarity_sum // n_bigrams AS BIGINT) AS rarity_score
+FROM per
+""",
+
+    # first/last-touch attribution; DECIMAL(18,2) accumulation matches
+    # the Spark side exactly (same cast, exact decimal sum)
+    "t_attribution": """
+WITH conv AS (
+  SELECT user_id AS c_user, event_id AS conv_id, ts AS conv_ts,
+         value AS conv_value
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS t_user, event_id AS touch_id, ts AS touch_ts,
+         event_type AS touch_type
+  FROM events WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT conv_id, conv_value, touch_type,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts ASC, touch_id ASC) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts DESC, touch_id DESC) AS rn_l
+  FROM conv JOIN touch
+    ON c_user = t_user AND touch_ts <= conv_ts
+   AND touch_ts >= conv_ts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT touch_type, conv_value,
+         unnest(list_filter([CASE WHEN rn_f = 1 THEN 'first_touch' END,
+                             CASE WHEN rn_l = 1 THEN 'last_touch' END],
+                            x -> x IS NOT NULL)) AS model
+  FROM j WHERE rn_f = 1 OR rn_l = 1
+)
+SELECT model, touch_type, COUNT(*) AS n_conversions,
+       CAST(SUM(CAST(conv_value AS DECIMAL(18,2))) AS DOUBLE) AS credited_value
+FROM credited GROUP BY model, touch_type
+""",
 
     "sim_semantic_dedup": _semantic_clusters_sql(threshold=0.4),
 

@@ -148,6 +148,18 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                                queries_from_corpus=True)
 
 
+def sim_ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-cell probing (nprobe=2) — the production
+    recall knob: each query scans its TWO nearest cells' inverted
+    lists, recovering neighbors that fell just across a cell boundary
+    at exactly 2x probe cost. Fully deterministic (fixed-k hash-ordered
+    centroids, rounded cosines, id tiebreaks), so the oracle reproduces
+    the whole index bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=50, nprobe=2)
+
+
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.4) via OR-
     amplified multi-probe LSH (3 independent plane tables + exact
@@ -1183,6 +1195,83 @@ def cur_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_flag", F.when(F.col("verdict") == "kept", "Y").otherwise("N"))
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector triangle counts over the multiprobe near-dup graph
+    (threshold 0.25 — the same edge generator as graph_pagerank, opened
+    up so closed triads exist at fixture scale). Triangle membership is
+    the boilerplate-community signal: a clique of mutual near-dups is a
+    far stronger removal candidate than a chain of pairwise matches.
+    Degree-ordered wedge enumeration (operators/graph.triangle_counts)
+    — each triangle found once at its rank-minimum corner, hub fan-out
+    bounded O(sqrt(E))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.25)
+    return (graph.triangle_counts(pairs)
+            .withColumnRenamed("node", "vec_id"))
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment ≥ 0.5: detects docs mostly
+    EMBEDDED in another (quotes, excerpts, truncated re-crawls) that
+    symmetric Jaccard under-scores. One a<b inverted-index join,
+    emitted in both directions with per-direction denominators."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, n=3, threshold=0.5)
+
+
+def text_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained character-bigram LM surprisal proxy (integer
+    KenLM stand-in): rarity = 1e6 DIV p(b|a) summed per doc, DIV'd by
+    bigram count. The cheap perplexity-style quality filter; gibberish
+    and base64 blobs score high, fluent text low."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bigram_rarity(docs)
+
+
+def t_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution over the event stream:
+    every purchase credits its value to the SAME user's first and last
+    non-purchase touch in the preceding 7 days (first-touch and
+    last-touch models side by side). Range join on (user, 7-day
+    window) then one per-conversion window pass computing BOTH row
+    numbers — a touch that is simultaneously first and last (single
+    touch) explodes into both model rows, so the union costs a
+    projection, not a second join. Revenue sums go through
+    DECIMAL(18,2) so accumulation is exact and engine-reproducible.
+    At scale: pre-bucket events by user_id so the self-join is
+    shuffle-free; the window is per-conversion (no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"), F.col("value").alias("conv_value"))
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"), F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"), F.col("event_type").alias("touch_type"))
+    j = conv.join(
+        touch,
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")))
+    w_first = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").asc(), F.col("touch_id").asc())
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc())
+    flagged = (j.withColumn("rn_f", F.row_number().over(w_first))
+               .withColumn("rn_l", F.row_number().over(w_last))
+               .filter((F.col("rn_f") == 1) | (F.col("rn_l") == 1)))
+    credited = flagged.select(
+        "touch_type", "conv_value",
+        F.explode(F.filter(
+            F.array(F.when(F.col("rn_f") == 1, F.lit("first_touch")),
+                    F.when(F.col("rn_l") == 1, F.lit("last_touch"))),
+            lambda x: x.isNotNull())).alias("model"))
+    return (credited.groupBy("model", "touch_type")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.sum(F.col("conv_value").cast("decimal(18,2)"))
+                 .cast("double").alias("credited_value")))
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
@@ -1222,6 +1311,11 @@ EXT_QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_ann": sim_lsh_ann,
     "sim_ivf_ann": sim_ivf_ann,
+    "sim_ivf_ann_nprobe": sim_ivf_ann_nprobe,
+    "graph_triangle_count": graph_triangle_count,
+    "dedup_containment": dedup_containment,
+    "text_bigram_rarity": text_bigram_rarity,
+    "t_attribution": t_attribution,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "sim_embedding_near_dup_lsh": sim_embedding_near_dup_lsh,
     "mm_binary_features": mm_binary_features,
