@@ -287,7 +287,8 @@ def pagerank_integer(nodes: DataFrame, pairs: DataFrame, iters: int = 5,
 
 
 def triangle_counts(pairs: DataFrame, a_col: str = "id_a",
-                    b_col: str = "id_b") -> DataFrame:
+                    b_col: str = "id_b",
+                    assume_canonical: bool = False) -> DataFrame:
     """Per-node triangle counts over an undirected pair list — the
     clustering-coefficient numerator, the standard "tightly-knit
     duplicate community" signal over a near-dup graph (a boilerplate
@@ -305,10 +306,15 @@ def triangle_counts(pairs: DataFrame, a_col: str = "id_a",
     (each triangle found exactly once at its unique rank-minimum
     corner), which is what the SQL oracle runs.
     """
-    und = (pairs.select(F.least(a_col, b_col).alias("x"),
-                        F.greatest(a_col, b_col).alias("y"))
-           .filter(F.col("x") != F.col("y"))
-           .distinct().persist())
+    # ``assume_canonical``: caller guarantees x<y distinct pairs (true
+    # for every near-dup generator in this repo) — skips one shuffle
+    und = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    if not assume_canonical:
+        und = (pairs.select(F.least(a_col, b_col).alias("x"),
+                            F.greatest(a_col, b_col).alias("y"))
+               .filter(F.col("x") != F.col("y"))
+               .distinct())
+    und = und.persist()
     deg = (und.select(F.col("x").alias("node"))
            .unionAll(und.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))

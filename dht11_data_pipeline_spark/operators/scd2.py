@@ -182,8 +182,15 @@ def dense_rank_distributed(df: DataFrame, order_cols: list[str],
     numbered projection, not the upstream plan.
     """
     spark = df.sparkSession
-    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
     narrow = df.localCheckpoint()
+    # size the range shuffle from the ACTUAL row count (free: narrow is
+    # already materialized): ~250k rows per range keeps task sort memory
+    # bounded at any scale, and a small insert set collapses to 2 tasks
+    # instead of paying shuffle_partitions-many task launches across the
+    # sampling/count/number jobs that follow.
+    n_rows = narrow.count()
+    cap = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    n_parts = max(2, min(cap, -(-n_rows // 250_000)))
     staged = (narrow.repartitionByRange(n_parts, *order_cols)
               .withColumn("_dr_pid", F.spark_partition_id())
               .localCheckpoint())

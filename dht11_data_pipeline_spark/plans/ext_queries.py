@@ -1207,7 +1207,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_duplicates_multiprobe(
         emb, threshold=0.25)
-    return (graph.triangle_counts(pairs)
+    return (graph.triangle_counts(pairs, assume_canonical=True)
             .withColumnRenamed("node", "vec_id"))
 
 
