@@ -306,18 +306,63 @@ def triangle_counts(pairs: DataFrame, a_col: str = "id_a",
     (each triangle found exactly once at its unique rank-minimum
     corner), which is what the SQL oracle runs.
     """
-    # ``assume_canonical``: caller guarantees x<y distinct pairs (true
-    # for every near-dup generator in this repo) — skips one shuffle
-    und = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-    if not assume_canonical:
-        und = (pairs.select(F.least(a_col, b_col).alias("x"),
-                            F.greatest(a_col, b_col).alias("y"))
-               .filter(F.col("x") != F.col("y"))
-               .distinct())
-    und = und.persist()
-    deg = (und.select(F.col("x").alias("node"))
-           .unionAll(und.select(F.col("y").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    out = _triangles_per_node(und, _degrees(und))  # eager-checkpointed
+    und.unpersist()
+    return out
+
+
+def clustering_coefficient(pairs: DataFrame, a_col: str = "id_a",
+                           b_col: str = "id_b",
+                           assume_canonical: bool = False) -> DataFrame:
+    """Local clustering coefficient per node (deg >= 2):
+    cc_ppm = 2·T·1e6 DIV (deg·(deg−1)) — how close each node's
+    neighborhood is to a clique, in exact integer ppm. The near-dup
+    curation read: cc ≈ 1e6 marks a boilerplate FAMILY (all members
+    mutually matching — drop all but one), cc ≈ 0 marks a hub whose
+    matches are unrelated to each other (often a template false
+    positive worth auditing). Shares the one persisted edge scan and
+    the degree table with the triangle machinery — no extra pass
+    over the pair generator."""
+    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    deg = _degrees(und)
+    tri = _triangles_per_node(und, deg)
+    out = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node", "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"))
+        .withColumn(
+            "cc_ppm",
+            F.expr("2 * n_triangles * 1000000 DIV (deg * (deg - 1))"))
+        .localCheckpoint(eager=True))
+    und.unpersist()
+    return out
+
+
+def _canonical_edges(pairs: DataFrame, a_col: str, b_col: str,
+                     assume_canonical: bool) -> DataFrame:
+    """x<y distinct edge projection. ``assume_canonical``: caller
+    guarantees the input is already x<y distinct (true for every
+    near-dup generator in this repo) — skips one shuffle."""
+    if assume_canonical:
+        return pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    return (pairs.select(F.least(a_col, b_col).alias("x"),
+                         F.greatest(a_col, b_col).alias("y"))
+            .filter(F.col("x") != F.col("y"))
+            .distinct())
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (und.select(F.col("x").alias("node"))
+            .unionAll(und.select(F.col("y").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+
+
+def _triangles_per_node(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """(node, n_triangles) via degree-ordered wedge enumeration over a
+    PERSISTED canonical edge frame."""
     dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
     dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
     # orient by (degree, id): src = rank-lower endpoint. Degrees are
@@ -346,5 +391,4 @@ def triangle_counts(pairs: DataFrame, a_col: str = "id_a",
            .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
            .localCheckpoint(eager=True))
     oriented.unpersist()
-    und.unpersist()
     return out

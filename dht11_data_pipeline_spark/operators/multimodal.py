@@ -393,3 +393,52 @@ def audio_embed(binary_df: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
 
     return binary_df.mapInPandas(_batches, schema=AUDIO_EMBED_SCHEMA)
+
+
+PHASH_SCHEMA = ("doc_id bigint, width int, height int, "
+                "phash_hi bigint, phash_lo bigint")
+
+
+def phash_payloads(binary_df: DataFrame, hash_w: int = 8,
+                   hash_h: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over the image column — the
+    image-dedup primitive: decode → NN-resample to ``hash_w``×``hash_h``
+    → integer grayscale ((r+g+b) DIV 3) → threshold each cell against
+    the integer mean (>=) → 64 bits packed little-endian into TWO
+    32-bit halves (phash_hi = bits 0..31, phash_lo = bits 32..63; the
+    split keeps both values positive in any engine's signed int64).
+
+    Identical images hash equal; near-identical ones land within a few
+    Hamming bits — group on (hi, lo) for exact perceptual dedup, or
+    feed the 64 bits through the simhash pigeonhole join
+    (operators/dedup.simhash) for banded Hamming-distance pairing.
+    One Arrow pass, partitions independent — the 100 TB shape. All
+    arithmetic is integer (floor division everywhere), so the SQL
+    oracle reproduces the hash bit-for-bit from the synthesis rule.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dht11_data_pipeline_spark.functions.imagecodec import (
+            decode_ppm, resize_nn_ppm)
+        n_cells = hash_w * hash_h
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "phash_hi": [], "phash_lo": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                w, h, _ = decode_ppm(p)
+                _, _, rgb = decode_ppm(resize_nn_ppm(p, hash_w, hash_h))
+                gs = [(rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2]) // 3
+                      for i in range(n_cells)]
+                mean = sum(gs) // n_cells
+                hi = sum(1 << k for k in range(32) if gs[k] >= mean)
+                lo = sum(1 << (k - 32) for k in range(32, n_cells)
+                         if gs[k] >= mean)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["phash_hi"].append(hi)
+                rows["phash_lo"].append(lo)
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_batches, schema=PHASH_SCHEMA)

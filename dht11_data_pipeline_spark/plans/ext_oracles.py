@@ -943,6 +943,95 @@ corners AS (SELECT unnest([x, y, z]) AS vec_id FROM tri)
 SELECT vec_id, COUNT(*) AS n_triangles FROM corners GROUP BY vec_id
 """,
 
+    # degree + triangle LEFT join over the same deterministic edge set;
+    # integer ppm arithmetic mirrors graph.clustering_coefficient
+    "graph_clustering_coeff": f"""
+WITH pairs AS ({_multiprobe_near_dup_sql(threshold=0.25)}),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+  FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+corners AS (SELECT unnest([x, y, z]) AS node FROM tri),
+tcnt AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node)
+SELECT d.node AS vec_id, d.deg,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CAST(2 * COALESCE(t.n_triangles, 0) * 1000000
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+WHERE d.deg >= 2
+""",
+
+    # fixed-point EWMA: the recurrence y_t = (c_t + y_t-1)/2 closed-
+    # formed into a single integer prefix sum (cents * 2^(i-1)) // 2^t
+    "ts_ewma_user_value": """
+WITH r AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (SELECT * FROM r WHERE rn <= 40),
+s AS (
+  SELECT user_id, event_id, cents, rn,
+         SUM(cents * (CAST(1 AS BIGINT) << (CAST(rn AS INTEGER) - 1)))
+           OVER (PARTITION BY user_id ORDER BY rn) AS y
+  FROM f
+)
+SELECT user_id, CAST(rn AS INTEGER) AS rn, event_id, cents,
+       CAST(y // (CAST(1 AS BIGINT) << CAST(rn AS INTEGER)) AS BIGINT)
+         AS ewma_cents
+FROM s
+""",
+
+    # aHash replayed from the image-synthesis rule: width 32, height
+    # GREATEST(1, ceil(bytes/96)), gray = (b0+b1+b2)//3 at the 8x8
+    # NN-sample positions sx = x*4, sy = y*h//8 (ASCII corpus: char
+    # index == byte index; zero padding beyond len)
+    "mm_image_phash": """
+WITH g AS (
+  SELECT doc_id, text, len(text) AS L,
+         GREATEST(1, (len(text) + 95) // 96) AS h
+  FROM documents
+),
+gs AS (
+  SELECT doc_id, L, h,
+    list_transform(range(0, 64), k ->
+      ( (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) < L
+              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 1 AS INTEGER), 1)) ELSE 0 END)
+      + (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) + 1 < L
+              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 2 AS INTEGER), 1)) ELSE 0 END)
+      + (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) + 2 < L
+              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 3 AS INTEGER), 1)) ELSE 0 END)
+      ) // 3) AS gvals
+  FROM g
+),
+m AS (SELECT doc_id, h, gvals,
+             list_sum(gvals) // 64 AS mean FROM gs),
+bits AS (
+  SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+    CAST(list_sum(list_transform(range(0, 32), k ->
+      CASE WHEN gvals[CAST(k + 1 AS INTEGER)] >= mean
+           THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
+      AS BIGINT) AS phash_hi,
+    CAST(list_sum(list_transform(range(32, 64), k ->
+      CASE WHEN gvals[CAST(k + 1 AS INTEGER)] >= mean
+           THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END))
+      AS BIGINT) AS phash_lo
+  FROM m
+)
+SELECT doc_id, width, height, phash_hi, phash_lo,
+       COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS n_same_hash,
+       MIN(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS canonical_id
+FROM bits
+""",
+
     # directed containment from the one a<b common-shingle join,
     # mirrored from dedup.containment_pairs
     "dedup_containment": _SHINGLES + """

@@ -1211,6 +1211,63 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("node", "vec_id"))
 
 
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (ppm, exact integer) over the same
+    near-dup graph as graph_triangle_count: cc ≈ 1e6 marks boilerplate
+    FAMILIES (neighborhood is a clique — drop all but one member),
+    cc ≈ 0 marks hub nodes whose matches are mutually unrelated (often
+    a template false-positive worth auditing)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.25)
+    return (graph.clustering_coefficient(pairs, assume_canonical=True)
+            .withColumnRenamed("node", "vec_id"))
+
+
+def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of each user's
+    event values — time-series smoothing in EXACT fixed-point integer
+    arithmetic: y_t = (Σ c_i·2^(i-1)) DIV 2^t over cents, so the
+    sequential recurrence becomes ONE prefix sum any engine reproduces
+    bit-for-bit (no float accumulation order to drift). Sequences are
+    capped at the first 40 events per user (2^39·cents stays far inside
+    int64); one shuffle on user_id, per-user sort reused by both the
+    row-number and the prefix-sum window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (ev.select(
+            "user_id", "event_id", "ts",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("cents"))
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") <= 40))
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    return (r.withColumn(
+                "_y",
+                F.sum(F.expr("cents * shiftleft(CAST(1 AS BIGINT), rn - 1)"))
+                .over(w2))
+            .select("user_id", "rn", "event_id", "cents",
+                    F.expr("_y DIV shiftleft(CAST(1 AS BIGINT), rn)")
+                    .alias("ewma_cents")))
+
+
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the synthesized PPM column:
+    REAL decode → 8×8 NN resample → integer grayscale → mean-threshold
+    aHash, split into two positive 32-bit halves, then exact-hash
+    grouping (count + canonical min doc id per hash). The oracle
+    reproduces the hash bit-for-bit from the synthesis rule (ASCII
+    corpus: char index == byte index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ph = multimodal.phash_payloads(
+        multimodal.attach_image_payload(docs, width=32))
+    w = Window.partitionBy("phash_hi", "phash_lo")
+    return ph.select(
+        "doc_id", "width", "height", "phash_hi", "phash_lo",
+        F.count(F.lit(1)).over(w).alias("n_same_hash"),
+        F.min("doc_id").over(w).alias("canonical_id"))
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment ≥ 0.5: detects docs mostly
     EMBEDDED in another (quotes, excerpts, truncated re-crawls) that
@@ -1313,9 +1370,12 @@ EXT_QUERIES = {
     "sim_ivf_ann": sim_ivf_ann,
     "sim_ivf_ann_nprobe": sim_ivf_ann_nprobe,
     "graph_triangle_count": graph_triangle_count,
+    "graph_clustering_coeff": graph_clustering_coeff,
     "dedup_containment": dedup_containment,
     "text_bigram_rarity": text_bigram_rarity,
     "t_attribution": t_attribution,
+    "ts_ewma_user_value": ts_ewma_user_value,
+    "mm_image_phash": mm_image_phash,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "sim_embedding_near_dup_lsh": sim_embedding_near_dup_lsh,
     "mm_binary_features": mm_binary_features,

@@ -77,3 +77,62 @@ def test_attribution_first_last_touch(spark, sf_dir):
         m[1] += r["credited_value"]
     assert by_model["first_touch"][0] == by_model["last_touch"][0]
     assert abs(by_model["first_touch"][1] - by_model["last_touch"][1]) < 1e-6
+
+
+def test_clustering_coefficient_k4_pendant(spark):
+    from dht11_data_pipeline_spark.operators.graph import clustering_coefficient
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(
+        k4 + [(4, 5), (6, 7)], "id_a long, id_b long")
+    out = {r["node"]: (r["deg"], r["n_triangles"], r["cc_ppm"])
+           for r in clustering_coefficient(pairs).collect()}
+    # inner K4 nodes: deg 3, all 3 neighbor pairs closed -> cc = 1e6
+    for n in (1, 2, 3):
+        assert out[n] == (3, 3, 1_000_000)
+    # node 4 carries the pendant: deg 4, still 3 triangles -> 6/12
+    assert out[4] == (4, 3, 500_000)
+    # deg-1 nodes (5, 6, 7) are excluded — cc undefined
+    assert 5 not in out and 6 not in out and 7 not in out
+
+
+def test_ewma_fixed_point_closed_form(spark, sf_dir):
+    """The window closed form must equal the sequential recurrence
+    floored once at the end: y_t = (sum c_i * 2^(i-1)) >> t."""
+    from dht11_data_pipeline_spark.plans.ext_queries import ts_ewma_user_value
+    rows = ts_ewma_user_value(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for user, seq in list(by_user.items())[:20]:
+        seq.sort(key=lambda r: r["rn"])
+        acc = 0
+        for t, r in enumerate(seq, start=1):
+            assert r["rn"] == t
+            acc += r["cents"] << (t - 1)
+            assert r["ewma_cents"] == acc >> t
+            checked += 1
+    assert checked > 0
+
+
+def test_phash_identical_images_group(spark):
+    from dht11_data_pipeline_spark.operators import multimodal
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    docs = spark.createDataFrame(
+        [(1, "the same payload text"), (2, "the same payload text"),
+         (3, "a completely different and much longer document body here")],
+        "doc_id long, text string")
+    ph = multimodal.phash_payloads(
+        multimodal.attach_image_payload(docs, width=32))
+    w = Window.partitionBy("phash_hi", "phash_lo")
+    out = {r["doc_id"]: r for r in ph.select(
+        "doc_id", "phash_hi", "phash_lo",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.min("doc_id").over(w).alias("canon")).collect()}
+    assert out[1]["phash_hi"] == out[2]["phash_hi"]
+    assert out[1]["phash_lo"] == out[2]["phash_lo"]
+    assert out[1]["n"] == 2 and out[2]["canon"] == 1
+    # hashes stay in unsigned-32 range (positive in signed int64)
+    for r in out.values():
+        assert 0 <= r["phash_hi"] < 2**32 and 0 <= r["phash_lo"] < 2**32
