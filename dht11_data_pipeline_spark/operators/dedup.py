@@ -530,3 +530,44 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "containment")
     )
+
+
+def phash_hamming_pairs(ph: DataFrame, id_col: str = "doc_id",
+                        hi_col: str = "phash_hi", lo_col: str = "phash_lo",
+                        max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs from 64-bit perceptual hashes (two 32-bit
+    halves) within ``max_hamming`` bits — the multimodal twin of
+    ``simhash_near_duplicates``, same pigeonhole: split the 64 bits
+    into 4 chunks of 16; any pair within Hamming distance 3 must agree
+    EXACTLY on at least one chunk, so candidates come from 4 equi-joins
+    on (chunk_idx, chunk_value) instead of an N² scan, then the exact
+    ``bit_count(xor)`` verifies. Requires ``max_hamming < 4`` (the
+    chunk count); raise it by adding chunks, not by weakening the join.
+    Expected bucket sizes are ~N/2^16 per chunk value — hash-random, no
+    skew; at 100 TB pre-bucket the hash table by chunk value and the
+    candidate join is shuffle-free."""
+    if max_hamming >= 4:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the 4-chunk pigeonhole "
+            "guarantee (needs max_hamming < 4); add chunks instead")
+    chunks = ph.select(
+        F.col(id_col), F.col(hi_col).alias("_hi"), F.col(lo_col).alias("_lo"),
+        F.posexplode(F.array(
+            F.expr(f"shiftright({hi_col}, 0) & 65535"),
+            F.expr(f"shiftright({hi_col}, 16) & 65535"),
+            F.expr(f"shiftright({lo_col}, 0) & 65535"),
+            F.expr(f"shiftright({lo_col}, 16) & 65535"),
+        )).alias("chunk_idx", "chunk_val"))
+    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("_hi").alias("ha"),
+                      F.col("_lo").alias("la"), "chunk_idx", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("_hi").alias("hb"),
+                      F.col("_lo").alias("lb"), "chunk_idx", "chunk_val")
+    cand = (a.join(b, ["chunk_idx", "chunk_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ha", "hb", "la", "lb")
+            .distinct())
+    return (cand.withColumn(
+                "hamming",
+                F.expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -196,6 +196,44 @@ def _multiprobe_near_dup_sql(threshold: float = 0.4, n_planes: int = 4,
     return f"SELECT DISTINCT id_a, id_b, sim FROM (\n{union}\n)"
 
 
+# aHash bits replayed from the image-synthesis rule (text_to_ppm width
+# 32 → 8x8 NN sample → integer grayscale → mean threshold), shared by
+# the mm_image_phash grouping and the mm_phash_near_dup Hamming join
+_PHASH_BITS = """
+WITH g AS (
+  SELECT doc_id, text, len(text) AS L,
+         GREATEST(1, (len(text) + 95) // 96) AS h
+  FROM documents
+),
+gs AS (
+  SELECT doc_id, L, h,
+    list_transform(range(0, 64), k ->
+      ( (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) < L
+              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 1 AS INTEGER), 1)) ELSE 0 END)
+      + (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) + 1 < L
+              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 2 AS INTEGER), 1)) ELSE 0 END)
+      + (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) + 2 < L
+              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 3 AS INTEGER), 1)) ELSE 0 END)
+      ) // 3) AS gvals
+  FROM g
+),
+m AS (SELECT doc_id, h, gvals,
+             list_sum(gvals) // 64 AS mean FROM gs),
+bits AS (
+  SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+    CAST(list_sum(list_transform(range(0, 32), k ->
+      CASE WHEN gvals[CAST(k + 1 AS INTEGER)] >= mean
+           THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
+      AS BIGINT) AS phash_hi,
+    CAST(list_sum(list_transform(range(32, 64), k ->
+      CASE WHEN gvals[CAST(k + 1 AS INTEGER)] >= mean
+           THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END))
+      AS BIGINT) AS phash_lo
+  FROM m
+)
+"""
+
+
 def _profile_sql(table: str, cols: list[tuple[str, str]]) -> str:
     """Mirror of operators/profile: per-column stats UNION ALL, same
     post-aggregation normalization (num → DECIMAL(18,2) → VARCHAR)."""
@@ -994,42 +1032,36 @@ FROM s
     # GREATEST(1, ceil(bytes/96)), gray = (b0+b1+b2)//3 at the 8x8
     # NN-sample positions sx = x*4, sy = y*h//8 (ASCII corpus: char
     # index == byte index; zero padding beyond len)
-    "mm_image_phash": """
-WITH g AS (
-  SELECT doc_id, text, len(text) AS L,
-         GREATEST(1, (len(text) + 95) // 96) AS h
-  FROM documents
-),
-gs AS (
-  SELECT doc_id, L, h,
-    list_transform(range(0, 64), k ->
-      ( (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) < L
-              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 1 AS INTEGER), 1)) ELSE 0 END)
-      + (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) + 1 < L
-              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 2 AS INTEGER), 1)) ELSE 0 END)
-      + (CASE WHEN 3*(((k//8)*h//8)*32 + (k%8)*4) + 2 < L
-              THEN unicode(substring(text, CAST(3*(((k//8)*h//8)*32 + (k%8)*4) + 3 AS INTEGER), 1)) ELSE 0 END)
-      ) // 3) AS gvals
-  FROM g
-),
-m AS (SELECT doc_id, h, gvals,
-             list_sum(gvals) // 64 AS mean FROM gs),
-bits AS (
-  SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-    CAST(list_sum(list_transform(range(0, 32), k ->
-      CASE WHEN gvals[CAST(k + 1 AS INTEGER)] >= mean
-           THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END))
-      AS BIGINT) AS phash_hi,
-    CAST(list_sum(list_transform(range(32, 64), k ->
-      CASE WHEN gvals[CAST(k + 1 AS INTEGER)] >= mean
-           THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END))
-      AS BIGINT) AS phash_lo
-  FROM m
-)
+    "mm_image_phash": _PHASH_BITS + """
 SELECT doc_id, width, height, phash_hi, phash_lo,
        COUNT(*) OVER (PARTITION BY phash_hi, phash_lo) AS n_same_hash,
        MIN(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS canonical_id
 FROM bits
+""",
+
+    # pigeonhole Hamming join: 4 chunks of 16 bits — hamming <= 3 pairs
+    # must agree on at least one chunk, so candidates come from 4
+    # equi-joins, verified with exact bit_count(xor)
+    "mm_phash_near_dup": _PHASH_BITS + """
+, ch AS (
+  SELECT doc_id, phash_hi, phash_lo, j,
+         CASE j WHEN 0 THEN (phash_hi >> 0) & 65535
+                WHEN 1 THEN (phash_hi >> 16) & 65535
+                WHEN 2 THEN (phash_lo >> 0) & 65535
+                ELSE (phash_lo >> 16) & 65535 END AS v
+  FROM bits, (SELECT unnest(range(0, 4)) AS j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash_hi AS ha, b.phash_hi AS hb,
+         a.phash_lo AS la, b.phash_lo AS lb
+  FROM ch a JOIN ch b ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
 """,
 
     # directed containment from the one a<b common-shingle join,

@@ -1268,6 +1268,17 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("canonical_id"))
 
 
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hashes within Hamming
+    distance 3, found via the 16-bit-chunk pigeonhole join (the
+    simhash trick applied to the image modality) and verified with
+    exact bit_count(xor) — never an N² scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    ph = multimodal.phash_payloads(
+        multimodal.attach_image_payload(docs, width=32))
+    return dedup.phash_hamming_pairs(ph, max_hamming=3)
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment ≥ 0.5: detects docs mostly
     EMBEDDED in another (quotes, excerpts, truncated re-crawls) that
@@ -1376,6 +1387,7 @@ EXT_QUERIES = {
     "t_attribution": t_attribution,
     "ts_ewma_user_value": ts_ewma_user_value,
     "mm_image_phash": mm_image_phash,
+    "mm_phash_near_dup": mm_phash_near_dup,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "sim_embedding_near_dup_lsh": sim_embedding_near_dup_lsh,
     "mm_binary_features": mm_binary_features,

@@ -136,3 +136,20 @@ def test_phash_identical_images_group(spark):
     # hashes stay in unsigned-32 range (positive in signed int64)
     for r in out.values():
         assert 0 <= r["phash_hi"] < 2**32 and 0 <= r["phash_lo"] < 2**32
+
+
+def test_phash_hamming_pairs_and_guard(spark):
+    import pytest
+    from dht11_data_pipeline_spark.operators.dedup import phash_hamming_pairs
+    ph = spark.createDataFrame(
+        [(1, 100, 200), (2, 100, 200),      # identical -> hamming 0
+         (3, 100, 201),                     # 1 bit off doc 1 in lo
+         (4, 0xFFFFFFFF, 0xFFFFFFFF)],      # far from everything
+        "doc_id long, phash_hi long, phash_lo long")
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in phash_hamming_pairs(ph).collect()}
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] == 1 and out[(2, 3)] == 1
+    assert not any(4 in p for p in out)
+    with pytest.raises(ValueError):
+        phash_hamming_pairs(ph, max_hamming=4)
