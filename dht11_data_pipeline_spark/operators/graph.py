@@ -392,3 +392,55 @@ def _triangles_per_node(und: DataFrame, deg: DataFrame) -> DataFrame:
            .localCheckpoint(eager=True))
     oriented.unpersist()
     return out
+
+
+def neighbor_jaccard(pairs: DataFrame, a_col: str = "id_a",
+                     b_col: str = "id_b",
+                     assume_canonical: bool = False,
+                     max_center_degree: int | None = 10_000) -> DataFrame:
+    """Node-pair similarity by neighbor-set Jaccard — the classic
+    link-prediction / "second-order dedup" signal: two docs whose
+    near-dup NEIGHBORHOODS overlap heavily belong to the same template
+    family even when they don't match each other directly (is_edge =
+    'N' rows with high jaccard_ppm are exactly the missed-pair
+    candidates an LSH pass should be re-probed on).
+
+    Common-neighbor counts are wedge counts: one symmetrized self-join
+    keyed on the center node, aggregated per endpoint pair — two
+    shuffles. The fan-out is Σ deg(center)², so hub centers are the
+    skew hazard; ``max_center_degree`` EXCLUDES centers above the cap
+    from wedge enumeration (the Adamic-Adar insight — a node connected
+    to everything certifies nothing about any specific pair; standard
+    link-prediction truncation). The default cap is far above any
+    organic near-dup degree, so fixture results equal the exact form
+    (pinned in tests); pass None for exact semantics — the SQL oracle
+    twin. jaccard_ppm = 1e6·cn DIV (deg_a + deg_b − cn), exact
+    integers end to end."""
+    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    deg = _degrees(und)
+    sym = (und.select(F.col("x").alias("u"), F.col("y").alias("n"))
+           .unionAll(und.select(F.col("y").alias("u"), F.col("x").alias("n"))))
+    if max_center_degree is not None:
+        ok = deg.filter(F.col("deg") <= max_center_degree).select(
+            F.col("node").alias("u"))
+        sym = sym.join(F.broadcast(ok), "u", "left_semi")
+    e1 = sym.select("u", F.col("n").alias("v"))
+    e2 = sym.select("u", F.col("n").alias("w"))
+    cn = (e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+          .groupBy("v", "w").agg(F.count(F.lit(1)).alias("n_common")))
+    da = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("w"), F.col("deg").alias("deg_b"))
+    edge_flag = und.select(F.col("x").alias("v"), F.col("y").alias("w"),
+                           F.lit("Y").alias("_e"))
+    out = (
+        cn.join(da, "v").join(db, "w")
+        .join(edge_flag, ["v", "w"], "left")
+        .select(
+            F.col("v").alias(a_col), F.col("w").alias(b_col),
+            "n_common", "deg_a", "deg_b",
+            F.expr("n_common * 1000000 DIV (deg_a + deg_b - n_common)")
+            .alias("jaccard_ppm"),
+            F.coalesce(F.col("_e"), F.lit("N")).alias("is_edge"))
+        .localCheckpoint(eager=True))
+    und.unpersist()
+    return out

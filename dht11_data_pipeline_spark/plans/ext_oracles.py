@@ -1005,6 +1005,32 @@ FROM deg d LEFT JOIN tcnt t ON t.node = d.node
 WHERE d.deg >= 2
 """,
 
+    # exact (uncapped) neighbor-Jaccard twin of graph.neighbor_jaccard:
+    # wedge counts per endpoint pair, degrees joined back, edge flag
+    # from the canonical pair list
+    "graph_link_prediction": f"""
+WITH pairs AS ({_multiprobe_near_dup_sql(threshold=0.25)}),
+sym AS (
+  SELECT id_a AS u, id_b AS n FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS n FROM pairs
+),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+cn AS (
+  SELECT e1.n AS v, e2.n AS w, COUNT(*) AS n_common
+  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.n < e2.n
+  GROUP BY 1, 2
+)
+SELECT c.v AS id_a, c.w AS id_b, c.n_common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST(c.n_common * 1000000 // (da.deg + db.deg - c.n_common)
+            AS BIGINT) AS jaccard_ppm,
+       CASE WHEN p.id_a IS NOT NULL THEN 'Y' ELSE 'N' END AS is_edge
+FROM cn c
+JOIN deg da ON da.node = c.v
+JOIN deg db ON db.node = c.w
+LEFT JOIN pairs p ON p.id_a = c.v AND p.id_b = c.w
+""",
+
     # fixed-point EWMA: the recurrence y_t = (c_t + y_t-1)/2 closed-
     # formed into a single integer prefix sum (cents * 2^(i-1)) // 2^t
     "ts_ewma_user_value": """

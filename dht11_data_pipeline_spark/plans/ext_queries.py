@@ -1279,6 +1279,17 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.phash_hamming_pairs(ph, max_hamming=3)
 
 
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard over the near-dup graph: second-order dedup
+    / link prediction. is_edge='N' rows with high jaccard_ppm are
+    template-family pairs the direct LSH pass missed — the standard
+    re-probe candidate list."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.25)
+    return graph.neighbor_jaccard(pairs, assume_canonical=True)
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment ≥ 0.5: detects docs mostly
     EMBEDDED in another (quotes, excerpts, truncated re-crawls) that
@@ -1388,6 +1399,7 @@ EXT_QUERIES = {
     "ts_ewma_user_value": ts_ewma_user_value,
     "mm_image_phash": mm_image_phash,
     "mm_phash_near_dup": mm_phash_near_dup,
+    "graph_link_prediction": graph_link_prediction,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "sim_embedding_near_dup_lsh": sim_embedding_near_dup_lsh,
     "mm_binary_features": mm_binary_features,

@@ -153,3 +153,30 @@ def test_phash_hamming_pairs_and_guard(spark):
     assert not any(4 in p for p in out)
     with pytest.raises(ValueError):
         phash_hamming_pairs(ph, max_hamming=4)
+
+
+def test_neighbor_jaccard_path_and_cap(spark):
+    from dht11_data_pipeline_spark.operators.graph import neighbor_jaccard
+    # path 1-2-3-4: (1,3) share {2}, (2,4) share {3}; 1 and 4 share none
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r for r in neighbor_jaccard(pairs).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    r = out[(1, 3)]
+    # deg(1)=1, deg(3)=2, cn=1 -> 1e6 // 2
+    assert (r["n_common"], r["deg_a"], r["deg_b"], r["jaccard_ppm"],
+            r["is_edge"]) == (1, 1, 2, 500_000, "N")
+
+
+def test_neighbor_jaccard_capped_equals_exact(spark, sf_dir):
+    """The default hub cap is far above organic near-dup degrees, so on
+    the fixture capped == uncapped — the cooccur-cap contract."""
+    from dht11_data_pipeline_spark.operators import graph, similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.25)
+    capped = {tuple(r) for r in graph.neighbor_jaccard(
+        pairs, assume_canonical=True).collect()}
+    exact = {tuple(r) for r in graph.neighbor_jaccard(
+        pairs, assume_canonical=True, max_center_degree=None).collect()}
+    assert capped == exact and len(capped) > 0
