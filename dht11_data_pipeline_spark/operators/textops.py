@@ -333,3 +333,35 @@ def bigram_rarity(df: DataFrame, text_col: str = "text",
     )
     bg.unpersist()
     return out
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the
+    corpus (doc-id order = ingestion order): what fraction of a doc's
+    distinct n-grams first appear in that doc. The dataset-growth
+    curve every crawl pipeline watches — novelty collapsing toward 0
+    means new data is re-crawl, not new content; high-novelty docs are
+    the ones worth keeping when the token budget bites.
+
+    Shape: one inverted explode of the distinct-shingle sets, one
+    groupBy(gram) for the global first-occurrence (min doc id), one
+    broadcast-or-shuffle join back, one per-doc aggregate — the same
+    two-shuffle inverted-index pattern as the dedup family, integer
+    ppm output."""
+    inv = (right_size(df)
+           .filter(F.size(tokens(text_col)) >= n)
+           .select(F.col(id_col),
+                   F.explode(distinct_shingles(text_col, n)).alias("gram")))
+    first = inv.groupBy("gram").agg(F.min(id_col).alias("first_doc"))
+    return (
+        inv.join(first, "gram")
+        .groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.count(F.when(F.col("first_doc") == F.col(id_col), 1))
+             .alias("_novel"))
+        .select(F.col(id_col),
+                F.col("_n").cast("int").alias("n_grams"),
+                F.col("_novel").cast("int").alias("n_novel"),
+                F.expr("_novel * 1000000 DIV _n").alias("novelty_ppm"))
+    )

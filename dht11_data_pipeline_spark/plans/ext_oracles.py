@@ -299,6 +299,43 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def _survivorship_sql(threshold: float = 0.5) -> str:
+    """Quality-ranked survivorship: the _clusters_sql component
+    fixpoint, joined to integer doc features, ranked per cluster by
+    (n_unique_tokens DESC, n_chars DESC, doc_id ASC)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql(threshold=threshold)})),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(node, origin) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, r.origin FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(origin) AS comp_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+feats AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+           AS n_unique_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars
+  FROM documents
+)
+SELECT l.doc_id, l.cluster_id, f.n_unique_tokens, f.n_chars,
+       CASE WHEN ROW_NUMBER() OVER (
+              PARTITION BY l.cluster_id
+              ORDER BY f.n_unique_tokens DESC, f.n_chars DESC,
+                       l.doc_id ASC) = 1
+            THEN 'Y' ELSE 'N' END AS is_survivor
+FROM labeled l JOIN feats f USING (doc_id)
+"""
+
+
 def _semantic_clusters_sql(threshold: float = 0.4) -> str:
     """Connected components over the multiprobe embedding near-dup
     pairs — the semantic twin of _clusters_sql, on vec_ids."""
@@ -1089,6 +1126,22 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
 """,
+
+    # gram first-occurrence (min doc id) joined back — novelty ppm
+    "text_ngram_novelty": _SHINGLES + """
+, inv AS (SELECT doc_id, unnest(shingle_set) AS gram FROM sh)
+, firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM inv GROUP BY gram)
+SELECT i.doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_grams,
+       CAST(COUNT(CASE WHEN f.first_doc = i.doc_id THEN 1 END) AS INTEGER)
+         AS n_novel,
+       CAST(COUNT(CASE WHEN f.first_doc = i.doc_id THEN 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM inv i JOIN firsts f USING (gram)
+GROUP BY i.doc_id
+""",
+
+    "cur_survivorship": _survivorship_sql(threshold=0.5),
 
     # directed containment from the one a<b common-shingle join,
     # mirrored from dedup.containment_pairs

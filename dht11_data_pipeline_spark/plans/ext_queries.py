@@ -1211,6 +1211,39 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("node", "vec_id"))
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty vs everything earlier in ingestion order
+    (min-doc-id first occurrence): the dataset-growth signal — novelty
+    collapsing toward 0 means the crawl is re-reading, not growing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.ngram_novelty(docs)
+
+
+def cur_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivorship over near-dup clusters: instead of
+    keeping the minimum-id member, each minhash cluster keeps its BEST
+    member by a deterministic integer policy (most distinct tokens,
+    then longest, then lowest id) — the production answer to "which
+    copy of the duplicate do we train on". One window pass over the
+    cluster labels joined to codegen'd per-doc features."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    clusters = graph.cluster_documents(docs, pairs)
+    feats = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .alias("n_unique_tokens"),
+        F.length("text").alias("n_chars"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_unique_tokens").desc(), F.col("n_chars").desc(),
+        F.col("doc_id").asc())
+    return (clusters.join(feats, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .select("doc_id", "cluster_id", "n_unique_tokens", "n_chars",
+                    F.when(F.col("_rn") == 1, "Y").otherwise("N")
+                    .alias("is_survivor")))
+
+
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (ppm, exact integer) over the same
     near-dup graph as graph_triangle_count: cc ≈ 1e6 marks boilerplate
@@ -1400,6 +1433,8 @@ EXT_QUERIES = {
     "mm_image_phash": mm_image_phash,
     "mm_phash_near_dup": mm_phash_near_dup,
     "graph_link_prediction": graph_link_prediction,
+    "text_ngram_novelty": text_ngram_novelty,
+    "cur_survivorship": cur_survivorship,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "sim_embedding_near_dup_lsh": sim_embedding_near_dup_lsh,
     "mm_binary_features": mm_binary_features,

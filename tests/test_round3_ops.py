@@ -180,3 +180,35 @@ def test_neighbor_jaccard_capped_equals_exact(spark, sf_dir):
     exact = {tuple(r) for r in graph.neighbor_jaccard(
         pairs, assume_canonical=True, max_center_degree=None).collect()}
     assert capped == exact and len(capped) > 0
+
+
+def test_ngram_novelty_order_semantics(spark):
+    from dht11_data_pipeline_spark.operators.textops import ngram_novelty
+    base = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                       # exact re-crawl
+         (3, base + " zeta eta theta")],             # half old, half new
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[1]["novelty_ppm"] == 1_000_000
+    assert out[2]["novelty_ppm"] == 0                # all grams seen in doc 1
+    # doc 3: 6 grams, 3 new ("delta epsilon zeta" onward)
+    assert (out[3]["n_grams"], out[3]["n_novel"]) == (6, 3)
+    assert out[3]["novelty_ppm"] == 500_000
+
+
+def test_survivorship_prefers_richer_member(spark, sf_dir):
+    from dht11_data_pipeline_spark.plans.ext_queries import cur_survivorship
+    rows = cur_survivorship(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(rows) > 0
+    for cid, members in by_cluster.items():
+        survivors = [m for m in members if m["is_survivor"] == "Y"]
+        assert len(survivors) == 1                   # exactly one per cluster
+        s = survivors[0]
+        best = max(members, key=lambda m: (m["n_unique_tokens"], m["n_chars"],
+                                           -m["doc_id"]))
+        assert (s["n_unique_tokens"], s["n_chars"]) == (
+            best["n_unique_tokens"], best["n_chars"])
