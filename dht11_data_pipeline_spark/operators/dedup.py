@@ -534,7 +534,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 
 def phash_hamming_pairs(ph: DataFrame, id_col: str = "doc_id",
                         hi_col: str = "phash_hi", lo_col: str = "phash_lo",
-                        max_hamming: int = 3) -> DataFrame:
+                        max_hamming: int = 3,
+                        other: DataFrame | None = None) -> DataFrame:
     """Image near-dup pairs from 64-bit perceptual hashes (two 32-bit
     halves) within ``max_hamming`` bits — the multimodal twin of
     ``simhash_near_duplicates``, same pigeonhole: split the 64 bits
@@ -545,26 +546,34 @@ def phash_hamming_pairs(ph: DataFrame, id_col: str = "doc_id",
     chunk count); raise it by adding chunks, not by weakening the join.
     Expected bucket sizes are ~N/2^16 per chunk value — hash-random, no
     skew; at 100 TB pre-bucket the hash table by chunk value and the
-    candidate join is shuffle-free."""
+    candidate join is shuffle-free.
+
+    ``other``: when given, the join runs A×B (``other`` supplies the
+    doc_a side — a hash STORE probed by the new frame ``ph``) with no
+    id-ordering filter — the incremental/streaming probe shape, batch
+    cost independent of store size."""
     if max_hamming >= 4:
         raise ValueError(
             f"max_hamming={max_hamming} breaks the 4-chunk pigeonhole "
             "guarantee (needs max_hamming < 4); add chunks instead")
-    chunks = ph.select(
-        F.col(id_col), F.col(hi_col).alias("_hi"), F.col(lo_col).alias("_lo"),
-        F.posexplode(F.array(
-            F.expr(f"shiftright({hi_col}, 0) & 65535"),
-            F.expr(f"shiftright({hi_col}, 16) & 65535"),
-            F.expr(f"shiftright({lo_col}, 0) & 65535"),
-            F.expr(f"shiftright({lo_col}, 16) & 65535"),
-        )).alias("chunk_idx", "chunk_val"))
-    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("_hi").alias("ha"),
-                      F.col("_lo").alias("la"), "chunk_idx", "chunk_val")
-    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("_hi").alias("hb"),
-                      F.col("_lo").alias("lb"), "chunk_idx", "chunk_val")
-    cand = (a.join(b, ["chunk_idx", "chunk_val"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "ha", "hb", "la", "lb")
+
+    def _chunks(df: DataFrame, out_id: str, hi: str, lo: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(hi_col).alias(hi),
+            F.col(lo_col).alias(lo),
+            F.posexplode(F.array(
+                F.expr(f"shiftright({hi_col}, 0) & 65535"),
+                F.expr(f"shiftright({hi_col}, 16) & 65535"),
+                F.expr(f"shiftright({lo_col}, 0) & 65535"),
+                F.expr(f"shiftright({lo_col}, 16) & 65535"),
+            )).alias("chunk_idx", "chunk_val"))
+
+    b = _chunks(ph, "doc_b", "hb", "lb")
+    a = _chunks(other if other is not None else ph, "doc_a", "ha", "la")
+    cand = a.join(b, ["chunk_idx", "chunk_val"])
+    if other is None:
+        cand = cand.filter(F.col("doc_a") < F.col("doc_b"))
+    cand = (cand.select("doc_a", "doc_b", "ha", "hb", "la", "lb")
             .distinct())
     return (cand.withColumn(
                 "hamming",

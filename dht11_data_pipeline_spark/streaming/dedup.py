@@ -286,3 +286,76 @@ def current_labels(spark: SparkSession, labels_dir: str) -> DataFrame:
 
     with open(os.path.join(labels_dir, "_LATEST")) as fh:
         return spark.read.parquet(fh.read().strip())
+
+
+def start_phash_dedup_stream(spark: SparkSession, source_path: str,
+                             state_dir: str, pairs_dir: str,
+                             verdicts_dir: str, checkpoint_dir: str,
+                             max_hamming: int = 3,
+                             max_files_per_trigger: int | None = 1,
+                             available_now: bool = True) -> StreamingQuery:
+    """Streaming IMAGE near-dup: the perceptual-hash pipeline in its
+    incremental home. Each micro-batch synthesizes + decodes its image
+    payloads (real codec, Arrow batches), computes the 64-bit aHash,
+    probes the ACCUMULATED hash store with the 16-bit-chunk pigeonhole
+    join (operators/dedup.phash_hamming_pairs ``other=`` probe shape —
+    batch cost independent of corpus size), flags within-batch pairs
+    with the same canonical self-join, and appends its hashes to the
+    store keyed by ``batch=N``.
+
+    Pair-completeness invariant (tested): every Hamming-≤k pair is
+    emitted by exactly ONE batch — the one where its later-ARRIVING
+    member lands (cross-batch pairs are canonicalized to (least,
+    greatest), so the union over batches equals the one-shot
+    ``mm_phash_near_dup`` over the full corpus). Replays are
+    idempotent: a batch excludes its own store partition from the
+    probe and every write is a batch-keyed overwrite."""
+    from dht11_data_pipeline_spark.operators.dedup import phash_hamming_pairs
+    from dht11_data_pipeline_spark.operators.multimodal import (
+        attach_image_payload, phash_payloads)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        ph = phash_payloads(attach_image_payload(batch_df)).select(
+            "doc_id", "phash_hi", "phash_lo").localCheckpoint()
+        try:
+            store = (s.read.parquet(f"{state_dir}/hashes")
+                     .filter(F.col("batch") != batch_id)
+                     .select("doc_id", "phash_hi", "phash_lo"))
+        except AnalysisException:  # first batch: no store yet
+            store = s.createDataFrame(
+                [], "doc_id long, phash_hi long, phash_lo long")
+        cross = (phash_hamming_pairs(ph, max_hamming=max_hamming, other=store)
+                 .select(F.least("doc_a", "doc_b").alias("doc_a"),
+                         F.greatest("doc_a", "doc_b").alias("doc_b"),
+                         "hamming"))
+        within = phash_hamming_pairs(ph, max_hamming=max_hamming)
+        pairs = cross.unionByName(within).localCheckpoint()
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+        # a NEW doc is near_dup if it matched the store (either role in
+        # cross) or is the later (doc_b) member of a within-batch pair
+        matched = (cross.select(F.col("doc_a").alias("doc_id"))
+                   .unionByName(cross.select(F.col("doc_b").alias("doc_id")))
+                   .unionByName(within.select(F.col("doc_b").alias("doc_id")))
+                   .join(ph.select("doc_id"), "doc_id", "left_semi")
+                   .distinct())
+        verdicts = (ph.select("doc_id")
+                    .join(matched.withColumn("_m", F.lit(1)), "doc_id", "left")
+                    .select("doc_id",
+                            F.when(F.col("_m").isNotNull(), "near_dup")
+                            .otherwise("clean").alias("status")))
+        verdicts.write.mode("overwrite").parquet(
+            f"{verdicts_dir}/batch={batch_id}")
+        ph.write.mode("overwrite").parquet(f"{state_dir}/hashes/batch={batch_id}")
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.json(source_path)
+              .writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -157,3 +157,48 @@ def test_streamed_clusters_equal_one_shot(spark, tmp_path, sf_dir):
                 dedup.minhash_near_duplicates(full_docs, threshold=0.5)
             ).collect()}
     assert got == want
+
+
+def test_phash_stream_matches_batch_operator(spark, tmp_path, sf_dir):
+    """Union of the streamed per-batch phash pairs == the one-shot
+    mm_phash_near_dup run; every NEW doc matching earlier content is
+    flagged near_dup."""
+    from dht11_data_pipeline_spark.operators import multimodal
+    from dht11_data_pipeline_spark.streaming.dedup import start_phash_dedup_stream
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").orderBy("doc_id").limit(180).collect())
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    third = len(docs) // 3
+    for i, chunk in enumerate([docs[:third], docs[third:2 * third],
+                               docs[2 * third:]]):
+        with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"doc_id": r["doc_id"],
+                                    "text": r["text"]}) + "\n")
+
+    pairs_dir = str(tmp_path / "pairs")
+    verdicts_dir = str(tmp_path / "verdicts")
+    q = start_phash_dedup_stream(
+        spark, src, state_dir=str(tmp_path / "state"), pairs_dir=pairs_dir,
+        verdicts_dir=verdicts_dir, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(pairs_dir).select("doc_a", "doc_b", "hamming")
+    sub = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in docs], "doc_id long, text string")
+    full = dedup.phash_hamming_pairs(multimodal.phash_payloads(
+        multimodal.attach_image_payload(sub, width=32)))
+    assert streamed.count() > 0
+    assert streamed.exceptAll(full).count() == 0
+    assert full.exceptAll(streamed).count() == 0
+    assert streamed.groupBy("doc_a", "doc_b").count().filter("count > 1").count() == 0
+    # verdicts: exactly the docs appearing as the later member are near_dup
+    verdicts = spark.read.parquet(verdicts_dir)
+    assert verdicts.count() == len(docs)
+    dup_ids = {r["doc_id"] for r in verdicts
+               .filter(F.col("status") == "near_dup").collect()}
+    assert len(dup_ids) > 0
+    for r in full.collect():  # later member of every pair must be flagged
+        assert max(r["doc_a"], r["doc_b"]) in dup_ids or r["doc_b"] in dup_ids
