@@ -163,3 +163,34 @@ def cusum_changepoint(df: DataFrame, key_col: str, x_col: str,
             .otherwise("none").alias("shape"),
         )
     )
+
+
+def fixed_point_ewma(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     value_col: str = "value",
+                     max_steps: int = 40) -> DataFrame:
+    """Fixed-point EWMA (α = 1/2) over each key's first ``max_steps``
+    events: y_t = (Σ c_i·2^(i-1)) DIV 2^t over DECIMAL-exact cents —
+    the sequential recurrence closed-formed into one integer prefix
+    sum, bit-for-bit reproducible by any engine. One shuffle on the
+    key; the per-key sort is shared by the row-number and prefix-sum
+    windows. ``max_steps`` ≤ 40 keeps 2^(t-1)·cents far inside int64.
+    The streaming twin (streaming/ewma.py) carries (Y, t) as state and
+    emits identical rows batch-by-batch."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    r = (df.select(
+            F.col(user_col), F.col(id_col), F.col(ts_col),
+            F.expr(f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("cents"))
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") <= max_steps))
+    w2 = W.partitionBy(user_col).orderBy("rn")
+    return (r.withColumn(
+                "_y",
+                F.sum(F.expr("cents * shiftleft(CAST(1 AS BIGINT), rn - 1)"))
+                .over(w2))
+            .select(F.col(user_col), "rn", F.col(id_col), "cents",
+                    F.expr("_y DIV shiftleft(CAST(1 AS BIGINT), rn)")
+                    .alias("ewma_cents")))

@@ -1266,22 +1266,9 @@ def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped at the first 40 events per user (2^39·cents stays far inside
     int64); one shuffle on user_id, per-user sort reused by both the
     row-number and the prefix-sum window."""
+    from dht11_data_pipeline_spark.operators.sequence import fixed_point_ewma
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    r = (ev.select(
-            "user_id", "event_id", "ts",
-            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
-            .alias("cents"))
-         .withColumn("rn", F.row_number().over(w))
-         .filter(F.col("rn") <= 40))
-    w2 = Window.partitionBy("user_id").orderBy("rn")
-    return (r.withColumn(
-                "_y",
-                F.sum(F.expr("cents * shiftleft(CAST(1 AS BIGINT), rn - 1)"))
-                .over(w2))
-            .select("user_id", "rn", "event_id", "cents",
-                    F.expr("_y DIV shiftleft(CAST(1 AS BIGINT), rn)")
-                    .alias("ewma_cents")))
+    return fixed_point_ewma(ev, max_steps=40)
 
 
 def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,89 @@
+"""Streaming fixed-point EWMA via ``applyInPandasWithState``: the
+stateful twin of ``operators/sequence.fixed_point_ewma``.
+
+State per user is the exact integer pair (Y, t) of the closed form
+y_t = Y_t DIV 2^t with Y_t = Σ c_i·2^(i-1) — so folding a new event in
+is one shift-add, and the emitted rows are BIT-FOR-BIT the rows the
+batch operator produces over the same prefix of the stream (pinned in
+tests/test_streaming_ewma.py). Events beyond ``max_steps`` per user
+are absorbed silently (same cap as the batch form, which keeps
+2^(t-1)·cents inside int64).
+
+Ordering contract: equivalence with the batch form needs per-user
+event-time order across micro-batches (within a batch this operator
+sorts). Production puts a watermark + sort-within-trigger stage in
+front; the availableNow file feed used in tests delivers files in
+order.
+
+Scale: each micro-batch shuffles only its own rows on the user key;
+state is two integers per user — O(users), not O(events) — in the
+state store, expirable via GroupStateTimeout for quiet users.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("user_id bigint, rn int, event_id bigint, cents bigint, "
+                 "ewma_cents bigint")
+STATE_SCHEMA = "y bigint, t int"
+
+
+def _cents(v: float) -> int:
+    # mirror Spark's CAST(double AS DECIMAL(18,2)): shortest-repr
+    # string -> HALF_UP quantize, then *100 is integral
+    return int(Decimal(str(v)).quantize(Decimal("0.01"),
+                                        rounding=ROUND_HALF_UP) * 100)
+
+
+def _make_fold(max_steps: int, expire_ms: int | None):
+    def _fold(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        y, t = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = {"user_id": [], "rn": [], "event_id": [], "cents": [],
+               "ewma_cents": []}
+        for _, r in rows.iterrows():
+            if t >= max_steps:
+                break
+            t += 1
+            c = _cents(float(r["value"]))
+            y += c << (t - 1)
+            out["user_id"].append(key[0])
+            out["rn"].append(t)
+            out["event_id"].append(int(r["event_id"]))
+            out["cents"].append(c)
+            out["ewma_cents"].append(y >> t)
+        state.update((y, t))
+        if expire_ms is not None:
+            state.setTimeoutDuration(expire_ms)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+    return _fold
+
+
+def streaming_ewma(events: DataFrame, max_steps: int = 40,
+                   expire_ms: int | None = None) -> DataFrame:
+    """Wire the EWMA fold over a (possibly streaming) events frame.
+    Emits one row per absorbed event with its running smoothed value —
+    identical rows to the batch closed form over the same prefix."""
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if expire_ms is not None else GroupStateTimeout.NoTimeout)
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _make_fold(max_steps, expire_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

@@ -1,0 +1,66 @@
+"""Streaming fixed-point EWMA == batch closed form: the (Y, t) state
+fold must emit bit-for-bit the rows fixed_point_ewma produces over the
+same ordered stream — including users whose sequence straddles batch
+boundaries and users hitting the max_steps cap mid-stream."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dht11_data_pipeline_spark.operators.sequence import fixed_point_ewma
+from dht11_data_pipeline_spark.streaming.ewma import streaming_ewma
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def test_streaming_ewma_equals_batch(spark, tmp_path, sf_dir):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .filter(F.col("user_id") < 12)
+              .select("user_id", "event_id",
+                      F.col("ts").cast("timestamp").alias("ts"), "value")
+              .orderBy("ts", "event_id").collect())
+        assert len(ev) > 30
+        src = str(tmp_path / "feed")
+        os.makedirs(src)
+        third = len(ev) // 3
+        for i, chunk in enumerate([ev[:third], ev[third:2 * third],
+                                   ev[2 * third:]]):
+            with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                for r in chunk:
+                    f.write(json.dumps({
+                        "user_id": r["user_id"], "event_id": r["event_id"],
+                        "ts": r["ts"].isoformat(sep=" "),
+                        "value": r["value"]}) + "\n")
+
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        stream = streaming_ewma(
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1).json(src),
+            max_steps=15)
+        q = (stream.writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+        got = spark.read.parquet(out_dir)
+        sub = spark.createDataFrame(ev, EVENT_SCHEMA)
+        expect = fixed_point_ewma(sub, max_steps=15)
+        assert got.count() == expect.count() > 0
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
+        # cap engaged: some user reached 15 steps
+        assert got.filter(F.col("rn") == 15).count() > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
