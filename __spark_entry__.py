@@ -35,9 +35,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) the 8 queries whose implementation changed this round (fixed-k
     # centroids + nprobe, cooccur cap, linkage checkpoint, key-mint input
     # checkpoint, journey literal validation, the new PNG decode), then
-    # (c) the 4 queries NEW this round (triangle count, containment,
+    # (c) 4 of the queries NEW this round (triangle count, containment,
     # bigram rarity, attribution) — 50 keys exactly, all diffcheck-green
-    # locally at sf0.01.
+    # locally at sf0.01 (the full 148-key set matches; the 7 newest
+    # keys added after this window froze — clustering coeff, EWMA,
+    # image phash x2, link prediction, novelty, survivorship — lead the
+    # round-4 window).
     window = [
         # -- never driver-verified through r02
         "cur_pack_sequences", "cur_pii_scrub", "ts_user_correlation",
