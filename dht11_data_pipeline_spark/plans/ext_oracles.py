@@ -1583,7 +1583,10 @@ WITH pairs AS (
   FROM documents
 )
 SELECT term, COUNT(*) AS df,
-       (list(doc_id ORDER BY doc_id))[1:20] AS postings
+       array_to_string(
+         list_transform((list(doc_id ORDER BY doc_id))[1:20],
+                        x -> CAST(x AS VARCHAR)),
+         ',') AS postings
 FROM pairs WHERE term <> ''
 GROUP BY term
 """,

@@ -795,6 +795,10 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed by term hash and stored delta-encoded, same plan shape.
     The global top-k note: the final window is per-term (no single-
     partition global sort anywhere).
+
+    The posting sample is emitted comma-joined (a string, not an
+    array column): the external compare canonicalizes via pandas
+    sort_values, which cannot hash list-valued cells.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
@@ -803,8 +807,16 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"),
-             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"))
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
     )
 
 

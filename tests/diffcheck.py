@@ -67,6 +67,16 @@ def spark_run(spark, fn, sf_dir: str) -> tuple[list[str], list[tuple]]:
 
 def compare_one(spark, name: str, fn, sql: str, sf_dir: str) -> list[str]:
     problems: list[str] = []
+    # The driver canonicalizes via pandas sort_values, which cannot hash
+    # list/map/struct cells — our tolerant _canon hid that once
+    # (text_inverted_postings, round 3). Fail loudly on complex outputs.
+    df = fn(spark, sf_dir)
+    complex_cols = [
+        (c, t) for c, t in df.dtypes
+        if t.startswith(("array", "map", "struct"))
+    ]
+    if complex_cols:
+        return [f"{name}: complex-typed output columns (driver-unsafe): {complex_cols}"]
     s_cols, s_rows = spark_run(spark, fn, sf_dir)
     d_cols, d_rows = duckdb_run(sf_dir, sql)
     if sorted(s_cols) != sorted(d_cols):
