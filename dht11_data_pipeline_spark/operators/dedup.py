@@ -31,6 +31,13 @@ from dht11_data_pipeline_spark.functions.hashing import SEP
 from dht11_data_pipeline_spark.functions.partitioning import right_size
 from dht11_data_pipeline_spark.functions.text import distinct_shingles, tokens
 
+# Stop-shingle document-frequency cap for inverted-index self-joins
+# (jaccard_pairs / containment_pairs): shingles appearing in more docs
+# than this are dropped from the JOIN side only (per-doc set sizes stay
+# exact). Shared with the SQL oracles (plans/ext_oracles) so the capped
+# semantics are what gets verified.
+MAX_SHINGLE_DF = 100_000
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -56,7 +63,7 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, threshold: float = 0.2,
-                  max_shingle_df: int | None = 100_000) -> DataFrame:
+                  max_shingle_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """Exact pairwise n-gram Jaccard via inverted-index self-join.
 
     Explode distinct shingles → join on shingle (pairs that share ≥1
@@ -484,7 +491,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       threshold: float = 0.5,
-                      max_shingle_df: int | None = 100_000) -> DataFrame:
+                      max_shingle_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """ASYMMETRIC n-gram containment: C(A in B) = |A∩B| / |A| — the
     quotation / subset-duplication detector Jaccard misses. A short doc
     fully embedded in a long one scores J = |A|/|B| (tiny) but

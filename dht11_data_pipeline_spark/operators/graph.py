@@ -29,6 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Hub-center cap for wedge enumeration (neighbor_jaccard): centers with
+# degree above this are excluded from common-neighbor counting — the
+# Adamic-Adar truncation. Shared with the SQL oracle (plans/ext_oracles)
+# so both sides compute the same capped semantics.
+MAX_CENTER_DEGREE = 10_000
+
 
 def _union_find_components(edge_rows: list[tuple], spark,
                            node_type) -> DataFrame:
@@ -397,7 +403,7 @@ def _triangles_per_node(und: DataFrame, deg: DataFrame) -> DataFrame:
 def neighbor_jaccard(pairs: DataFrame, a_col: str = "id_a",
                      b_col: str = "id_b",
                      assume_canonical: bool = False,
-                     max_center_degree: int | None = 10_000) -> DataFrame:
+                     max_center_degree: int | None = MAX_CENTER_DEGREE) -> DataFrame:
     """Node-pair similarity by neighbor-set Jaccard — the classic
     link-prediction / "second-order dedup" signal: two docs whose
     near-dup NEIGHBORHOODS overlap heavily belong to the same template
@@ -413,8 +419,9 @@ def neighbor_jaccard(pairs: DataFrame, a_col: str = "id_a",
     to everything certifies nothing about any specific pair; standard
     link-prediction truncation). The default cap is far above any
     organic near-dup degree, so fixture results equal the exact form
-    (pinned in tests); pass None for exact semantics — the SQL oracle
-    twin. jaccard_ppm = 1e6·cn DIV (deg_a + deg_b − cn), exact
+    (pinned in tests); the SQL oracle mirrors the SAME cap, so capped
+    semantics are what gets verified at every scale. Pass None for
+    exact semantics. jaccard_ppm = 1e6·cn DIV (deg_a + deg_b − cn), exact
     integers end to end."""
     und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
     deg = _degrees(und)

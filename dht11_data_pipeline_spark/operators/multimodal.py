@@ -417,10 +417,19 @@ def phash_payloads(binary_df: DataFrame, hash_w: int = 8,
     oracle reproduces the hash bit-for-bit from the synthesis rule.
     """
 
+    n_cells = hash_w * hash_h
+    if n_cells < 1 or n_cells > 64:
+        raise ValueError(
+            f"hash_w*hash_h must be in 1..64 (two signed-int32-safe "
+            f"halves); got {hash_w}x{hash_h}={n_cells}"
+        )
+    # bits [0, split) pack into phash_hi, bits [split, n_cells) into
+    # phash_lo — derived from n_cells, not hardcoded to an 8x8 grid.
+    split = min(32, n_cells)
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from dht11_data_pipeline_spark.functions.imagecodec import (
             decode_ppm, resize_nn_ppm)
-        n_cells = hash_w * hash_h
         for pdf in it:
             rows = {"doc_id": [], "width": [], "height": [],
                     "phash_hi": [], "phash_lo": []}
@@ -431,8 +440,8 @@ def phash_payloads(binary_df: DataFrame, hash_w: int = 8,
                 gs = [(rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2]) // 3
                       for i in range(n_cells)]
                 mean = sum(gs) // n_cells
-                hi = sum(1 << k for k in range(32) if gs[k] >= mean)
-                lo = sum(1 << (k - 32) for k in range(32, n_cells)
+                hi = sum(1 << k for k in range(split) if gs[k] >= mean)
+                lo = sum(1 << (k - split) for k in range(split, n_cells)
                          if gs[k] >= mean)
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)

@@ -7,6 +7,21 @@ from __future__ import annotations
 
 from dht11_data_pipeline_spark.functions.text import LANG_MARKERS, STOPWORDS
 from dht11_data_pipeline_spark.functions.vectors import make_planes
+from dht11_data_pipeline_spark.operators.dedup import MAX_SHINGLE_DF
+from dht11_data_pipeline_spark.operators.graph import MAX_CENTER_DEGREE
+
+# Mirror of the operators' skew caps (join side only; sizes/degrees in
+# the output stay exact) so the oracle computes the SAME capped
+# semantics as the DataFrame side at every scale factor — not just at
+# test SFs where nothing crosses the cap.
+_SHINGLE_DF_CAP = f"""
+, hot AS (
+  SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}
+)
+, joinable AS (
+  SELECT i.* FROM inv i ANTI JOIN hot h USING (shingle)
+)
+"""
 
 # word-3-gram distinct shingle set per doc (mirrors functions/text.shingles)
 _SHINGLES = """
@@ -23,9 +38,11 @@ WITH toks AS (
 _JACCARD_CORE = _SHINGLES + """
 , sizes AS (SELECT doc_id, len(shingle_set) AS set_size FROM sh)
 , inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sh)
+""" + _SHINGLE_DF_CAP + """
 , common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM joinable a JOIN joinable b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 , pairs AS (
@@ -1042,7 +1059,8 @@ FROM deg d LEFT JOIN tcnt t ON t.node = d.node
 WHERE d.deg >= 2
 """,
 
-    # exact (uncapped) neighbor-Jaccard twin of graph.neighbor_jaccard:
+    # neighbor-Jaccard twin of graph.neighbor_jaccard, hub-center cap
+    # mirrored (symw) so both sides compute the capped semantics:
     # wedge counts per endpoint pair, degrees joined back, edge flag
     # from the canonical pair list
     "graph_link_prediction": f"""
@@ -1052,9 +1070,14 @@ sym AS (
   UNION ALL SELECT id_b AS u, id_a AS n FROM pairs
 ),
 deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+symw AS (
+  SELECT s.u, s.n FROM sym s
+  JOIN deg d ON d.node = s.u
+  WHERE d.deg <= {MAX_CENTER_DEGREE}
+),
 cn AS (
   SELECT e1.n AS v, e2.n AS w, COUNT(*) AS n_common
-  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.n < e2.n
+  FROM symw e1 JOIN symw e2 ON e1.u = e2.u AND e1.n < e2.n
   GROUP BY 1, 2
 )
 SELECT c.v AS id_a, c.w AS id_b, c.n_common,
@@ -1148,9 +1171,11 @@ GROUP BY i.doc_id
     "dedup_containment": _SHINGLES + """
 , sizes AS (SELECT doc_id, len(shingle_set) AS set_size FROM sh)
 , inv AS (SELECT doc_id, unnest(shingle_set) AS shingle FROM sh)
+""" + _SHINGLE_DF_CAP + """
 , common AS (
   SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS n_common
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM joinable a JOIN joinable b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 , directed AS (

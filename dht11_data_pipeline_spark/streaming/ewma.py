@@ -11,12 +11,15 @@ are absorbed silently (same cap as the batch form, which keeps
 
 Ordering contract: equivalence with the batch form needs per-user
 event-time order across micro-batches (within a batch this operator
-sorts). Production puts a watermark + sort-within-trigger stage in
-front; the availableNow file feed used in tests delivers files in
-order.
+sorts). The contract is now ENFORCED, not assumed: state carries the
+last absorbed (ts, event_id) per user, and a batch delivering an
+earlier event raises ``OutOfOrderEventError`` (``strict=False`` keeps
+the old absorb-anyway behavior for feeds that accept drift). Production
+puts a watermark + sort-within-trigger stage in front; the availableNow
+file feed used in tests delivers files in order.
 
 Scale: each micro-batch shuffles only its own rows on the user key;
-state is two integers per user — O(users), not O(events) — in the
+state is four integers per user — O(users), not O(events) — in the
 state store, expirable via GroupStateTimeout for quiet users.
 """
 
@@ -31,7 +34,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = ("user_id bigint, rn int, event_id bigint, cents bigint, "
                  "ewma_cents bigint")
-STATE_SCHEMA = "y bigint, t int"
+STATE_SCHEMA = "y bigint, t int, last_ts bigint, last_event_id bigint"
+
+_TS_MIN = -(1 << 63)
+
+
+class OutOfOrderEventError(RuntimeError):
+    """A micro-batch delivered an event at or before the last absorbed
+    (ts, event_id) for its user — the batch-equivalence contract is
+    violated and the fold's result would silently diverge from the
+    batch operator. Fix the feed (watermark + sort stage) or pass
+    ``strict=False`` to absorb anyway."""
 
 
 def _cents(v: float) -> int:
@@ -41,28 +54,39 @@ def _cents(v: float) -> int:
                                         rounding=ROUND_HALF_UP) * 100)
 
 
-def _make_fold(max_steps: int, expire_ms: int | None):
+def _make_fold(max_steps: int, expire_ms: int | None, strict: bool):
     def _fold(key: tuple, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
-        y, t = state.get if state.exists else (0, 0)
+        y, t, last_ts, last_eid = (state.get if state.exists
+                                   else (0, 0, _TS_MIN, _TS_MIN))
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         out = {"user_id": [], "rn": [], "event_id": [], "cents": [],
                "ewma_cents": []}
         for _, r in rows.iterrows():
             if t >= max_steps:
                 break
+            ts_val = (int(pd.Timestamp(r["ts"]).value)
+                      if pd.notna(r["ts"]) else _TS_MIN)
+            eid = int(r["event_id"])
+            if strict and (ts_val, eid) <= (last_ts, last_eid):
+                raise OutOfOrderEventError(
+                    f"user {key[0]}: event_id={eid} ts={r['ts']} arrived "
+                    f"after state already absorbed (ts_ns={last_ts}, "
+                    f"event_id={last_eid})"
+                )
+            last_ts, last_eid = ts_val, eid
             t += 1
             c = _cents(float(r["value"]))
             y += c << (t - 1)
             out["user_id"].append(key[0])
             out["rn"].append(t)
-            out["event_id"].append(int(r["event_id"]))
+            out["event_id"].append(eid)
             out["cents"].append(c)
             out["ewma_cents"].append(y >> t)
-        state.update((y, t))
+        state.update((y, t, last_ts, last_eid))
         if expire_ms is not None:
             state.setTimeoutDuration(expire_ms)
         if out["user_id"]:
@@ -71,16 +95,19 @@ def _make_fold(max_steps: int, expire_ms: int | None):
 
 
 def streaming_ewma(events: DataFrame, max_steps: int = 40,
-                   expire_ms: int | None = None) -> DataFrame:
+                   expire_ms: int | None = None,
+                   strict: bool = True) -> DataFrame:
     """Wire the EWMA fold over a (possibly streaming) events frame.
     Emits one row per absorbed event with its running smoothed value —
-    identical rows to the batch closed form over the same prefix."""
+    identical rows to the batch closed form over the same prefix.
+    ``strict`` (default) raises ``OutOfOrderEventError`` when a batch
+    delivers a per-user event at or before the last absorbed one."""
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if expire_ms is not None else GroupStateTimeout.NoTimeout)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _make_fold(max_steps, expire_ms),
+            _make_fold(max_steps, expire_ms, strict),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -138,6 +138,29 @@ def test_phash_identical_images_group(spark):
         assert 0 <= r["phash_hi"] < 2**32 and 0 <= r["phash_lo"] < 2**32
 
 
+def test_phash_grid_guard_and_derived_split(spark):
+    import pytest
+    from dht11_data_pipeline_spark.operators import multimodal
+    docs = spark.createDataFrame(
+        [(1, "some document body"), (2, "a different body entirely")],
+        "doc_id long, text string")
+    imgs = multimodal.attach_image_payload(docs, width=32)
+    # > 64 cells overflows the two-halves packing: rejected up front
+    with pytest.raises(ValueError):
+        multimodal.phash_payloads(imgs, hash_w=9, hash_h=8)
+    with pytest.raises(ValueError):
+        multimodal.phash_payloads(imgs, hash_w=0, hash_h=8)
+    # 16 cells: all bits land in phash_hi, lo must be 0 (no IndexError)
+    out = multimodal.phash_payloads(imgs, hash_w=4, hash_h=4).collect()
+    assert len(out) == 2
+    for r in out:
+        assert 0 <= r["phash_hi"] < 2**16 and r["phash_lo"] == 0
+    # 40 cells: split straddles — hi gets 32 bits, lo the other 8
+    out = multimodal.phash_payloads(imgs, hash_w=8, hash_h=5).collect()
+    for r in out:
+        assert 0 <= r["phash_hi"] < 2**32 and 0 <= r["phash_lo"] < 2**8
+
+
 def test_phash_hamming_pairs_and_guard(spark):
     import pytest
     from dht11_data_pipeline_spark.operators.dedup import phash_hamming_pairs

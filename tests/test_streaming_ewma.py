@@ -37,12 +37,18 @@ def test_streaming_ewma_equals_batch(spark, tmp_path, sf_dir):
         third = len(ev) // 3
         for i, chunk in enumerate([ev[:third], ev[third:2 * third],
                                    ev[2 * third:]]):
-            with open(os.path.join(src, f"b{i}.json"), "w") as f:
+            path = os.path.join(src, f"b{i}.json")
+            with open(path, "w") as f:
                 for r in chunk:
                     f.write(json.dumps({
                         "user_id": r["user_id"], "event_id": r["event_id"],
                         "ts": r["ts"].isoformat(sep=" "),
                         "value": r["value"]}) + "\n")
+            # FileStreamSource orders by mtime; same-mtime files may
+            # process out of name order — pin distinct mtimes so the
+            # in-order feed is genuinely in order (strict mode raises
+            # on violation by design).
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
 
         out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
         stream = streaming_ewma(
@@ -62,5 +68,65 @@ def test_streaming_ewma_equals_batch(spark, tmp_path, sf_dir):
         assert expect.exceptAll(got).count() == 0
         # cap engaged: some user reached 15 steps
         assert got.filter(F.col("rn") == 15).count() > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _write_feed(src: str, batches) -> None:
+    os.makedirs(src)
+    for i, chunk in enumerate(batches):
+        path = os.path.join(src, f"b{i}.json")
+        with open(path, "w") as f:
+            for user_id, event_id, ts, value in chunk:
+                f.write(json.dumps({
+                    "user_id": user_id, "event_id": event_id,
+                    "ts": ts, "value": value}) + "\n")
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def _run_feed(spark, tmp_path, batches, **kwargs):
+    src = str(tmp_path / "feed")
+    _write_feed(src, batches)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = streaming_ewma(
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(src), **kwargs)
+    q = (stream.writeStream.format("parquet").option("path", out_dir)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
+OOO_BATCHES = [
+    [(1, 10, "2024-01-01 00:00:10", 1.0),
+     (1, 20, "2024-01-01 00:00:20", 2.0)],
+    # regression: earlier event-time arrives in a later micro-batch
+    [(1, 15, "2024-01-01 00:00:15", 3.0)],
+]
+
+
+def test_streaming_ewma_strict_raises_on_out_of_order(spark, tmp_path):
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        with pytest.raises(StreamingQueryException) as exc:
+            _run_feed(spark, tmp_path, OOO_BATCHES)
+        assert "OutOfOrderEventError" in str(exc.value)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_streaming_ewma_non_strict_absorbs_out_of_order(spark, tmp_path):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        got = _run_feed(spark, tmp_path, OOO_BATCHES, strict=False)
+        # all three events absorbed, arrival order (10, 20, then 15)
+        rows = {r["event_id"]: r["rn"] for r in got.collect()}
+        assert rows == {10: 1, 20: 2, 15: 3}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
