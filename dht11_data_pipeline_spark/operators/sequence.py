@@ -194,3 +194,76 @@ def fixed_point_ewma(df: DataFrame, user_col: str = "user_id",
             .select(F.col(user_col), "rn", F.col(id_col), "cents",
                     F.expr("_y DIV shiftleft(CAST(1 AS BIGINT), rn)")
                     .alias("ewma_cents")))
+
+
+def holt_winters_trend(df: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "value",
+                       max_steps: int = 16) -> DataFrame:
+    """Double exponential smoothing (Holt's linear trend, α = β = 1/2)
+    per key, in EXACT fixed-point integer arithmetic.
+
+    The coupled recurrences  s_t = (x_t + s_{t-1} + b_{t-1}) / 2  and
+    b_t = (s_t − s_{t-1} + b_{t-1}) / 2  have dyadic coefficients, so
+    scaling by 4^t makes every state integral:
+
+        S_t = x_t·2^(2t−1) + 2·(S_{t-1} + B_{t-1})        (S_1 = 4·x_1)
+        B_t = (S_t − 4·S_{t-1} + 4·B_{t-1}) / 2           (B_1 = 0)
+
+    where S_t = s_t·4^t, B_t = b_t·4^t and the /2 is exact (the
+    numerator is provably even). Emitted columns are the RAW scaled
+    integers (level_q4, trend_q4; value = q4 / 4^rn) — no division at
+    all, so there is no floor-vs-truncate divergence between engines
+    for the (possibly negative) trend. ``max_steps`` ≤ 16 keeps
+    |S_t| ≤ max_cents·4^t·O(1) far inside int64 for money-scale cents.
+
+    Unlike the single-EWMA (which closes into one window prefix sum),
+    the coupled recurrence is genuinely sequential per key — this is
+    the documented Arrow ``applyInPandas`` path: one shuffle on the
+    key, per-group Python-integer fold (arbitrary precision, bounds
+    asserted), output schema fixed. The DuckDB oracle replays the same
+    recurrence with a recursive CTE — exact match.
+    """
+    if not 1 <= max_steps <= 16:
+        raise ValueError(f"max_steps must be in 1..16; got {max_steps}")
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    r = (df.select(
+            F.col(user_col).alias("user_id"), F.col(id_col).alias("event_id"),
+            F.col(ts_col).alias("ts"),
+            F.expr(f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("cents"))
+         .withColumn("rn", F.row_number().over(w))
+         .filter(F.col("rn") <= max_steps)
+         .select("user_id", "rn", "event_id", "cents"))
+
+    schema = ("user_id bigint, rn int, event_id bigint, cents bigint, "
+              "level_q4 bigint, trend_q4 bigint")
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        out = {"user_id": [], "rn": [], "event_id": [], "cents": [],
+               "level_q4": [], "trend_q4": []}
+        s = b = 0
+        for row in pdf.itertuples(index=False):
+            x, t = int(row.cents), int(row.rn)
+            if t == 1:
+                s, b = 4 * x, 0
+            else:
+                s_new = x * (1 << (2 * t - 1)) + 2 * (s + b)
+                num = s_new - 4 * s + 4 * b
+                assert num % 2 == 0
+                s, b = s_new, num // 2
+            assert abs(s) < 1 << 62 and abs(b) < 1 << 62
+            out["user_id"].append(int(row.user_id))
+            out["rn"].append(t)
+            out["event_id"].append(int(row.event_id))
+            out["cents"].append(x)
+            out["level_q4"].append(s)
+            out["trend_q4"].append(b)
+        return pd.DataFrame(out)
+
+    return r.groupBy("user_id").applyInPandas(_fold, schema=schema)

@@ -9,6 +9,8 @@ from dht11_data_pipeline_spark.functions.text import LANG_MARKERS, STOPWORDS
 from dht11_data_pipeline_spark.functions.vectors import make_planes
 from dht11_data_pipeline_spark.operators.dedup import MAX_SHINGLE_DF
 from dht11_data_pipeline_spark.operators.graph import MAX_CENTER_DEGREE
+from dht11_data_pipeline_spark.operators.sketches import (
+    CM_A, CM_B, CM_ROWS, CM_WIDTH, HASH_P, KMV_A, KMV_B, KMV_K)
 
 # Mirror of the operators' skew caps (join side only; sizes/degrees in
 # the output stay exact) so the oracle computes the SAME capped
@@ -419,7 +421,140 @@ _PII_PHONE = r"\+?\d[\d() .-]{7,}\d"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def _cm_bucket_case(key_expr: str) -> str:
+    """CASE over the j index applying the count-min multiply-mod hash —
+    identical arithmetic to sketches._mmhash (keys are non-negative, so
+    plain % == pmod)."""
+    whens = "\n".join(
+        f"    WHEN {j} THEN CAST(({key_expr} % {HASH_P} * {CM_A[j]} "
+        f"+ {CM_B[j]}) % {HASH_P} % {CM_WIDTH} AS INTEGER)"
+        for j in range(CM_ROWS))
+    return f"CASE j\n{whens}\n  END"
+
+
 EXT_ORACLES: dict[str, str] = {
+    # Holt's linear trend, alpha=beta=1/2, exact 4^t-scaled integers —
+    # the sequential recurrence replayed with a recursive CTE (mirrors
+    # operators/sequence.holt_winters_trend; the /2 is exact, so //
+    # truncate-vs-floor divergence cannot occur)
+    "ts_holt_winters": """
+WITH RECURSIVE r AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (SELECT * FROM r WHERE rn <= 16),
+rec AS (
+  SELECT user_id, rn, event_id, cents,
+         4 * cents AS level_q4, CAST(0 AS BIGINT) AS trend_q4
+  FROM f WHERE rn = 1
+  UNION ALL
+  SELECT f.user_id, f.rn, f.event_id, f.cents,
+         f.cents * (CAST(1 AS BIGINT) << CAST(2 * f.rn - 1 AS INTEGER))
+           + 2 * (rec.level_q4 + rec.trend_q4),
+         (f.cents * (CAST(1 AS BIGINT) << CAST(2 * f.rn - 1 AS INTEGER))
+           + 2 * (rec.level_q4 + rec.trend_q4)
+           - 4 * rec.level_q4 + 4 * rec.trend_q4) // 2
+  FROM rec JOIN f ON f.user_id = rec.user_id AND f.rn = rec.rn + 1
+)
+SELECT user_id, CAST(rn AS INTEGER) AS rn, event_id, cents,
+       level_q4, trend_q4
+FROM rec
+""",
+
+    # count-min sketch replayed cell-for-cell: same multiply-mod bucket
+    # hashes, same d x w grid, same min-over-rows estimate
+    "a_countmin_freq": f"""
+WITH k AS (SELECT CAST(user_id AS BIGINT) AS key FROM events),
+b AS (
+  SELECT key, j, {_cm_bucket_case('key')} AS bucket
+  FROM k, (SELECT unnest(range(0, {CM_ROWS})) AS j)
+),
+sketch AS (SELECT j, bucket, COUNT(*) AS cell_n FROM b GROUP BY 1, 2),
+truth AS (SELECT key, COUNT(*) AS true_n FROM k GROUP BY key),
+probes AS (
+  SELECT key, true_n, j, {_cm_bucket_case('key')} AS bucket
+  FROM truth, (SELECT unnest(range(0, {CM_ROWS})) AS j)
+)
+SELECT p.key AS user_id, p.true_n,
+       MIN(s.cell_n) AS cm_est,
+       MIN(s.cell_n) - p.true_n AS overcount
+FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+GROUP BY p.key, p.true_n
+""",
+
+    # KMV bottom-k audience sketches + union-sample Jaccard estimate
+    "a_kmv_jaccard": f"""
+WITH m AS (
+  SELECT DISTINCT event_type AS set_key,
+         (CAST(user_id AS BIGINT) % {HASH_P} * {KMV_A} + {KMV_B})
+           % {HASH_P} AS mh
+  FROM events
+),
+sig AS (
+  SELECT set_key, mh FROM (
+    SELECT set_key, mh,
+           ROW_NUMBER() OVER (PARTITION BY set_key ORDER BY mh) AS r
+    FROM m
+  ) WHERE r <= {KMV_K}
+),
+sizes AS (SELECT set_key, COUNT(*) AS sk_n FROM sig GROUP BY set_key),
+pairs AS (
+  SELECT a.set_key AS set_a, a.sk_n AS sk_a,
+         b.set_key AS set_b, b.sk_n AS sk_b
+  FROM sizes a JOIN sizes b ON a.set_key < b.set_key
+),
+u AS (
+  SELECT set_a, set_b, sk_a, sk_b, mh,
+         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.set_a, p.set_b, p.sk_a, p.sk_b, s.mh,
+           1 AS in_a, CAST(NULL AS INTEGER) AS in_b
+    FROM pairs p JOIN sig s ON s.set_key = p.set_a
+    UNION ALL
+    SELECT p.set_a, p.set_b, p.sk_a, p.sk_b, s.mh,
+           CAST(NULL AS INTEGER), 1
+    FROM pairs p JOIN sig s ON s.set_key = p.set_b
+  ) GROUP BY 1, 2, 3, 4, 5
+),
+sampled AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY set_a, set_b
+                               ORDER BY mh) AS r
+  FROM u
+)
+SELECT set_a, set_b,
+       CAST(sk_a AS INTEGER) AS sk_a, CAST(sk_b AS INTEGER) AS sk_b,
+       CAST(COUNT(*) AS INTEGER) AS used_k,
+       CAST(SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL
+                     THEN 1 ELSE 0 END) AS INTEGER) AS overlap,
+       CAST(SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS jaccard_ppm
+FROM sampled WHERE r <= {KMV_K}
+GROUP BY set_a, set_b, sk_a, sk_b
+""",
+
+    # first-order event-type transition matrix, integer ppm
+    "t_markov_transitions": """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       SUM(n) OVER (PARTITION BY prev_type) AS prev_total,
+       CAST(n * 1000000 // (SUM(n) OVER (PARTITION BY prev_type))
+            AS BIGINT) AS p_ppm
+FROM t
+""",
+
     # full curation pipeline: quality gate -> exact dedup -> minhash
     # near-dedup (subquery over the surviving pool) -> per-source
     # greedy token budget; disjoint union of stage kill sets

@@ -1383,9 +1383,78 @@ def t_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("credited_value")))
 
 
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (α = β = ½)
+    over each user's first 16 events, in exact 4^t-scaled integer
+    arithmetic — the trend-aware upgrade of ts_ewma_user_value. The
+    coupled recurrence is genuinely sequential, so this is the Arrow
+    applyInPandas path (one shuffle on user_id, Python-integer fold);
+    the oracle replays it with a recursive CTE. See
+    operators/sequence.holt_winters_trend for the scaling proof."""
+    from dht11_data_pipeline_spark.operators.sequence import (
+        holt_winters_trend)
+    ev = load_table(spark, sf_dir, "events")
+    return holt_winters_trend(ev, max_steps=16)
+
+
+def a_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=64) over event user-ids, with the
+    point estimate for every distinct user next to its true count —
+    the mergeable frequency sketch a streaming rollup keeps instead of
+    a full per-key map. The sketch is d·w cells regardless of corpus
+    size; estimates are engine-exact because the bucket hashes are
+    multiply-mod arithmetic, not an engine hash."""
+    from dht11_data_pipeline_spark.operators.sketches import (
+        countmin_frequencies)
+    ev = load_table(spark, sf_dir, "events")
+    return (countmin_frequencies(ev, "user_id")
+            .withColumnRenamed("key", "user_id"))
+
+
+def a_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-64) audience-overlap estimation between every pair
+    of event types: estimated Jaccard of their distinct-user sets from
+    64-hash sketches — the constant-space alternative to a full
+    distinct-user self-join at 100 TB. Integer ppm estimates,
+    bit-for-bit reproducible (multiply-mod member hash)."""
+    from dht11_data_pipeline_spark.operators.sketches import (
+        kmv_pairwise_jaccard)
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_pairwise_jaccard(ev, "event_type", "user_id")
+
+
+def t_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: event-type transition
+    counts and probabilities (integer ppm) over each user's
+    time-ordered stream. One shuffle on user_id for the lag window,
+    then a tiny groupBy on (prev, curr) — the per-prev normalizing
+    total comes from a window over the aggregated frame (no join-back,
+    SCALE.md decorrelation rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    # raw ts ordering (nanos-exact) — same convention as the EWMA pair
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type", "next_type", "n",
+        F.sum("n").over(wt).alias("prev_total"),
+        F.expr("n * 1000000 DIV sum(n) OVER (PARTITION BY prev_type)")
+        .alias("p_ppm"),
+    )
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "ts_holt_winters": ts_holt_winters,
+    "a_countmin_freq": a_countmin_freq,
+    "a_kmv_jaccard": a_kmv_jaccard,
+    "t_markov_transitions": t_markov_transitions,
     "cur_dup_aware_sample": cur_dup_aware_sample,
     "ts_changepoint_per_type": ts_changepoint_per_type,
     "j_entity_resolution": j_entity_resolution,
