@@ -542,7 +542,8 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
 def phash_hamming_pairs(ph: DataFrame, id_col: str = "doc_id",
                         hi_col: str = "phash_hi", lo_col: str = "phash_lo",
                         max_hamming: int = 3,
-                        other: DataFrame | None = None) -> DataFrame:
+                        other: DataFrame | None = None,
+                        block_cols: tuple[str, ...] = ()) -> DataFrame:
     """Image near-dup pairs from 64-bit perceptual hashes (two 32-bit
     halves) within ``max_hamming`` bits — the multimodal twin of
     ``simhash_near_duplicates``, same pigeonhole: split the 64 bits
@@ -558,16 +559,24 @@ def phash_hamming_pairs(ph: DataFrame, id_col: str = "doc_id",
     ``other``: when given, the join runs A×B (``other`` supplies the
     doc_a side — a hash STORE probed by the new frame ``ph``) with no
     id-ordering filter — the incremental/streaming probe shape, batch
-    cost independent of store size."""
+    cost independent of store size.
+
+    ``block_cols``: extra equality keys for the candidate join (e.g.
+    audio duration / n_frames) — pairs must agree on every block
+    column, which both tightens semantics (different-length
+    fingerprints never pair) and shrinks buckets. Block columns ride
+    along in the output."""
     if max_hamming >= 4:
         raise ValueError(
             f"max_hamming={max_hamming} breaks the 4-chunk pigeonhole "
             "guarantee (needs max_hamming < 4); add chunks instead")
 
+    blocks = list(block_cols)
+
     def _chunks(df: DataFrame, out_id: str, hi: str, lo: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out_id), F.col(hi_col).alias(hi),
-            F.col(lo_col).alias(lo),
+            F.col(lo_col).alias(lo), *[F.col(c) for c in blocks],
             F.posexplode(F.array(
                 F.expr(f"shiftright({hi_col}, 0) & 65535"),
                 F.expr(f"shiftright({hi_col}, 16) & 65535"),
@@ -577,13 +586,13 @@ def phash_hamming_pairs(ph: DataFrame, id_col: str = "doc_id",
 
     b = _chunks(ph, "doc_b", "hb", "lb")
     a = _chunks(other if other is not None else ph, "doc_a", "ha", "la")
-    cand = a.join(b, ["chunk_idx", "chunk_val"])
+    cand = a.join(b, ["chunk_idx", "chunk_val", *blocks])
     if other is None:
         cand = cand.filter(F.col("doc_a") < F.col("doc_b"))
-    cand = (cand.select("doc_a", "doc_b", "ha", "hb", "la", "lb")
+    cand = (cand.select("doc_a", "doc_b", "ha", "hb", "la", "lb", *blocks)
             .distinct())
     return (cand.withColumn(
                 "hamming",
                 F.expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"))
             .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+            .select("doc_a", "doc_b", *blocks, "hamming"))

@@ -451,3 +451,51 @@ def phash_payloads(binary_df: DataFrame, hash_w: int = 8,
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(_batches, schema=PHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "doc_id bigint, n_frames int, fp_hi bigint, fp_lo bigint"
+
+
+def audio_fingerprint(binary_df: DataFrame, frame_len: int = 8,
+                      n_bits: int = 64) -> DataFrame:
+    """Energy-delta acoustic fingerprint over the WAV column — the
+    audio twin of ``phash_payloads`` (chromaprint-style, minus the
+    DFT): decode → split into ``frame_len``-sample frames → integer
+    frame energy Σ s² → bit k set iff E(k+1) > E(k), packed into two
+    positive 32-bit halves. Energy DELTAS (not levels) make the bits
+    volume-invariant up to scaling and engine-exact — every quantity
+    is an integer, so the SQL oracle replays the fingerprint
+    bit-for-bit from the synthesis rule.
+
+    Partial trailing frames are dropped (only full frames count);
+    docs with < 2 full frames emit an all-zero fingerprint. One Arrow
+    pass, partitions independent — the 100 TB shape. Hamming pairing
+    downstream should BLOCK on n_frames (duration) — see
+    mm_audio_near_dup — so sparse short fingerprints can't spuriously
+    collide."""
+    n_cells = n_bits
+    if not 1 <= n_cells <= 64:
+        raise ValueError(f"n_bits must be in 1..64; got {n_bits}")
+    split = min(32, n_cells)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dht11_data_pipeline_spark.functions.audiocodec import decode_wav
+        for pdf in it:
+            rows = {"doc_id": [], "n_frames": [], "fp_hi": [], "fp_lo": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, samples = decode_wav(bytes(payload))
+                nf = len(samples) // frame_len
+                e = [
+                    sum(s * s for s in samples[f * frame_len:(f + 1) * frame_len])
+                    for f in range(nf)
+                ]
+                ks = [k for k in range(min(n_cells, nf - 1))
+                      if e[k + 1] > e[k]]
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(nf)
+                rows["fp_hi"].append(sum(1 << k for k in ks if k < split))
+                rows["fp_lo"].append(sum(1 << (k - split) for k in ks
+                                         if k >= split))
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(_batches, schema=AUDIO_FP_SCHEMA)

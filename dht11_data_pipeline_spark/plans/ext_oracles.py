@@ -432,7 +432,70 @@ def _cm_bucket_case(key_expr: str) -> str:
     return f"CASE j\n{whens}\n  END"
 
 
+# audio energy-delta fingerprint replayed from the synthesis rule:
+# sample i = (ascii(char i) - 128) * 256, 8-sample frames (full frames
+# only), bit k set iff E(k+1) > E(k), k < 64; hi = bits 0..31.
+_AUDIO_FP = """
+WITH chars AS (
+  SELECT doc_id, text,
+         unnest(range(1, octet_length(encode(text)) + 1)) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, (ascii(substr(text, i, 1)) - 128) * 256 AS smp,
+         CAST((i - 1) // 8 AS INTEGER) AS f
+  FROM chars
+),
+nfr AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) // 8 AS INTEGER) AS n_frames
+  FROM documents
+),
+fe AS (
+  SELECT s.doc_id, f, SUM(smp * smp) AS e
+  FROM s JOIN nfr USING (doc_id)
+  WHERE f < n_frames
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.doc_id, a.f - 1 AS k
+  FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+  WHERE a.e > b.e AND a.f - 1 < 64
+),
+fpx AS (
+  SELECT doc_id,
+         SUM(CASE WHEN k < 32
+                  THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) END) AS hi,
+         SUM(CASE WHEN k >= 32
+                  THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER) END) AS lo
+  FROM bits GROUP BY doc_id
+),
+fp AS (
+  SELECT n.doc_id, n.n_frames,
+         COALESCE(hi, 0) AS fp_hi, COALESCE(lo, 0) AS fp_lo
+  FROM nfr n LEFT JOIN fpx USING (doc_id)
+)
+"""
+
+
 EXT_ORACLES: dict[str, str] = {
+    "mm_audio_fingerprint": _AUDIO_FP + """
+SELECT doc_id, n_frames, fp_hi, fp_lo FROM fp
+""",
+
+    # duration-blocked Hamming pairs — the block equality keeps the
+    # exact SQL join from going N² globally (mirrors the pigeonhole
+    # result exactly: both enumerate all same-length pairs <= 2 bits)
+    "mm_audio_near_dup": _AUDIO_FP + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_frames,
+       CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+            + bit_count(xor(a.fp_lo, b.fp_lo)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b
+  ON a.n_frames = b.n_frames AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+      + bit_count(xor(a.fp_lo, b.fp_lo)) <= 2
+""",
+
     # Holt's linear trend, alpha=beta=1/2, exact 4^t-scaled integers —
     # the sequential recurrence replayed with a recursive CTE (mirrors
     # operators/sequence.holt_winters_trend; the /2 is exact, so //

@@ -1448,9 +1448,36 @@ def t_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-delta acoustic fingerprint over the synthesized WAV
+    column: REAL RIFF decode → 8-sample frame energies → rising-energy
+    bits packed into two positive 32-bit halves — the audio twin of
+    mm_image_phash. Integer end to end; the oracle replays the bits
+    from the synthesis rule (sample = (ascii−128)·256)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_fingerprint(
+        multimodal.attach_audio_payload(docs, rate=8000))
+
+
+def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: fingerprints within Hamming
+    distance 2, BLOCKED on n_frames (duration) — same pigeonhole
+    16-bit-chunk join as the image path, with the duration block both
+    tightening semantics (different-length fingerprints never pair)
+    and shrinking buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.audio_fingerprint(
+        multimodal.attach_audio_payload(docs, rate=8000))
+    return dedup.phash_hamming_pairs(
+        fp, hi_col="fp_hi", lo_col="fp_lo", max_hamming=2,
+        block_cols=("n_frames",))
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "mm_audio_fingerprint": mm_audio_fingerprint,
+    "mm_audio_near_dup": mm_audio_near_dup,
     "ts_holt_winters": ts_holt_winters,
     "a_countmin_freq": a_countmin_freq,
     "a_kmv_jaccard": a_kmv_jaccard,

@@ -103,3 +103,46 @@ def test_kmv_hash_is_injective_on_fixture(spark):
     us = list(range(1000))
     hs = {(u % HASH_P * KMV_A + KMV_B) % HASH_P for u in us}
     assert len(hs) == len(us)
+
+
+def _fp_reference(text: str, frame_len: int = 8):
+    samples = [(b - 128) * 256 for b in text.encode()]
+    nf = len(samples) // frame_len
+    e = [sum(s * s for s in samples[f * frame_len:(f + 1) * frame_len])
+         for f in range(nf)]
+    ks = [k for k in range(min(64, nf - 1)) if e[k + 1] > e[k]]
+    hi = sum(1 << k for k in ks if k < 32)
+    lo = sum(1 << (k - 32) for k in ks if k >= 32)
+    return nf, hi, lo
+
+
+def test_audio_fingerprint_matches_reference(spark):
+    from dht11_data_pipeline_spark.operators import multimodal
+    texts = ["quiet then LOUD THEN QUIET again and some more words here",
+             "aaaaaaaabbbbbbbbaaaaaaaacccccccc" * 4,
+             "short", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    fp = multimodal.audio_fingerprint(
+        multimodal.attach_audio_payload(docs, rate=8000))
+    got = {r["doc_id"]: r for r in fp.collect()}
+    for i, t in enumerate(texts):
+        nf, hi, lo = _fp_reference(t)
+        assert (got[i]["n_frames"], got[i]["fp_hi"], got[i]["fp_lo"]) == \
+            (nf, hi, lo), t
+
+
+def test_audio_near_dup_blocks_on_duration(spark):
+    from dht11_data_pipeline_spark.operators import dedup, multimodal
+    # two identical long docs (pair), one identical-prefix but LONGER
+    # doc (same leading bits, different n_frames -> must NOT pair)
+    base = "some moderately long sentence with energy variation 0123456789"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " trailing extra words")],
+        "doc_id long, text string")
+    fp = multimodal.audio_fingerprint(
+        multimodal.attach_audio_payload(docs, rate=8000))
+    pairs = dedup.phash_hamming_pairs(
+        fp, hi_col="fp_hi", lo_col="fp_lo", max_hamming=2,
+        block_cols=("n_frames",)).collect()
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
