@@ -9,6 +9,9 @@ LLM-pipeline extensions) to a (spark, sf_dir) -> DataFrame callable;
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,48 +29,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.j2_scd2_delta_classify(spark, "/root/testdata/sf0.001")
 
 
+# Keys whose implementation (or oracle) materially changed this round.
+# They are slotted into the verify window right after the never-driver-
+# verified keys, so the driver re-checks them.  Purely additive hint —
+# the never-verified-first guarantee below is computed, not hand-kept.
+CHANGED_THIS_ROUND: list[str] = [
+    "a_countmin_freq",      # pmod-mirrored oracle + width guard (ADVICE)
+    "a_kmv_jaccard",        # pmod-mirrored oracle + max_sets cap
+    "mm_audio_near_dup",    # degenerate-fingerprint filter (ADVICE)
+    "ts_holt_winters",      # vectorized numpy fold
+]
+
+
+def _driver_green_keys() -> set[str]:
+    """Keys with a fully green driver CORRECTNESS row in any committed round.
+
+    Green = rows + schema + value-hash all matched.  Parsed from the
+    committed ``CORRECTNESS_r*.json`` files next to this module so the
+    verify-window ordering below is mechanical, not hand-maintained
+    (round-4 verdict item 1: the hand-edited list missed rotation twice).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (row.get("rows_match") and row.get("schema_match")
+                    and row.get("hash_match")):
+                green.add(key)
+    return green
+
+
+def verify_window(registered: list[str], size: int = 50) -> list[str]:
+    """Compute the first-``size`` verify window mechanically.
+
+    The external harness diff-checks only the first ``size`` keys of
+    ``queries()`` per round.  Ordering: (1) keys that have NEVER had a
+    green driver CORRECTNESS row, in registration order; (2) keys listed
+    in ``CHANGED_THIS_ROUND``; (3) stable keys, registration order, to
+    pad the window.  A stable key can only occupy a window slot when no
+    never-verified key is left outside it (pinned by pytest).
+    """
+    green = _driver_green_keys()
+    never = [k for k in registered if k not in green]
+    changed = [k for k in CHANGED_THIS_ROUND
+               if k in green and k not in never]
+    ordered = never + changed
+    for k in registered:
+        if k not in ordered:
+            ordered.append(k)
+    return ordered[:size]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the external harness's first-50-keys verification window
-    # covers (a) the 38 queries that never had a driver-side CORRECTNESS
-    # row through round 2 (the round-2 verdict's item 1 — TPC-H q2–q22,
-    # the PQ/IVF-PQ invariants, decontaminate, funnel/cohort, anomaly,
-    # quality/gopher filters, postings, and the former defer list), then
-    # (b) the 8 queries whose implementation changed this round (fixed-k
-    # centroids + nprobe, cooccur cap, linkage checkpoint, key-mint input
-    # checkpoint, journey literal validation, the new PNG decode), then
-    # (c) 4 of the queries NEW this round (triangle count, containment,
-    # bigram rarity, attribution) — 50 keys exactly, all diffcheck-green
-    # locally at sf0.01 (the full 148-key set matches; the 7 newest
-    # keys added after this window froze — clustering coeff, EWMA,
-    # image phash x2, link prediction, novelty, survivorship — lead the
-    # round-4 window).
-    window = [
-        # -- never driver-verified through r02
-        "cur_pack_sequences", "cur_pii_scrub", "ts_user_correlation",
-        "sim_kmeans_clusters", "text_tfidf_topk", "text_bm25_search",
-        "text_inverted_postings", "sim_pq_ann", "sim_ivfpq_ann",
-        "cur_decontaminate", "t_funnel_conversion", "t_cohort_retention",
-        "ts_anomaly_days", "cur_quality_filter", "sim_embedding_near_dup",
-        "cur_end_to_end", "dedup_span_coverage", "dedup_common_spans",
-        "dedup_bloom_probe", "cur_gopher_filter",
-        "q2_min_cost_supplier", "q4_priority_with_late_ship",
-        "q6_forecast_revenue", "q7_bination_volume", "q8_market_share",
-        "q9_profit_by_nation_year", "q10_returned_item_customers",
-        "q11_important_part_values", "q12_late_ship_priority_mix",
-        "q13_customer_order_distribution", "q14_promo_revenue_share",
-        "q15_top_revenue_supplier", "q16_supplier_part_counts",
-        "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-        "q20_heavy_promo_suppliers", "q21_sole_late_supplier",
-        "q22_idle_wealthy_customers",
-        # -- changed this round: re-verify driver-side
-        "mm_png_decode", "sim_ivf_ann", "sim_ivf_ann_nprobe",
-        "t_event_type_affinity",
-        "j_entity_resolution", "j_fuzzy_part_match",
-        "w1_surrogate_key_mint", "t_journey_patterns",
-        # -- new this round
-        "graph_triangle_count", "dedup_containment",
-        "text_bigram_rarity", "t_attribution",
-    ]
     rest = {
         "n_props_extract": Q.n_props_extract,
         "a_approx_distinct_sketch": Q.a_approx_distinct_sketch,
@@ -141,9 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_quality_audit": Q.meta_quality_audit,
         "a_mode_event_type": Q.a_mode_event_type,
     }
-    missing = [k for k in window if k not in rest]
-    if missing:
-        raise KeyError(f"verify-window names not registered: {missing}")
+    window = verify_window(list(rest))
     return {**{k: rest[k] for k in window},
             **{k: v for k, v in rest.items() if k not in window}}
 

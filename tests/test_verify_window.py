@@ -1,0 +1,76 @@
+"""Pin the mechanical verify-window rotation (round-4 verdict item 1).
+
+The external harness diff-checks only the first 50 keys of
+``__spark_entry__.queries()`` per round.  Rounds 3 and 4 shipped with a
+hand-maintained window that was never rotated, so the newest keys went
+two rounds with local-only evidence.  ``verify_window`` now computes the
+ordering from the committed ``CORRECTNESS_r*.json`` files; these tests
+make the old failure mode impossible rather than re-promising it.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry
+
+WINDOW = 50
+
+
+def test_never_verified_keys_lead_the_window():
+    """No never-driver-verified key may sit outside the window while a
+    stable (already-green) key occupies a window slot."""
+    keys = list(entry.queries())
+    green = entry._driver_green_keys()
+    never = [k for k in keys if k not in green]
+    window = keys[:WINDOW]
+    outside = [k for k in never if k not in window]
+    if outside:
+        stale_in_window = [k for k in window if k in green]
+        assert not stale_in_window, (
+            f"never-verified keys {outside} are outside the 50-key window "
+            f"while stable keys {stale_in_window[:5]}... occupy slots")
+    # And ordering within the window: every never-verified key precedes
+    # every stable key.
+    last_never = max((window.index(k) for k in never if k in window),
+                     default=-1)
+    first_green = min((window.index(k) for k in window if k in green),
+                      default=WINDOW)
+    assert last_never < first_green
+
+
+def test_window_is_computed_not_hand_listed():
+    """verify_window is a pure function of the registry + committed
+    CORRECTNESS files — re-deriving it must match queries() ordering."""
+    keys = list(entry.queries())
+    recomputed = entry.verify_window(keys)
+    assert keys[:WINDOW] == recomputed[:WINDOW]
+
+
+def test_changed_keys_follow_never_verified():
+    keys = list(entry.queries())
+    green = entry._driver_green_keys()
+    never = [k for k in keys if k not in green]
+    for k in entry.CHANGED_THIS_ROUND:
+        assert k in keys, f"CHANGED_THIS_ROUND key {k} not registered"
+        if k in green and len(never) + len(entry.CHANGED_THIS_ROUND) <= WINDOW:
+            assert keys.index(k) < WINDOW
+
+
+def test_every_key_has_an_oracle_or_documented_exception():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    missing = [k for k in q if k not in o]
+    assert missing == [], f"queries without oracle SQL: {missing}"
+
+
+def test_registry_size_matches_readme_claim():
+    """README/SCALING claim the query count in prose — keep them honest
+    (round-4 verdict item 2)."""
+    n = len(entry.queries())
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    assert f"{n} " in readme or f"{n}-" in readme or f"{n}\n" in readme, (
+        f"README.md never mentions the current query count {n}")
+    assert "148 " not in readme or n == 148, (
+        "README.md still cites a stale 148-query count")
