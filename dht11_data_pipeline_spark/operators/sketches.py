@@ -56,6 +56,12 @@ def countmin_frequencies(df: DataFrame, key_col: str,
     """
     if d > CM_ROWS:
         raise ValueError(f"d <= {CM_ROWS} (fixed hash family); got {d}")
+    if w != CM_WIDTH:
+        # The hash family AND the replay oracles are fixed to the module
+        # constants; a non-default width would run fine here but silently
+        # fail differential verification — reject it up front.
+        raise ValueError(
+            f"w must equal CM_WIDTH={CM_WIDTH} (oracle-fixed grid); got {w}")
     keyed = df.select(F.col(key_col).cast("bigint").alias("key"))
     buckets = keyed.select(
         "key",
@@ -101,7 +107,8 @@ def kmv_signatures(df: DataFrame, set_col: str, member_col: str,
 
 
 def kmv_pairwise_jaccard(df: DataFrame, set_col: str, member_col: str,
-                         k: int = KMV_K) -> DataFrame:
+                         k: int = KMV_K,
+                         max_sets: int | None = 1_000) -> DataFrame:
     """Estimated Jaccard for every pair of sets from their KMV sketches
     (Beyer et al.: bottom-k of the UNION is a uniform sample of the
     union, so the fraction also present in both sketches estimates
@@ -109,9 +116,23 @@ def kmv_pairwise_jaccard(df: DataFrame, set_col: str, member_col: str,
 
     Output per set pair (a < b): sketch sizes, the union-sample size
     actually used, overlap within it, and the ppm estimate.
+
+    Cost model: pairwise output is all-pairs BY DEFINITION, so the real
+    cost is S²·k rows (S = distinct sets, k rows per sketch) — fine for
+    its event-type use (S≈10), quadratic if pointed at a high-cardinality
+    set column. Refuses past ``max_sets`` distinct sets (pass None to
+    force, or pre-filter to a candidate set list), mirroring the
+    ``brute_limit`` refusal on brute-force cosine.
     """
     sig = kmv_signatures(df, set_col, member_col, k).persist()
     sizes = sig.groupBy("set_key").agg(F.count(F.lit(1)).alias("sk_n"))
+    if max_sets is not None:
+        s = sizes.count()   # aggregated frame: one row per set, cheap
+        if s > max_sets:
+            raise ValueError(
+                f"kmv_pairwise_jaccard over {s} sets is {s}^2 pairs x {k} "
+                f"sketch rows (limit {max_sets}); pre-filter the set "
+                "column to a candidate list or pass max_sets=None to force")
     pairs = (sizes.select(F.col("set_key").alias("set_a"),
                           F.col("sk_n").alias("sk_a"))
              .crossJoin(sizes.select(F.col("set_key").alias("set_b"),
