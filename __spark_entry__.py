@@ -30,27 +30,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Keys whose implementation (or oracle) materially changed this round.
-# They are slotted into the verify window right after the never-driver-
-# verified keys, so the driver re-checks them.  Purely additive hint —
-# the never-verified-first guarantee below is computed, not hand-kept.
+# They are slotted into the verify window right after the unverified
+# keys, so the driver re-checks them.  Purely additive hint — the
+# unverified-first guarantee below is computed, not hand-kept.  Keep
+# this list limited to keys whose code or oracle actually changed in
+# the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
-    "a_countmin_freq",      # pmod-mirrored oracle + width guard (ADVICE)
-    "a_kmv_jaccard",        # pmod-mirrored oracle + max_sets cap
-    "mm_audio_near_dup",    # degenerate-fingerprint filter (ADVICE)
-    "ts_holt_winters",      # vectorized numpy fold
+    "mm_audio_fingerprint",  # oracle: CAST(SUM..AS BIGINT) on fp_hi/fp_lo
+    "t_markov_transitions",  # oracle: CAST(SUM(n) OVER .. AS BIGINT)
+    "mm_audio_near_dup",     # degenerate-fingerprint filter (ADVICE r4)
+    "ts_holt_winters",       # vectorized numpy fold (VERDICT r5 item 3)
 ]
 
 
-def _driver_green_keys() -> set[str]:
-    """Keys with a fully green driver CORRECTNESS row in any committed round.
+def _driver_green_keys(dirpath: str | None = None) -> set[str]:
+    """Keys whose LATEST driver CORRECTNESS row is fully green.
 
     Green = rows + schema + value-hash all matched.  Parsed from the
-    committed ``CORRECTNESS_r*.json`` files next to this module so the
+    ``CORRECTNESS_r*.json`` files next to this module so the
     verify-window ordering below is mechanical, not hand-maintained
-    (round-4 verdict item 1: the hand-edited list missed rotation twice).
+    (round-4 verdict item 1: the hand-edited list missed rotation
+    twice).  Later rounds override earlier ones per key, so a key that
+    regresses after once being green drops back out of the green set
+    and mechanically re-enters the priority window (round-5 ADVICE).
+
+    Deliberate decision (round-5 ADVICE): the glob reads every
+    CORRECTNESS file on disk, committed or not.  The driver writes the
+    round's snapshot at round end, after the window was consumed, so
+    the window cannot shift mid-round in practice — and if a snapshot
+    does appear early, newest driver evidence wins, which only rotates
+    already-verified keys out in favor of unverified ones.
     """
-    here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    here = dirpath or os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -62,26 +74,28 @@ def _driver_green_keys() -> set[str]:
         for key, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if (row.get("rows_match") and row.get("schema_match")
-                    and row.get("hash_match")):
-                green.add(key)
-    return green
+            latest[key] = bool(row.get("rows_match") and row.get("schema_match")
+                               and row.get("hash_match"))
+    return {k for k, ok in latest.items() if ok}
 
 
 def verify_window(registered: list[str], size: int = 50) -> list[str]:
     """Compute the first-``size`` verify window mechanically.
 
     The external harness diff-checks only the first ``size`` keys of
-    ``queries()`` per round.  Ordering: (1) keys that have NEVER had a
-    green driver CORRECTNESS row, in registration order; (2) keys listed
-    in ``CHANGED_THIS_ROUND``; (3) stable keys, registration order, to
-    pad the window.  A stable key can only occupy a window slot when no
-    never-verified key is left outside it (pinned by pytest).
+    ``queries()`` per round.  Ordering: (1) keys whose latest driver
+    CORRECTNESS row is missing or red, in registration order; (2) keys
+    listed in ``CHANGED_THIS_ROUND`` (restricted to registered keys, so
+    a stale/renamed entry cannot crash ``queries()``); (3) stable keys,
+    registration order, to pad the window.  A stable key can only
+    occupy a window slot when no unverified key is left outside it
+    (pinned by pytest).
     """
     green = _driver_green_keys()
+    reg = set(registered)
     never = [k for k in registered if k not in green]
     changed = [k for k in CHANGED_THIS_ROUND
-               if k in green and k not in never]
+               if k in reg and k in green and k not in never]
     ordered = never + changed
     for k in registered:
         if k not in ordered:

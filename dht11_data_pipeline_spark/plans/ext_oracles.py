@@ -472,7 +472,8 @@ fpx AS (
 ),
 fp AS (
   SELECT n.doc_id, n.n_frames,
-         COALESCE(hi, 0) AS fp_hi, COALESCE(lo, 0) AS fp_lo
+         CAST(COALESCE(hi, 0) AS BIGINT) AS fp_hi,
+         CAST(COALESCE(lo, 0) AS BIGINT) AS fp_lo
   FROM nfr n LEFT JOIN fpx USING (doc_id)
 )
 """
@@ -612,7 +613,7 @@ t AS (
   FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT prev_type, next_type, n,
-       SUM(n) OVER (PARTITION BY prev_type) AS prev_total,
+       CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prev_total,
        CAST(n * 1000000 // (SUM(n) OVER (PARTITION BY prev_type))
             AS BIGINT) AS p_ppm
 FROM t

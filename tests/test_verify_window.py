@@ -58,6 +58,36 @@ def test_changed_keys_follow_never_verified():
             assert keys.index(k) < WINDOW
 
 
+def test_regressed_key_reenters_window(tmp_path):
+    """Latest round wins per key (round-5 ADVICE): a key green in r1 but
+    red in r2 must NOT be in the green set, so it mechanically re-enters
+    the priority window; a key red in r1 but green in r2 is green."""
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    r = {**g, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        '{"regressed": %s, "recovered": %s, "stable": %s}'
+        % tuple(__import__("json").dumps(x) for x in (g, r, g)))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        '{"regressed": %s, "recovered": %s}'
+        % tuple(__import__("json").dumps(x) for x in (r, g)))
+    green = entry._driver_green_keys(str(tmp_path))
+    assert green == {"recovered", "stable"}
+
+
+def test_unregistered_changed_key_cannot_crash_queries():
+    """A renamed/stale CHANGED_THIS_ROUND entry is filtered out inside
+    verify_window rather than KeyError-ing queries() (round-5 ADVICE)."""
+    keys = [k for k in entry.queries()]
+    saved = entry.CHANGED_THIS_ROUND[:]
+    try:
+        entry.CHANGED_THIS_ROUND.append("no_such_key_anywhere")
+        window = entry.verify_window(keys)
+        assert "no_such_key_anywhere" not in window
+        assert entry.queries()  # must not raise
+    finally:
+        entry.CHANGED_THIS_ROUND[:] = saved
+
+
 def test_every_key_has_an_oracle_or_documented_exception():
     q = entry.queries()
     o = entry.oracle_sql()
