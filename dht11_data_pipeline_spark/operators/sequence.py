@@ -219,13 +219,23 @@ def holt_winters_trend(df: DataFrame, user_col: str = "user_id",
 
     Unlike the single-EWMA (which closes into one window prefix sum),
     the coupled recurrence is genuinely sequential per key — this is
-    the documented Arrow ``applyInPandas`` path: one shuffle on the
-    key, per-group Python-integer fold (arbitrary precision, bounds
-    asserted), output schema fixed. The DuckDB oracle replays the same
-    recurrence with a recursive CTE — exact match.
+    the documented Arrow ``applyInPandas`` path.  The fold is grouped
+    by a COARSE hash bucket of the key (64 buckets), not per key: one
+    Python call per bucket instead of one per user, and inside each
+    batch the recurrence is a VECTORIZED numpy fold over the STEP axis
+    — ≤ ``max_steps`` int64 vector ops per batch, no per-row Python.
+    Rows sorted by (user, rn) put each user's step t−1 immediately
+    before step t (row_number is contiguous from 1), so the previous
+    state is always ``index − 1``.  Overflow safety: a float64 shadow
+    runs the same recurrence; if its magnitude ever approaches 2^61
+    the batch raises instead of silently wrapping int64 (the
+    Python-int twin ``_hw_fold_py`` asserts the same bound exactly and
+    is pinned equal to the numpy fold in tests).  The DuckDB oracle
+    replays the recurrence with a recursive CTE — exact match.
     """
     if not 1 <= max_steps <= 16:
         raise ValueError(f"max_steps must be in 1..16; got {max_steps}")
+    import numpy as np  # noqa: PLC0415 — Arrow path only
     import pandas as pd  # noqa: PLC0415 — Arrow path only
 
     from pyspark.sql.window import Window as W
@@ -238,32 +248,69 @@ def holt_winters_trend(df: DataFrame, user_col: str = "user_id",
             .alias("cents"))
          .withColumn("rn", F.row_number().over(w))
          .filter(F.col("rn") <= max_steps)
-         .select("user_id", "rn", "event_id", "cents"))
+         .select("user_id", "rn", "event_id", "cents")
+         .withColumn("bucket",
+                     F.pmod(F.hash("user_id"), F.lit(64)).cast("int")))
 
     schema = ("user_id bigint, rn int, event_id bigint, cents bigint, "
               "level_q4 bigint, trend_q4 bigint")
 
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("rn")
-        out = {"user_id": [], "rn": [], "event_id": [], "cents": [],
-               "level_q4": [], "trend_q4": []}
-        s = b = 0
-        for row in pdf.itertuples(index=False):
-            x, t = int(row.cents), int(row.rn)
-            if t == 1:
-                s, b = 4 * x, 0
-            else:
-                s_new = x * (1 << (2 * t - 1)) + 2 * (s + b)
-                num = s_new - 4 * s + 4 * b
-                assert num % 2 == 0
-                s, b = s_new, num // 2
-            assert abs(s) < 1 << 62 and abs(b) < 1 << 62
-            out["user_id"].append(int(row.user_id))
-            out["rn"].append(t)
-            out["event_id"].append(int(row.event_id))
-            out["cents"].append(x)
-            out["level_q4"].append(s)
-            out["trend_q4"].append(b)
-        return pd.DataFrame(out)
+        uid = pdf["user_id"].to_numpy(np.int64)
+        rn = pdf["rn"].to_numpy(np.int64)
+        order = np.lexsort((rn, uid))
+        uid, rn = uid[order], rn[order]
+        eid = pdf["event_id"].to_numpy(np.int64)[order]
+        x = pdf["cents"].to_numpy(np.int64)[order]
+        n = x.shape[0]
+        s = np.zeros(n, np.int64)
+        b = np.zeros(n, np.int64)
+        fs = np.zeros(n, np.float64)
+        fb = np.zeros(n, np.float64)
+        first = rn == 1
+        s[first] = 4 * x[first]
+        fs[first] = 4.0 * x[first]
+        for t in range(2, int(rn.max(initial=1)) + 1):
+            idx = np.nonzero(rn == t)[0]
+            if idx.size == 0:
+                continue
+            sp, bp = s[idx - 1], b[idx - 1]
+            coef = np.int64(1 << (2 * t - 1))
+            s_new = x[idx] * coef + 2 * (sp + bp)
+            # numerator is provably even; >> 1 on even int64 is exact
+            # division by 2 (arithmetic shift, negatives included)
+            b[idx] = (s_new - 4 * sp + 4 * bp) >> 1
+            s[idx] = s_new
+            fsp, fbp = fs[idx - 1], fb[idx - 1]
+            fs_new = x[idx] * float(coef) + 2.0 * (fsp + fbp)
+            fb[idx] = (fs_new - 4.0 * fsp + 4.0 * fbp) / 2.0
+            fs[idx] = fs_new
+        if n and max(np.abs(fs).max(), np.abs(fb).max()) >= float(1 << 61):
+            raise OverflowError(
+                "holt_winters_trend: |state| approached 2^61 — input "
+                "magnitudes too large for the 4^t int64 scaling; reduce "
+                "max_steps or pre-scale the value column")
+        return pd.DataFrame({
+            "user_id": uid, "rn": rn.astype(np.int32), "event_id": eid,
+            "cents": x, "level_q4": s, "trend_q4": b})
 
-    return r.groupBy("user_id").applyInPandas(_fold, schema=schema)
+    return r.groupBy("bucket").applyInPandas(_fold, schema=schema)
+
+
+def _hw_fold_py(cents: list[int], max_steps: int = 16) -> list[tuple[int, int]]:
+    """Python-arbitrary-precision twin of the numpy fold above — the
+    overflow-asserting reference implementation, pinned equal to the
+    vectorized path in tests/test_sequence.py."""
+    out: list[tuple[int, int]] = []
+    s = b = 0
+    for t, x in enumerate(cents[:max_steps], start=1):
+        if t == 1:
+            s, b = 4 * int(x), 0
+        else:
+            s_new = int(x) * (1 << (2 * t - 1)) + 2 * (s + b)
+            num = s_new - 4 * s + 4 * b
+            assert num % 2 == 0
+            s, b = s_new, num // 2
+        assert abs(s) < 1 << 62 and abs(b) < 1 << 62
+        out.append((s, b))
+    return out

@@ -486,12 +486,19 @@ SELECT doc_id, n_frames, fp_hi, fp_lo FROM fp
 
     # duration-blocked Hamming pairs — the block equality keeps the
     # exact SQL join from going N² globally (mirrors the pigeonhole
-    # result exactly: both enumerate all same-length pairs <= 2 bits)
+    # result exactly: both enumerate all same-length pairs <= 2 bits).
+    # Degenerate fingerprints (< 2 frames or all-zero) are dropped
+    # before pairing on BOTH sides — mirrors the Spark-side filter
+    # (they pair quadratically within a length bucket at scale).
     "mm_audio_near_dup": _AUDIO_FP + """
+, fpx2 AS (
+  SELECT * FROM fp
+  WHERE n_frames >= 2 AND NOT (fp_hi = 0 AND fp_lo = 0)
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_frames,
        CAST(bit_count(xor(a.fp_hi, b.fp_hi))
             + bit_count(xor(a.fp_lo, b.fp_lo)) AS INTEGER) AS hamming
-FROM fp a JOIN fp b
+FROM fpx2 a JOIN fpx2 b
   ON a.n_frames = b.n_frames AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp_hi, b.fp_hi))
       + bit_count(xor(a.fp_lo, b.fp_lo)) <= 2

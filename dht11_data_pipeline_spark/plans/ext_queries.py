@@ -1464,10 +1464,16 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 2, BLOCKED on n_frames (duration) — same pigeonhole
     16-bit-chunk join as the image path, with the duration block both
     tightening semantics (different-length fingerprints never pair)
-    and shrinking buckets."""
+    and shrinking buckets. Degenerate fingerprints are dropped before
+    pairing (ADVICE r4): a doc with < 2 frames or an all-zero
+    fingerprint carries no acoustic signal, and at scale every such
+    doc in a length bucket pairs with every other — a quadratic
+    blowup producing meaningless \"duplicates\"."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = multimodal.audio_fingerprint(
-        multimodal.attach_audio_payload(docs, rate=8000))
+    fp = (multimodal.audio_fingerprint(
+              multimodal.attach_audio_payload(docs, rate=8000))
+          .filter((F.col("n_frames") >= 2)
+                  & ((F.col("fp_hi") != 0) | (F.col("fp_lo") != 0))))
     return dedup.phash_hamming_pairs(
         fp, hi_col="fp_hi", lo_col="fp_lo", max_hamming=2,
         block_cols=("n_frames",))
