@@ -45,6 +45,54 @@ def _mmhash(col, a: int, b: int):
     return (F.pmod(F.col(col).cast("bigint"), F.lit(HASH_P)) * a + b) % HASH_P
 
 
+def _cm_check_grid(d: int, w: int) -> None:
+    if d > CM_ROWS:
+        raise ValueError(f"d <= {CM_ROWS} (fixed hash family); got {d}")
+    if w != CM_WIDTH:
+        # The hash family AND the replay oracles are fixed to the module
+        # constants; a non-default width would run fine here but silently
+        # fail differential verification — reject it up front.
+        raise ValueError(
+            f"w must equal CM_WIDTH={CM_WIDTH} (oracle-fixed grid); got {w}")
+
+
+def _cm_buckets(keyed: DataFrame, d: int, w: int,
+                *extra_cols: str) -> DataFrame:
+    """Explode each key row into its d (j, bucket) sketch coordinates."""
+    return keyed.select(
+        "key", *extra_cols,
+        F.posexplode(F.array(*[
+            (_mmhash("key", CM_A[j], CM_B[j]) % w).cast("int")
+            for j in range(d)
+        ])).alias("j", "bucket"),
+    )
+
+
+def cm_cells(keyed: DataFrame, d: int = CM_ROWS,
+             w: int = CM_WIDTH) -> DataFrame:
+    """The count-min sketch itself: (j, bucket, cell_n) over a frame
+    with a bigint ``key`` column. Cells are a SUM MONOID — sketches of
+    disjoint batches merge by adding cell counts (the streaming twin
+    in streaming/sketches.py relies on exactly this)."""
+    return (_cm_buckets(keyed, d, w)
+            .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell_n")))
+
+
+def cm_estimate(cells: DataFrame, truth: DataFrame, d: int = CM_ROWS,
+                w: int = CM_WIDTH) -> DataFrame:
+    """Point estimates from a (j, bucket, cell_n) sketch next to a
+    (key, true_n) truth table: est(u) = min_j sketch[j][h_j(u) mod w]."""
+    probes = _cm_buckets(truth, d, w, "true_n")
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("key", "true_n")
+        .agg(F.min("cell_n").alias("cm_est"))
+        .select(
+            "key", "true_n", "cm_est",
+            (F.col("cm_est") - F.col("true_n")).alias("overcount"))
+    )
+
+
 def countmin_frequencies(df: DataFrame, key_col: str,
                          d: int = CM_ROWS, w: int = CM_WIDTH) -> DataFrame:
     """Count-min sketch over ``key_col`` occurrences, then the point
@@ -54,40 +102,11 @@ def countmin_frequencies(df: DataFrame, key_col: str,
     (collisions only ADD), with the classic (eps = e/w, delta = e^-d)
     guarantee. Output: (key, true_n, cm_est, overcount).
     """
-    if d > CM_ROWS:
-        raise ValueError(f"d <= {CM_ROWS} (fixed hash family); got {d}")
-    if w != CM_WIDTH:
-        # The hash family AND the replay oracles are fixed to the module
-        # constants; a non-default width would run fine here but silently
-        # fail differential verification — reject it up front.
-        raise ValueError(
-            f"w must equal CM_WIDTH={CM_WIDTH} (oracle-fixed grid); got {w}")
+    _cm_check_grid(d, w)
     keyed = df.select(F.col(key_col).cast("bigint").alias("key"))
-    buckets = keyed.select(
-        "key",
-        F.posexplode(F.array(*[
-            (_mmhash("key", CM_A[j], CM_B[j]) % w).cast("int")
-            for j in range(d)
-        ])).alias("j", "bucket"),
-    )
-    sketch = buckets.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).alias("cell_n"))
+    sketch = cm_cells(keyed, d, w)
     truth = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("true_n"))
-    probes = truth.select(
-        "key", "true_n",
-        F.posexplode(F.array(*[
-            (_mmhash("key", CM_A[j], CM_B[j]) % w).cast("int")
-            for j in range(d)
-        ])).alias("j", "bucket"),
-    )
-    return (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
-        .groupBy("key", "true_n")
-        .agg(F.min("cell_n").alias("cm_est"))
-        .select(
-            "key", "true_n", "cm_est",
-            (F.col("cm_est") - F.col("true_n")).alias("overcount"))
-    )
+    return cm_estimate(sketch, truth, d, w)
 
 
 def kmv_signatures(df: DataFrame, set_col: str, member_col: str,
@@ -124,15 +143,18 @@ def kmv_pairwise_jaccard(df: DataFrame, set_col: str, member_col: str,
     force, or pre-filter to a candidate set list), mirroring the
     ``brute_limit`` refusal on brute-force cosine.
     """
-    sig = kmv_signatures(df, set_col, member_col, k).persist()
-    sizes = sig.groupBy("set_key").agg(F.count(F.lit(1)).alias("sk_n"))
     if max_sets is not None:
-        s = sizes.count()   # aggregated frame: one row per set, cheap
+        # guard BEFORE any persist so the refusal path leaves no cached
+        # state behind; counting distinct set keys on the raw input also
+        # avoids building the sketch just to refuse it
+        s = df.select(F.col(set_col).alias("set_key")).distinct().count()
         if s > max_sets:
             raise ValueError(
                 f"kmv_pairwise_jaccard over {s} sets is {s}^2 pairs x {k} "
                 f"sketch rows (limit {max_sets}); pre-filter the set "
                 "column to a candidate list or pass max_sets=None to force")
+    sig = kmv_signatures(df, set_col, member_col, k).persist()
+    sizes = sig.groupBy("set_key").agg(F.count(F.lit(1)).alias("sk_n"))
     pairs = (sizes.select(F.col("set_key").alias("set_a"),
                           F.col("sk_n").alias("sk_a"))
              .crossJoin(sizes.select(F.col("set_key").alias("set_b"),

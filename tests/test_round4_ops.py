@@ -181,3 +181,20 @@ def test_holt_winters_python_twin_asserts_overflow():
 
     with pytest.raises(AssertionError):
         _hw_fold_py([1 << 55] * 16, max_steps=16)
+
+
+def test_kmv_pairwise_refusal_leaves_no_cache(spark):
+    """The max_sets refusal must fire BEFORE any persist so the raise
+    path leaves no cached DataFrame behind (ADVICE r5)."""
+    import pytest
+
+    from dht11_data_pipeline_spark.operators.sketches import (
+        kmv_pairwise_jaccard)
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame(
+        [(s, m) for s in range(5) for m in range(10)], "s long, m long")
+    with pytest.raises(ValueError, match="pre-filter"):
+        kmv_pairwise_jaccard(df, "s", "m", max_sets=2)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before
