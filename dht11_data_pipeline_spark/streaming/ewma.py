@@ -40,11 +40,21 @@ _TS_MIN = -(1 << 63)
 
 
 class OutOfOrderEventError(RuntimeError):
-    """A micro-batch delivered an event at or before the last absorbed
-    (ts, event_id) for its user — the batch-equivalence contract is
-    violated and the fold's result would silently diverge from the
-    batch operator. Fix the feed (watermark + sort stage) or pass
-    ``strict=False`` to absorb anyway."""
+    """A micro-batch delivered an event strictly before the last
+    absorbed (ts, event_id) for its user — the batch-equivalence
+    contract is violated and the fold's result would silently diverge
+    from the batch operator. Fix the feed (watermark + sort stage) or
+    pass ``strict=False`` to absorb anyway. An event EQUAL to the last
+    absorbed (ts, event_id) is not an error: it is checkpoint-replay
+    redelivery and is skipped idempotently."""
+
+
+class NullTimestampEventError(RuntimeError):
+    """A micro-batch delivered an event with a NULL event-time in
+    strict mode. Null timestamps have no position in the per-user
+    order, so absorbing one would make the fold's result depend on
+    arrival timing — segregate or repair such rows upstream, or pass
+    ``strict=False`` to absorb them at the front of the order."""
 
 
 def _cents(v: float) -> int:
@@ -68,10 +78,23 @@ def _make_fold(max_steps: int, expire_ms: int | None, strict: bool):
         for _, r in rows.iterrows():
             if t >= max_steps:
                 break
-            ts_val = (int(pd.Timestamp(r["ts"]).value)
-                      if pd.notna(r["ts"]) else _TS_MIN)
             eid = int(r["event_id"])
+            if pd.isna(r["ts"]):
+                if strict:
+                    raise NullTimestampEventError(
+                        f"user {key[0]}: event_id={eid} has a NULL "
+                        "event-time; null timestamps cannot be ordered "
+                        "against absorbed state (segregate upstream or "
+                        "pass strict=False)")
+                ts_val = _TS_MIN
+            else:
+                ts_val = int(pd.Timestamp(r["ts"]).value)
             if strict and (ts_val, eid) <= (last_ts, last_eid):
+                if (ts_val, eid) == (last_ts, last_eid):
+                    # exact redelivery of the last absorbed event
+                    # (checkpoint replay / at-least-once source):
+                    # already folded in — skip idempotently
+                    continue
                 raise OutOfOrderEventError(
                     f"user {key[0]}: event_id={eid} ts={r['ts']} arrived "
                     f"after state already absorbed (ts_ns={last_ts}, "

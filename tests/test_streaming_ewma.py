@@ -130,3 +130,41 @@ def test_streaming_ewma_non_strict_absorbs_out_of_order(spark, tmp_path):
         assert rows == {10: 1, 20: 2, 15: 3}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_streaming_ewma_strict_skips_exact_redelivery(spark, tmp_path):
+    """At-least-once redelivery of the last absorbed (ts, event_id) is
+    an idempotent skip, not an OutOfOrderEventError."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        got = _run_feed(spark, tmp_path, [
+            [(1, 10, "2024-01-01 00:00:10", 1.0),
+             (1, 20, "2024-01-01 00:00:20", 2.0)],
+            # replayed tail event + one genuinely new event
+            [(1, 20, "2024-01-01 00:00:20", 2.0),
+             (1, 30, "2024-01-01 00:00:30", 3.0)],
+        ])
+        rows = {r["event_id"]: r["rn"] for r in got.collect()}
+        # the redelivered event_id=20 emitted once (from batch 0 only)
+        assert rows == {10: 1, 20: 2, 30: 3}
+        assert got.count() == 3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_streaming_ewma_strict_raises_on_null_ts(spark, tmp_path):
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        with pytest.raises(StreamingQueryException) as exc:
+            _run_feed(spark, tmp_path, [
+                [(1, 10, "2024-01-01 00:00:10", 1.0)],
+                [(1, 20, None, 2.0)],
+            ])
+        assert "NullTimestampEventError" in str(exc.value)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
