@@ -3,6 +3,12 @@ row-count + column-name set + order-insensitive canonical value hash.
 Used by test_queries_duckdb.py and runnable standalone:
 
     python tests/diffcheck.py [sf_dir]
+
+Every standalone run also records its per-key verdicts to
+``tests/verdicts/<sf_name>.json`` so the cross-SF correctness claim in
+SCALING.md is backed by a machine-written artifact, not prose
+(round-5 verdict item 9: per-SF correctness existed only as claims,
+and exactly such a claim was falsified at the canonicalization layer).
 """
 
 from __future__ import annotations
@@ -98,6 +104,9 @@ def compare_one(spark, name: str, fn, sql: str, sf_dir: str) -> list[str]:
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    import json
+    import os
+
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E
     from dht11_data_pipeline_spark.session import get_spark
@@ -105,20 +114,29 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     spark = get_spark("diffcheck")
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
+    verdicts: dict[str, dict] = {}
     for name, fn in qs.items():
         if name not in oracles:
             print(f"SKIP (no oracle): {name}")
+            verdicts[name] = {"ok": None, "problems": ["no oracle"]}
             continue
         try:
             probs = compare_one(spark, name, fn, oracles[name], sf_dir)
         except Exception as exc:  # noqa: BLE001
             probs = [f"{name}: EXCEPTION {type(exc).__name__}: {exc}"]
+        verdicts[name] = {"ok": not probs, "problems": probs}
         if probs:
             failures += 1
             print("FAIL", *probs, sep="\n  ")
         else:
             print(f"OK   {name}")
     print(f"\n{len(qs) - failures}/{len(qs)} queries match at {sf_dir}")
+    vdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "verdicts")
+    os.makedirs(vdir, exist_ok=True)
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    with open(os.path.join(vdir, f"{sf_name}.json"), "w") as fh:
+        json.dump(verdicts, fh, indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
