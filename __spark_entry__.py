@@ -40,6 +40,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "t_markov_transitions",  # oracle: CAST(SUM(n) OVER .. AS BIGINT)
     "mm_audio_near_dup",     # degenerate-fingerprint filter (ADVICE r4)
     "ts_holt_winters",       # vectorized numpy fold (VERDICT r5 item 3)
+    "mm_jpeg_decode",        # NEW: baseline JPEG decode (VERDICT r5 item 10)
 ]
 
 

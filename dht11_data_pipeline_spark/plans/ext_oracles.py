@@ -1608,6 +1608,35 @@ SELECT doc_id,
 FROM documents
 """,
 
+    # baseline JPEG with one constant 8x8 block per byte: DC-only
+    # blocks give the lossy decode a closed form (Q_DC = 16):
+    #   rec(u) = clamp(2 * floor((u - 127) / 2) + 128, 0, 255)
+    # pixel_sum = 64 * sum(rec) (padding blocks decode to rec(0) = 0);
+    # width 64 (8 blocks/row), height = 8 * ceil(n/8).
+    "mm_jpeg_decode": """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+chars AS (
+  SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i FROM d
+),
+r AS (
+  SELECT doc_id, n,
+         ascii(substr(text, i, 1)) AS u,
+         LEAST(255, GREATEST(0,
+           2 * CAST(FLOOR((ascii(substr(text, i, 1)) - 127) / 2.0)
+                    AS BIGINT) + 128)) AS rec
+  FROM chars
+)
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS width,
+       CAST(8 * ((n + 7) // 8) AS INTEGER) AS height,
+       CAST(8 * ((n + 7) // 8) AS INTEGER) AS n_blocks,
+       CAST(64 * SUM(rec) AS BIGINT) AS pixel_sum,
+       CAST(MAX(ABS(rec - u)) AS INTEGER) AS max_abs_err
+FROM r GROUP BY doc_id, n
+""",
+
     "mm_frame_sample": """
 WITH t AS (
   SELECT doc_id, text, CAST(octet_length(encode(text)) AS INTEGER) AS n

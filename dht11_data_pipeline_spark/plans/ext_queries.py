@@ -241,6 +241,18 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_roundtrip(docs, width=32)
 
 
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-image decode (baseline JPEG, functions/jpegcodec):
+    document bytes → one constant 8x8 block per byte → spec-conformant
+    grayscale JFIF → full baseline decode (canonical Huffman,
+    dequantize, batched IDCT).  Constant blocks make the lossy
+    reconstruction a closed form, so the decoded pixel_sum and the
+    max |decoded − original| error BOTH hit the oracle's value hash —
+    a stronger check than the PNG roundtrip's pinned-TRUE verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.jpeg_roundtrip(docs, blocks_per_row=8)
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1:N frame-sampling plumbing (video/audio keyframe shape):
     256-byte frames, every 4th."""
@@ -1542,6 +1554,7 @@ EXT_QUERIES = {
     "mm_resize": mm_resize,
     "mm_image_decode": mm_image_decode,
     "mm_png_decode": mm_png_decode,
+    "mm_jpeg_decode": mm_jpeg_decode,
     "mm_frame_sample": mm_frame_sample,
     "meta_profile_orders": meta_profile_orders,
     "a_salted_event_totals": a_salted_event_totals,
