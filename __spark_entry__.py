@@ -41,6 +41,9 @@ CHANGED_THIS_ROUND: list[str] = [
     "mm_audio_near_dup",     # degenerate-fingerprint filter (ADVICE r4)
     "ts_holt_winters",       # vectorized numpy fold (VERDICT r5 item 3)
     "mm_jpeg_decode",        # NEW: baseline JPEG decode (VERDICT r5 item 10)
+    "graph_adamic_adar",     # NEW: integer AA link prediction
+    "graph_kcore",           # NEW: k-core peel, capped-round oracle twin
+    "sim_matryoshka_rerank",  # NEW: prefix-dim ANN + exact rerank
 ]
 
 

@@ -535,3 +535,170 @@ def neighbor_jaccard(pairs: DataFrame, a_col: str = "id_a",
         .localCheckpoint(eager=True))
     und.unpersist()
     return out
+
+
+def adamic_adar(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+                assume_canonical: bool = False,
+                max_center_degree: int | None = MAX_CENTER_DEGREE) -> DataFrame:
+    """Adamic-Adar link prediction in exact integer arithmetic: each
+    common neighbor z of a node pair contributes 1e6 DIV deg(z) — a
+    low-degree common neighbor certifies the pair far more strongly
+    than a hub that neighbors everything (the classic AA insight,
+    log-free integer form so every engine reproduces it bit-for-bit).
+
+    Same wedge-enumeration shape as ``neighbor_jaccard`` (one
+    symmetrized self-join keyed on the wedge center, two shuffles);
+    the center's degree rides the wedge row so the weight needs no
+    extra join. ``max_center_degree`` caps hub fan-out exactly as in
+    ``neighbor_jaccard`` — the SQL oracle mirrors the same cap.
+    Output: (a_col, b_col, n_common, aa_ppm, is_edge)."""
+    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    deg = _degrees(und)
+    sym = (und.select(F.col("x").alias("u"), F.col("y").alias("n"))
+           .unionAll(und.select(F.col("y").alias("u"), F.col("x").alias("n"))))
+    degc = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    # no forced broadcast: deg is O(|V|) — tiny for fixture graphs (AQE
+    # broadcasts it at runtime) but a billion-node graph must fall back
+    # to the same u-keyed shuffle the wedge join pays anyway
+    symd = sym.join(degc, "u")
+    if max_center_degree is not None:
+        symd = symd.filter(F.col("deg_u") <= max_center_degree)
+    e1 = symd.select("u", "deg_u", F.col("n").alias("v"))
+    e2 = symd.select("u", F.col("n").alias("w"))
+    cn = (e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+          .groupBy("v", "w")
+          .agg(F.count(F.lit(1)).alias("n_common"),
+               F.sum(F.expr("1000000 DIV deg_u")).alias("aa_ppm")))
+    edge_flag = und.select(F.col("x").alias("v"), F.col("y").alias("w"),
+                           F.lit("Y").alias("_e"))
+    out = (
+        cn.join(edge_flag, ["v", "w"], "left")
+        .select(
+            F.col("v").alias(a_col), F.col("w").alias(b_col),
+            "n_common", F.col("aa_ppm").cast("bigint").alias("aa_ppm"),
+            F.coalesce(F.col("_e"), F.lit("N")).alias("is_edge"))
+        .localCheckpoint(eager=True))
+    und.unpersist()
+    return out
+
+
+def _kcore_driver(edge_rows: list[tuple], k: int, max_rounds: int,
+                  spark, node_type) -> DataFrame:
+    """Driver-side round-synchronous k-core peel — semantics IDENTICAL
+    to the distributed loop in ``kcore_peel`` (simultaneous removal of
+    all sub-k nodes per round, capped at ``max_rounds``), so the two
+    tiers are interchangeable and both match the unrolled SQL oracle."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    adj: dict = {}
+    for x, y in edge_rows:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    all_nodes = list(adj)
+    alive = set(all_nodes)
+    deg = {n: len(adj[n]) for n in all_nodes}
+    for _ in range(max_rounds):
+        drop = [n for n in alive if deg[n] < k]
+        if not drop:
+            break
+        # round-synchronous: degrees update only AFTER the whole
+        # round's removals (matches the per-round recompute upstream)
+        alive.difference_update(drop)
+        for n in drop:
+            for m in adj[n]:
+                if m in alive:
+                    deg[m] -= 1
+    core_deg = {n: sum(1 for m in adj[n] if m in alive)
+                for n in alive}
+    out_rows = [(n, "Y" if n in alive else "N",
+                 core_deg.get(n, 0) if n in alive else 0)
+                for n in all_nodes]
+    schema = StructType([
+        StructField("node", node_type, False),
+        StructField("in_kcore", StringType(), False),
+        StructField("core_degree", IntegerType(), False),
+    ])
+    return spark.createDataFrame(out_rows, schema)
+
+
+def kcore_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 30,
+               a_col: str = "id_a", b_col: str = "id_b",
+               assume_canonical: bool = False,
+               small_edge_limit: int = SMALL_EDGE_LIMIT) -> DataFrame:
+    """k-core decomposition by iterative peeling: each round drops
+    every node whose degree within the surviving induced subgraph is
+    below ``k``, then recomputes degrees. At the fixpoint the survivor
+    set is exactly the k-core (the maximal subgraph with min degree
+    >= k) — the dense-community signal a dedup pipeline uses to find
+    template FAMILIES that pairwise near-dup edges only hint at (a
+    k-core of mutual near-dups is a stronger removal unit than any
+    single edge).
+
+    Engine parity without run-to-convergence nondeterminism: the SQL
+    oracle unrolls exactly ``max_rounds`` rounds; here the loop exits
+    EARLY once the survivor count stops shrinking (the set shrinks
+    monotonically, so a stable count IS a stable set, and every
+    skipped round would have been an exact no-op) — and if the peel is
+    still moving at round ``max_rounds`` both engines stop at the same
+    identical 30-round state, so results match converged or not. Peel
+    chains move one hop per round (the sf0.001 fixture needs ~18), so
+    the cap buys slack without costing converged inputs anything.
+
+    Hybrid execution, same two tiers as ``connected_components``: an
+    edge list under ``small_edge_limit`` (the usual case — near-dup
+    pairs are the reduced OUTPUT of a dedup pass) is peeled DRIVER-SIDE
+    over one Arrow collect, round-synchronously with the identical cap
+    (bit-exact to the distributed loop in every case, converged or
+    not) — a ~20-round chain peel that costs 20 tiny Spark jobs
+    distributed costs microseconds in a dict. Above the budget the
+    distributed loop runs: per round, two broadcast semi-joins restrict
+    the persisted edge list to survivors + one degree aggregate —
+    the survivor set is O(|V|) and shrinks monotonically, so each
+    round is one shuffle on the edge key. EAGER localCheckpoint per
+    round keeps the plan O(1) in the round count (the
+    iterative-algorithm trap); the checkpoint also makes the
+    convergence count() a metadata-cheap action.
+
+    Output: (node, in_kcore Y/N, core_degree) for every endpoint of
+    the input pair list — core_degree is the node's degree within the
+    survivor-induced subgraph (0 for peeled nodes)."""
+    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    n_pairs = und.count()
+    if n_pairs <= small_edge_limit:
+        node_type = und.schema["x"].dataType
+        spark = und.sparkSession
+        pdf = und.toPandas()  # Arrow: two primitive columns, no Rows
+        und.unpersist()
+        rows = list(zip(pdf["x"].tolist(), pdf["y"].tolist()))
+        return _kcore_driver(rows, k, max_rounds, spark, node_type)
+    nodes = (und.select(F.col("x").alias("node"))
+             .unionAll(und.select(F.col("y").alias("node")))
+             .distinct().persist())
+    s = nodes
+    prev_n = nodes.count()
+    for _ in range(max_rounds):
+        # survivor sets are O(|V|): no forced broadcast (AQE broadcasts
+        # the checkpointed set while it is small, shuffles when it isn't)
+        e = (und.join(s.select(F.col("node").alias("x")), "x", "left_semi")
+             .join(s.select(F.col("node").alias("y")), "y", "left_semi"))
+        s = (_degrees(e).filter(F.col("deg") >= k).select("node")
+             .localCheckpoint(eager=True))
+        n = s.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    ef = (und.join(s.select(F.col("node").alias("x")), "x", "left_semi")
+          .join(s.select(F.col("node").alias("y")), "y", "left_semi"))
+    df = _degrees(ef)
+    out = (
+        nodes.join(s.withColumn("_in", F.lit("Y")), "node", "left")
+        .join(df.withColumnRenamed("deg", "_cd"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_in"), F.lit("N")).alias("in_kcore"),
+            F.coalesce(F.col("_cd"), F.lit(0)).cast("int")
+            .alias("core_degree"))
+        .localCheckpoint(eager=True))
+    und.unpersist()
+    nodes.unpersist()
+    return out

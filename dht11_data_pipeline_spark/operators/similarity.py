@@ -307,3 +307,47 @@ def prototype_prune(corpus: DataFrame, group_col: str = "label",
             .otherwise("N").alias("keep_flag"),
         )
     )
+
+
+def matryoshka_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    prefix_dim: int = 16, overfetch: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Matryoshka (prefix-dimension) two-stage ANN: candidates are the
+    top ``k * overfetch`` neighbors by cosine over only the FIRST
+    ``prefix_dim`` coordinates, then that short list is re-ranked with
+    the exact full-dimension cosine — the standard cheap-filter /
+    exact-rerank cascade for MRL-trained embeddings, where prefix
+    slices are themselves usable embeddings.
+
+    Scale shape: stage 1 pays the broadcast query scan at prefix_dim/dim
+    of the full-width cost (and at 100 TB it is the stage you'd swap
+    for the IVF/PQ index paths in this module); stage 2 touches only
+    k·overfetch rows per query. Both stages rank on ROUND(sim, 4) with
+    neighbor-id tie-breaks, so the output is engine-exact — the DuckDB
+    oracle mirrors both windows bit-for-bit.
+
+    Output: (query_id, neighbor_id, prefix_sim, sim, rank <= k)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = right_size(corpus).select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col).alias("cv"))
+    staged = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("prefix_sim", F.round(
+            cosine(F.slice("qv", 1, prefix_dim),
+                   F.slice("cv", 1, prefix_dim)), 4))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("prefix_sim").desc(), F.col("neighbor_id"))
+    cand = (staged.withColumn("_prk", F.row_number().over(wp))
+            .filter(F.col("_prk") <= k * overfetch))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "prefix_sim", "sim", "rank")
+    )

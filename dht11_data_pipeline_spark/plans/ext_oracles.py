@@ -405,6 +405,48 @@ FROM p0 b JOIN {prev} p USING (node) LEFT JOIN deg d ON d.src = b.node
 """
 
 
+def _kcore_sql(threshold: float = 0.25, k: int = 3, rounds: int = 30) -> str:
+    """Mirror of graph.kcore_peel: the SAME fixed number of peel
+    rounds unrolled as MATERIALIZED CTEs (each round restricts the edge
+    list to the previous survivor set and drops nodes under degree k).
+    The Spark side exits early once the survivor set is stable — every
+    skipped round is an exact no-op, and in the not-yet-converged case
+    both engines stop at the same identical ``rounds``-round state, so
+    results match either way. The pytest convergence pin makes the
+    output also be the true k-core at fixture scale."""
+    its = ""
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        # every per-round CTE is MATERIALIZED: each references the
+        # previous round 2-4 times, so default inlining would expand
+        # the plan EXPONENTIALLY in the round count (observed as DuckDB
+        # re-opening the parquet hundreds of times)
+        its += f""",
+e{r} AS MATERIALIZED (SELECT u.x, u.y FROM und u
+         JOIN {prev} a ON a.node = u.x JOIN {prev} b ON b.node = u.y),
+s{r} AS MATERIALIZED (SELECT node FROM (
+           SELECT node, COUNT(*) AS deg FROM (
+             SELECT x AS node FROM e{r} UNION ALL SELECT y AS node FROM e{r})
+           GROUP BY node) WHERE deg >= {k})"""
+        prev = f"s{r}"
+    return f"""
+WITH pairs AS MATERIALIZED ({_multiprobe_near_dup_sql(threshold=threshold)}),
+und AS MATERIALIZED (SELECT id_a AS x, id_b AS y FROM pairs),
+nodes AS (SELECT x AS node FROM und UNION SELECT y AS node FROM und),
+s0 AS (SELECT node FROM nodes){its},
+ef AS (SELECT u.x, u.y FROM und u JOIN {prev} a ON a.node = u.x
+       JOIN {prev} b ON b.node = u.y),
+df AS (SELECT node, COUNT(*) AS deg FROM (
+         SELECT x AS node FROM ef UNION ALL SELECT y AS node FROM ef)
+       GROUP BY node)
+SELECT n.node AS vec_id,
+       CASE WHEN s.node IS NOT NULL THEN 'Y' ELSE 'N' END AS in_kcore,
+       CAST(COALESCE(df.deg, 0) AS INTEGER) AS core_degree
+FROM nodes n LEFT JOIN {prev} s ON s.node = n.node
+LEFT JOIN df ON df.node = n.node
+"""
+
+
 def _incremental_sql(threshold: float = 0.5, mod: int = 4) -> str:
     """A pair is emitted by the incremental run iff the full run emits
     it and at least one side is in the new batch (id % mod == 0) —
@@ -861,6 +903,61 @@ JOIN norms nb ON nb.event_type = p.item_b
 """,
 
     "graph_pagerank": _pagerank_sql(threshold=0.4, iters=5),
+
+    "graph_kcore": _kcore_sql(threshold=0.25, k=3, rounds=30),
+
+    # Adamic-Adar twin of graph.adamic_adar: same wedge enumeration as
+    # graph_link_prediction with the center's 1e6 DIV deg weight riding
+    # the wedge row; hub cap mirrored; SUM cast to BIGINT (HUGEINT
+    # canonicalization — tests/test_oracle_dtypes.py)
+    "graph_adamic_adar": f"""
+WITH pairs AS ({_multiprobe_near_dup_sql(threshold=0.25)}),
+sym AS (
+  SELECT id_a AS u, id_b AS n FROM pairs
+  UNION ALL SELECT id_b AS u, id_a AS n FROM pairs
+),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+symw AS (
+  SELECT s.u, s.n, d.deg AS deg_u FROM sym s
+  JOIN deg d ON d.node = s.u
+  WHERE d.deg <= {MAX_CENTER_DEGREE}
+),
+cn AS (
+  SELECT e1.n AS v, e2.n AS w, COUNT(*) AS n_common,
+         CAST(SUM(1000000 // e1.deg_u) AS BIGINT) AS aa_ppm
+  FROM symw e1 JOIN symw e2 ON e1.u = e2.u AND e1.n < e2.n
+  GROUP BY 1, 2
+)
+SELECT c.v AS id_a, c.w AS id_b, c.n_common, c.aa_ppm,
+       CASE WHEN p.id_a IS NOT NULL THEN 'Y' ELSE 'N' END AS is_edge
+FROM cn c
+LEFT JOIN pairs p ON p.id_a = c.v AND p.id_b = c.w
+""",
+
+    # Matryoshka two-stage ANN: prefix-dim candidate window then exact
+    # full-dim rerank — both ROW_NUMBER windows mirrored bit-for-bit
+    "sim_matryoshka_rerank": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, qv, cv,
+         round(list_cosine_similarity(qv[1:16], cv[1:16]), 4) AS prefix_sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY prefix_sim DESC, neighbor_id) AS prk FROM s),
+f AS (
+  SELECT query_id, neighbor_id, prefix_sim,
+         round(list_cosine_similarity(qv, cv), 4) AS sim
+  FROM r WHERE prk <= 20
+),
+rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY sim DESC, neighbor_id) AS rk FROM f)
+SELECT query_id, neighbor_id, prefix_sim, sim, CAST(rk AS INTEGER) AS rank
+FROM rr WHERE rk <= 5
+""",
 
     # NOTE: reproduces the byte->sample law via per-CHARACTER code
     # points — equivalent to the UTF-8 bytes the Spark side encodes

@@ -1323,6 +1323,45 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.phash_hamming_pairs(ph, max_hamming=3)
 
 
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the near-dup graph: common
+    neighbors weighted by 1e6 DIV their degree (exact integers) — a
+    low-degree shared neighbor certifies a template-family pair far
+    more strongly than a hub, so high-aa_ppm is_edge='N' rows are the
+    highest-precision re-probe candidates (sharper than the unweighted
+    jaccard list graph_link_prediction emits)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.25)
+    return graph.adamic_adar(pairs, assume_canonical=True)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3, peel to fixpoint, 30-round cap) over the
+    near-dup graph: the maximal subgraph where every member has >= 3
+    mutual near-dup neighbors — the dense template FAMILY detector.
+    in_kcore='Y' marks docs to dedup as a UNIT (keep one exemplar per
+    core component); the oracle unrolls the identical 30 capped rounds
+    while Spark exits early at the fixpoint (skipped rounds are exact
+    no-ops — see graph.kcore_peel)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.25)
+    return (graph.kcore_peel(pairs, k=3, max_rounds=30, assume_canonical=True)
+            .withColumnRenamed("node", "vec_id"))
+
+
+def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-dimension) two-stage ANN for the standard
+    query set: top-20 candidates by 16-dim prefix cosine, exact 64-dim
+    rerank to top-5 — the MRL cheap-filter/exact-rerank cascade, both
+    ranking windows engine-exact (ROUND(sim,4) + id tie-breaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.matryoshka_topk(
+        emb, queries, k=5, prefix_dim=16, overfetch=4)
+
+
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor-set Jaccard over the near-dup graph: second-order dedup
     / link prediction. is_edge='N' rows with high jaccard_ppm are
@@ -1546,6 +1585,9 @@ EXT_QUERIES = {
     "mm_image_phash": mm_image_phash,
     "mm_phash_near_dup": mm_phash_near_dup,
     "graph_link_prediction": graph_link_prediction,
+    "graph_adamic_adar": graph_adamic_adar,
+    "graph_kcore": graph_kcore,
+    "sim_matryoshka_rerank": sim_matryoshka_rerank,
     "text_ngram_novelty": text_ngram_novelty,
     "cur_survivorship": cur_survivorship,
     "sim_embedding_near_dup": sim_embedding_near_dup,
