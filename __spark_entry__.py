@@ -44,6 +44,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "graph_adamic_adar",     # NEW: integer AA link prediction
     "graph_kcore",           # NEW: k-core peel, capped-round oracle twin
     "sim_matryoshka_rerank",  # NEW: prefix-dim ANN + exact rerank
+    "text_kn_trigram",       # NEW: integer Kneser-Ney trigram LM stats
 ]
 
 

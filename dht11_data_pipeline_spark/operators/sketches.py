@@ -41,8 +41,21 @@ KMV_A, KMV_B = 48_271, 11_213
 
 
 def _mmhash(col, a: int, b: int):
-    """((col mod P)·a + b) mod P as a BIGINT column expression."""
-    return (F.pmod(F.col(col).cast("bigint"), F.lit(HASH_P)) * a + b) % HASH_P
+    """((col mod P)·a + b) mod P as a BIGINT column expression.
+
+    Negative keys are REFUSED at runtime (row-level raise_error):
+    Spark's ``pmod`` and the replay oracles' plain ``%`` agree only at
+    key >= 0, so a negative key would not error — it would silently
+    hash-mismatch differential verification (round-5 ADVICE). The
+    guard is a codegen'd comparison per row, noise next to the hash
+    arithmetic itself."""
+    k = F.col(col).cast("bigint")
+    k = F.when(k >= 0, k).otherwise(F.raise_error(F.concat(
+        F.lit(f"sketch key column '{col}' is negative ("),
+        F.col(col).cast("string"),
+        F.lit("): pmod/% divergence — sketch keys must be non-negative"),
+    )).cast("bigint"))
+    return (F.pmod(k, F.lit(HASH_P)) * a + b) % HASH_P
 
 
 def _cm_check_grid(d: int, w: int) -> None:

@@ -365,3 +365,71 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
                 F.col("_novel").cast("int").alias("n_novel"),
                 F.expr("_novel * 1000000 DIV _n").alias("novelty_ppm"))
     )
+
+
+def kn_trigram(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", top_n: int = 100) -> DataFrame:
+    """Kneser-Ney smoothed trigram LM statistics in EXACT integer
+    arithmetic — the self-trained n-gram model a curation pipeline
+    scores fluency with (the full-strength sibling of the
+    char-bigram ``bigram_rarity`` proxy). With c = trigram count,
+    ctx_n = context total c(w1 w2), n_follow = |{w3' : c(w1 w2 w3')>0}|,
+    n_prec = |{(w1',w2') : c(w1' w2' w3)>0}| and T = distinct trigram
+    types, the discounted probability (D = 0.75, everything scaled to
+    ppm and floored — no float, engine-exact) is
+
+        pkn_ppm = GREATEST(c*1e6 - 750000, 0) DIV ctx_n
+                  + ((750000 * n_follow DIV ctx_n)
+                     * (1e6 * n_prec DIV T)) DIV 1e6
+
+    — absolute-discount mass re-routed through the CONTINUATION
+    unigram (how many contexts a word completes), the KN insight that
+    distinguishes versatile words from frequent-but-glued ones.
+
+    Shape: trigrams via arrays_zip over three shifted slices (never
+    element_at-in-a-lambda, which re-evaluates the token array per
+    element); three vocabulary-sized aggregates; the scalar T joins
+    back as a broadcast 1-row aggregate of the PERSISTED type table
+    (window-over-everything would single-partition a 100 TB type
+    table; re-aggregating persisted c3 is one cheap pass). Output is
+    the top ``top_n`` trigrams via TakeOrderedAndProject — never a
+    global sort."""
+    toks = (right_size(df)
+            .select(F.col(id_col),
+                    F.expr(f"filter(split({text_col}, ' '), "
+                           "t -> t != '')").alias("tk"))
+            .filter(F.size("tk") >= 3))
+    tri = toks.select(F.explode(F.arrays_zip(
+        F.slice("tk", 1, F.size("tk") - 2).alias("w1"),
+        F.slice("tk", 2, F.size("tk") - 2).alias("w2"),
+        F.slice("tk", 3, F.size("tk") - 2).alias("w3"),
+    )).alias("g")).select("g.w1", "g.w2", "g.w3")
+    c3 = (tri.groupBy("w1", "w2", "w3")
+          .agg(F.count(F.lit(1)).alias("c")).persist())
+    ctx = (c3.groupBy("w1", "w2")
+           .agg(F.sum("c").alias("ctx_n"),
+                F.count(F.lit(1)).alias("n_follow")))
+    cont = c3.groupBy("w3").agg(F.count(F.lit(1)).alias("n_prec"))
+    total = c3.agg(F.count(F.lit(1)).alias("t"))
+    from pyspark.sql.window import Window
+    out = (
+        c3.join(ctx, ["w1", "w2"])
+        .join(cont, "w3")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "w3", "c",
+            F.col("ctx_n").cast("bigint").alias("ctx_n"),
+            "n_follow", "n_prec",
+            (F.expr("GREATEST(c * 1000000 - 750000, 0) DIV ctx_n")
+             + F.expr("((750000 * n_follow DIV ctx_n) * "
+                      "(1000000 * n_prec DIV t)) DIV 1000000"))
+            .cast("bigint").alias("pkn_ppm"))
+        .orderBy(F.col("c").desc(), "w1", "w2", "w3")
+        .limit(top_n))
+    ranked = (out.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "w1", "w2", "w3"))
+        .cast("int"))
+        .localCheckpoint(eager=True))  # bounded top_n rows; lets c3 release
+    c3.unpersist()
+    return ranked

@@ -906,6 +906,46 @@ JOIN norms nb ON nb.event_type = p.item_b
 
     "graph_kcore": _kcore_sql(threshold=0.25, k=3, rounds=30),
 
+    # Kneser-Ney trigram twin of textops.kn_trigram: same tokenization
+    # as text_tfidf_topk (space split, empties dropped), positional
+    # trigrams from the token list, all-integer discounting (D=0.75 as
+    # 750000 ppm). SUM/COUNT outputs cast to BIGINT (HUGEINT rule).
+    "text_kn_trigram": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+tri AS (
+  SELECT unnest(list_transform(range(1, CAST(len(tk) - 1 AS BIGINT)),
+    i -> struct_pack(
+      w1 := tk[CAST(i AS INTEGER)],
+      w2 := tk[CAST(i + 1 AS INTEGER)],
+      w3 := tk[CAST(i + 2 AS INTEGER)]))) AS g
+  FROM toks WHERE len(tk) >= 3
+),
+flat AS (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tri),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM flat GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS ctx_n,
+               COUNT(*) AS n_follow
+        FROM c3 GROUP BY 1, 2),
+cont AS (SELECT w3, COUNT(*) AS n_prec FROM c3 GROUP BY 1),
+tt AS (SELECT COUNT(*) AS t FROM c3),
+scored AS (
+  SELECT c3.w1, c3.w2, c3.w3, c3.c, ctx.ctx_n, ctx.n_follow, cont.n_prec,
+         CAST(GREATEST(c3.c * 1000000 - 750000, 0) // ctx.ctx_n
+              + ((750000 * ctx.n_follow // ctx.ctx_n)
+                 * (1000000 * cont.n_prec // tt.t)) // 1000000
+              AS BIGINT) AS pkn_ppm
+  FROM c3 JOIN ctx USING (w1, w2) JOIN cont USING (w3) CROSS JOIN tt
+)
+SELECT w1, w2, w3, c, ctx_n, n_follow, n_prec, pkn_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2, w3) AS INTEGER) AS rk
+FROM scored
+ORDER BY c DESC, w1, w2, w3
+LIMIT 100
+""",
+
     # Adamic-Adar twin of graph.adamic_adar: same wedge enumeration as
     # graph_link_prediction with the center's 1e6 DIV deg weight riding
     # the wedge row; hub cap mirrored; SUM cast to BIGINT (HUGEINT

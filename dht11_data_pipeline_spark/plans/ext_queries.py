@@ -1323,6 +1323,15 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.phash_hamming_pairs(ph, max_hamming=3)
 
 
+def text_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained Kneser-Ney trigram LM statistics (integer ppm,
+    D=0.75): top-100 trigrams with discounted probability and
+    continuation counts — the full-strength n-gram fluency model next
+    to the char-bigram proxy (text_bigram_rarity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.kn_trigram(docs, top_n=100)
+
+
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction over the near-dup graph: common
     neighbors weighted by 1e6 DIV their degree (exact integers) — a
@@ -1586,6 +1595,7 @@ EXT_QUERIES = {
     "mm_phash_near_dup": mm_phash_near_dup,
     "graph_link_prediction": graph_link_prediction,
     "graph_adamic_adar": graph_adamic_adar,
+    "text_kn_trigram": text_kn_trigram,
     "graph_kcore": graph_kcore,
     "sim_matryoshka_rerank": sim_matryoshka_rerank,
     "text_ngram_novelty": text_ngram_novelty,

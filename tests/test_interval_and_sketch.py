@@ -82,3 +82,17 @@ def test_quantile_sketch_within_rank_bound(spark, sf_dir):
             exact = vals[lo] + (vals[min(lo + 1, n - 1)] - vals[lo]) * frac
             assert abs(r[f"p{p}_exact"] - round(exact, 2)) <= 0.011, (
                 r["event_type"], p, r[f"p{p}_exact"], exact)
+
+
+def test_sketch_negative_key_refused(spark):
+    """pmod and the oracles' plain % agree only at key >= 0 — a
+    negative key must ERROR, not silently hash-mismatch (r5 ADVICE)."""
+    import pytest
+
+    from dht11_data_pipeline_spark.operators.sketches import (
+        countmin_frequencies)
+    df = spark.createDataFrame([(5,), (-3,)], "key long")
+    with pytest.raises(Exception, match="non-negative"):
+        countmin_frequencies(df, "key").collect()
+    ok = spark.createDataFrame([(5,), (3,)], "key long")
+    assert countmin_frequencies(ok, "key").count() > 0
