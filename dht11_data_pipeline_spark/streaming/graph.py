@@ -1,5 +1,5 @@
 """Continuous graph maintenance: ``foreachBatch`` → incremental
-triangle counts.
+triangle counts and connected-component labels.
 
 Unlike the mergeable sketches (streaming/sketches.py), wedge counts
 are NOT a monoid over edge batches — a triangle closed by edges from
@@ -122,3 +122,55 @@ def current_triangle_counts(spark: SparkSession,
     streamed (pinned in tests)."""
     dirs = _partials(state_dir, "counts")
     return _read_pile(spark, dirs[-1:], "node bigint, n_triangles bigint")
+
+
+def start_components_stream(spark: SparkSession, source_path: str,
+                            state_dir: str, checkpoint_dir: str,
+                            max_files_per_trigger: int | None = 1,
+                            available_now: bool = True) -> StreamingQuery:
+    """readStream JSON-lines edges → maintained (node, cluster_id)
+    dedup-cluster labels, one ``update_components`` fold per batch.
+
+    Even lighter state than the triangle stream: the label table IS
+    the state (a star-shaped edge set with identical connectivity —
+    the contraction argument in operators/graph.update_components), so
+    no edge pile accumulates; per-batch cost is O(|labels| + |batch|)
+    regardless of how many edges ever streamed. Replay is idempotent:
+    folding an already-folded batch leaves connectivity (and min-member
+    cluster ids) unchanged."""
+    from dht11_data_pipeline_spark.operators.graph import (
+        connected_components,
+        update_components,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = batch_df.select(F.col("id_a").alias("doc_a"),
+                                F.col("id_b").alias("doc_b"))
+        label_dirs = _partials(state_dir, "labels", batch_id)
+        if label_dirs:
+            prev = spark.read.schema(
+                "node bigint, cluster_id bigint").parquet(label_dirs[-1])
+            new_labels = update_components(prev, pairs)
+        else:
+            new_labels = connected_components(pairs)
+        new_labels.write.mode("overwrite").parquet(
+            f"{state_dir}/labels/b{batch_id}")
+
+    reader = spark.readStream.schema(EDGE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.json(source_path)
+              .writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_components(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained labels after every batch folded so far — equal to
+    ``connected_components`` over the union of all streamed edges."""
+    dirs = _partials(state_dir, "labels")
+    return _read_pile(spark, dirs[-1:], "node bigint, cluster_id bigint")

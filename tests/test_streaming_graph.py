@@ -84,3 +84,29 @@ def test_streaming_triangles_replay_idempotent(spark, tmp_path):
         assert before == after
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_streaming_components_equal_batch(spark, tmp_path):
+    from dht11_data_pipeline_spark.operators.graph import (
+        connected_components)
+    from dht11_data_pipeline_spark.streaming.graph import (
+        current_components, start_components_stream)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = str(tmp_path / "feed")
+        _write_feed(src)
+        q = start_components_stream(
+            spark, src, str(tmp_path / "state"), str(tmp_path / "ckpt"))
+        q.awaitTermination(300)
+        got = sorted(map(tuple, current_components(
+            spark, str(tmp_path / "state")).collect()))
+        want = sorted(map(tuple, connected_components(
+            _all_edges(spark), "id_a", "id_b").collect()))
+        assert got == want
+        # components really did merge ACROSS batches: 5-6-7 is one
+        # cluster rooted at 5 even though its edges span batches 1 and 2
+        labels = dict(got)
+        assert labels[7] == 5 and labels[6] == 5
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
