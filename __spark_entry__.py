@@ -45,6 +45,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "graph_kcore",           # NEW: k-core peel, capped-round oracle twin
     "sim_matryoshka_rerank",  # NEW: prefix-dim ANN + exact rerank
     "text_kn_trigram",       # NEW: integer Kneser-Ney trigram LM stats
+    "mm_gif_decode",         # NEW: GIF87a LZW roundtrip decode
 ]
 
 

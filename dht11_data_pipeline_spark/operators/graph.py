@@ -226,9 +226,62 @@ def update_components(labels: DataFrame, new_pairs: DataFrame,
     return updated.unionByName(carried.select("node", "cluster_id"))
 
 
+def _collect_canonical(pairs: DataFrame, a_col: str, b_col: str,
+                       assume_canonical: bool,
+                       small_edge_limit: int):
+    """Shared small-graph gate: canonicalize + persist + count the pair
+    list; if it fits the driver budget, Arrow-collect it and return
+    (edge_rows, node_type, spark) — else return (None, persisted_und).
+    Every graph operator's driver tier starts here, so the collect
+    contract (two primitive columns, 16 MB/1M edges) is in one place."""
+    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    n_pairs = und.count()
+    if n_pairs > small_edge_limit:
+        return None, und
+    node_type = und.schema["x"].dataType
+    spark = und.sparkSession
+    pdf = und.toPandas()  # Arrow: two primitive columns, no Rows
+    und.unpersist()
+    return list(zip(pdf["x"].tolist(), pdf["y"].tolist())), (node_type, spark)
+
+
+def _adjacency(edge_rows: list[tuple]) -> dict:
+    adj: dict = {}
+    for x, y in edge_rows:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    return adj
+
+
+def _triangle_counter(edge_rows: list[tuple], adj: dict) -> dict:
+    """Per-node triangle counts by the same degree-ordered enumeration
+    the distributed path runs: each triangle found exactly once at the
+    edge between its two lowest-rank corners, closed by a common
+    higher-rank neighbor."""
+    rank = {n: (len(adj[n]), n) for n in adj}
+    hi = {n: {m for m in adj[n] if rank[m] > rank[n]} for n in adj}
+    tri: dict = {}
+    for x, y in edge_rows:
+        u, v = (x, y) if rank[x] < rank[y] else (y, x)
+        for w in hi[u] & hi[v]:
+            tri[u] = tri.get(u, 0) + 1
+            tri[v] = tri.get(v, 0) + 1
+            tri[w] = tri.get(w, 0) + 1
+    return tri
+
+
+# wedge-budget for the driver-side pair-similarity tiers: Σ deg² of a
+# collected graph can be huge even under the EDGE limit (a few massive
+# hubs), and the Python loops below walk every wedge — past this many
+# wedge steps the distributed tier is the right engine even though the
+# edge list fit in memory.
+DRIVER_WEDGE_LIMIT = 5_000_000
+
+
 def pagerank_integer(nodes: DataFrame, pairs: DataFrame, iters: int = 5,
                      node_col: str = "node", a_col: str = "id_a",
-                     b_col: str = "id_b") -> DataFrame:
+                     b_col: str = "id_b",
+                     small_edge_limit: int = SMALL_EDGE_LIMIT) -> DataFrame:
     """Fixed-point-integer PageRank over an undirected pair list — the
     corpus-quality / centrality signal web-scale curation pipelines
     attach to documents (a la harmonic-centrality weighting of crawl
@@ -252,7 +305,56 @@ def pagerank_integer(nodes: DataFrame, pairs: DataFrame, iters: int = 5,
     O(1) across iterations) and guarantees each round computes exactly
     once — a lazy checkpoint would let the final action re-derive
     every round after the persisted edges are released.
+
+    Hybrid: under ``small_edge_limit`` (edges AND node list) the same
+    integer recurrence runs driver-side — 5 rounds over a collected
+    adjacency dict cost milliseconds where 5 eager-checkpointed
+    distributed rounds cost seconds of job scheduling on a reduced
+    near-dup graph.
     """
+    collected, rest = _collect_canonical(pairs, a_col, b_col, False,
+                                         small_edge_limit)
+    if collected is not None:
+        node_type_e, spark = rest
+        base_df = nodes.select(F.col(node_col).alias("node")).distinct().persist()
+        if base_df.count() <= small_edge_limit:
+            node_type = base_df.schema["node"].dataType
+            base = base_df.toPandas()["node"].tolist()
+            base_df.unpersist()
+            adj = _adjacency(collected)
+            deg = {n: len(adj[n]) for n in adj}
+            p = {n: 1000000 for n in base}
+            for _ in range(iters):
+                c: dict = {}
+                for u, nbrs in adj.items():
+                    pu = p.get(u)
+                    if pu is None:
+                        continue
+                    share = pu // deg[u]
+                    for m in nbrs:
+                        c[m] = c.get(m, 0) + share
+                p = {n: 150000 + (850 * c.get(n, 0)) // 1000 for n in p}
+            from pyspark.sql import types as T
+            schema = T.StructType([
+                T.StructField("node", node_type, False),
+                T.StructField("degree", T.IntegerType(), False),
+                T.StructField("rank_ppm", T.LongType(), False)])
+            return spark.createDataFrame(
+                [(n, deg.get(n, 0), p[n]) for n in sorted(p)], schema)
+        # node list too big for the driver: rebuild the distributed input
+        base_df.unpersist()
+        und_small = spark.createDataFrame(
+            collected, f"x {node_type_e.simpleString()}, "
+                       f"y {node_type_e.simpleString()}")
+        pairs = und_small.select(F.col("x").alias(a_col),
+                                 F.col("y").alias(b_col))
+        und_src = None
+    else:
+        # big graph: the persisted canonical projection becomes the
+        # distributed input — its cache feeds the edges build, released
+        # with the other persists at the end
+        und_src = rest
+        pairs = rest.select(F.col("x").alias(a_col), F.col("y").alias(b_col))
     edges = (
         pairs.select(F.explode(F.array(
             F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
@@ -289,12 +391,15 @@ def pagerank_integer(nodes: DataFrame, pairs: DataFrame, iters: int = 5,
     ed.unpersist()
     edges.unpersist()
     base.unpersist()
+    if und_src is not None:
+        und_src.unpersist()
     return out
 
 
 def triangle_counts(pairs: DataFrame, a_col: str = "id_a",
                     b_col: str = "id_b",
-                    assume_canonical: bool = False) -> DataFrame:
+                    assume_canonical: bool = False,
+                    small_edge_limit: int = SMALL_EDGE_LIMIT) -> DataFrame:
     """Per-node triangle counts over an undirected pair list — the
     clustering-coefficient numerator, the standard "tightly-knit
     duplicate community" signal over a near-dup graph (a boilerplate
@@ -311,8 +416,25 @@ def triangle_counts(pairs: DataFrame, a_col: str = "id_a",
     iteration. Counts are identical to the naive a<b<c enumeration
     (each triangle found exactly once at its unique rank-minimum
     corner), which is what the SQL oracle runs.
+
+    Hybrid: under ``small_edge_limit`` the SAME degree-ordered
+    enumeration runs driver-side over one Arrow collect (the near-dup
+    edge list is the reduced output of a dedup pass — set
+    intersections over a 14k-edge graph cost milliseconds where the
+    two shuffle joins cost seconds of scheduling); the distributed
+    shape above is the big-graph tier.
     """
-    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    collected, rest = _collect_canonical(pairs, a_col, b_col,
+                                         assume_canonical, small_edge_limit)
+    if collected is not None:
+        node_type, spark = rest
+        tri = _triangle_counter(collected, _adjacency(collected))
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField("node", node_type, False),
+            T.StructField("n_triangles", T.LongType(), False)])
+        return spark.createDataFrame(sorted(tri.items()), schema)
+    und = rest
     out = _triangles_per_node(und, _degrees(und))  # eager-checkpointed
     und.unpersist()
     return out
@@ -320,7 +442,8 @@ def triangle_counts(pairs: DataFrame, a_col: str = "id_a",
 
 def clustering_coefficient(pairs: DataFrame, a_col: str = "id_a",
                            b_col: str = "id_b",
-                           assume_canonical: bool = False) -> DataFrame:
+                           assume_canonical: bool = False,
+                           small_edge_limit: int = SMALL_EDGE_LIMIT) -> DataFrame:
     """Local clustering coefficient per node (deg >= 2):
     cc_ppm = 2·T·1e6 DIV (deg·(deg−1)) — how close each node's
     neighborhood is to a clique, in exact integer ppm. The near-dup
@@ -329,8 +452,25 @@ def clustering_coefficient(pairs: DataFrame, a_col: str = "id_a",
     matches are unrelated to each other (often a template false
     positive worth auditing). Shares the one persisted edge scan and
     the degree table with the triangle machinery — no extra pass
-    over the pair generator."""
-    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    over the pair generator. Same driver tier as ``triangle_counts``
+    under ``small_edge_limit``."""
+    collected, rest = _collect_canonical(pairs, a_col, b_col,
+                                         assume_canonical, small_edge_limit)
+    if collected is not None:
+        node_type, spark = rest
+        adj = _adjacency(collected)
+        tri = _triangle_counter(collected, adj)
+        rows = [(n, len(adj[n]), tri.get(n, 0),
+                 2 * tri.get(n, 0) * 1000000 // (len(adj[n]) * (len(adj[n]) - 1)))
+                for n in sorted(adj) if len(adj[n]) >= 2]
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField("node", node_type, False),
+            T.StructField("deg", T.LongType(), False),
+            T.StructField("n_triangles", T.LongType(), False),
+            T.StructField("cc_ppm", T.LongType(), False)])
+        return spark.createDataFrame(rows, schema)
+    und = rest
     deg = _degrees(und)
     tri = _triangles_per_node(und, deg)
     out = (
@@ -484,10 +624,59 @@ def update_clustering_coefficient(counts: DataFrame, old_pairs: DataFrame,
             F.expr("2 * n_triangles * 1000000 DIV (deg * (deg - 1))")))
 
 
+def _pair_similarity_driver(edge_rows: list[tuple],
+                            cap: int | None,
+                            aa_weights: bool) -> list[tuple] | None:
+    """Driver-side wedge enumeration shared by ``neighbor_jaccard``
+    (aa_weights=False) and ``adamic_adar`` (True) — the identical
+    capped center loop as the distributed self-join, as plain dict
+    counters, returned as a pandas frame (columns v, w, ...) so the
+    caller rides the Arrow createDataFrame path. Returns None when the
+    capped wedge volume exceeds ``DRIVER_WEDGE_LIMIT`` (the caller
+    falls back to distributed)."""
+    adj = _adjacency(edge_rows)
+    deg = {n: len(adj[n]) for n in adj}
+    centers = [n for n in adj if cap is None or deg[n] <= cap]
+    if sum(deg[n] * (deg[n] - 1) // 2 for n in centers) > DRIVER_WEDGE_LIMIT:
+        return None
+    cn: dict = {}
+    aa: dict = {}
+    for u in centers:
+        nb = sorted(adj[u])
+        w_u = 1000000 // deg[u]
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                key = (nb[i], nb[j])
+                cn[key] = cn.get(key, 0) + 1
+                if aa_weights:
+                    aa[key] = aa.get(key, 0) + w_u
+    edges = set(edge_rows)
+    # pandas output: the pair table can be 100k+ rows, and the Arrow
+    # createDataFrame path is ~10x the tuple-list path at that size
+    import pandas as pd
+    keys = sorted(cn)
+    va = [k[0] for k in keys]
+    wa = [k[1] for k in keys]
+    c = [cn[k] for k in keys]
+    flag = ["Y" if k in edges else "N" for k in keys]
+    if aa_weights:
+        return pd.DataFrame({"v": va, "w": wa, "n_common": c,
+                             "aa_ppm": [aa[k] for k in keys],
+                             "is_edge": flag})
+    da = [deg[k[0]] for k in keys]
+    db = [deg[k[1]] for k in keys]
+    return pd.DataFrame({
+        "v": va, "w": wa, "n_common": c, "deg_a": da, "deg_b": db,
+        "jaccard_ppm": [ci * 1000000 // (dai + dbi - ci)
+                        for ci, dai, dbi in zip(c, da, db)],
+        "is_edge": flag})
+
+
 def neighbor_jaccard(pairs: DataFrame, a_col: str = "id_a",
                      b_col: str = "id_b",
                      assume_canonical: bool = False,
-                     max_center_degree: int | None = MAX_CENTER_DEGREE) -> DataFrame:
+                     max_center_degree: int | None = MAX_CENTER_DEGREE,
+                     small_edge_limit: int = SMALL_EDGE_LIMIT) -> DataFrame:
     """Node-pair similarity by neighbor-set Jaccard — the classic
     link-prediction / "second-order dedup" signal: two docs whose
     near-dup NEIGHBORHOODS overlap heavily belong to the same template
@@ -506,8 +695,36 @@ def neighbor_jaccard(pairs: DataFrame, a_col: str = "id_a",
     (pinned in tests); the SQL oracle mirrors the SAME cap, so capped
     semantics are what gets verified at every scale. Pass None for
     exact semantics. jaccard_ppm = 1e6·cn DIV (deg_a + deg_b − cn), exact
-    integers end to end."""
-    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    integers end to end.
+
+    Hybrid: a collected edge list under ``small_edge_limit`` whose
+    capped wedge volume also fits ``DRIVER_WEDGE_LIMIT`` runs the SAME
+    center-loop driver-side (dict counters beat two shuffle joins by
+    seconds at reduced-pair-list scale); otherwise distributed."""
+    collected, rest = _collect_canonical(pairs, a_col, b_col,
+                                         assume_canonical, small_edge_limit)
+    if collected is not None:
+        node_type, spark = rest
+        pdf = _pair_similarity_driver(collected, max_center_degree,
+                                      aa_weights=False)
+        if pdf is not None:
+            from pyspark.sql import types as T
+            schema = T.StructType([
+                T.StructField(a_col, node_type, False),
+                T.StructField(b_col, node_type, False),
+                T.StructField("n_common", T.LongType(), False),
+                T.StructField("deg_a", T.LongType(), False),
+                T.StructField("deg_b", T.LongType(), False),
+                T.StructField("jaccard_ppm", T.LongType(), False),
+                T.StructField("is_edge", T.StringType(), False)])
+            pdf.columns = [a_col, b_col, "n_common", "deg_a", "deg_b",
+                           "jaccard_ppm", "is_edge"]
+            return spark.createDataFrame(pdf, schema)
+        # wedge budget exceeded: rebuild the distributed input
+        und = spark.createDataFrame(collected, f"x {node_type.simpleString()}, "
+                                    f"y {node_type.simpleString()}").persist()
+    else:
+        und = rest
     deg = _degrees(und)
     sym = (und.select(F.col("x").alias("u"), F.col("y").alias("n"))
            .unionAll(und.select(F.col("y").alias("u"), F.col("x").alias("n"))))
@@ -539,7 +756,8 @@ def neighbor_jaccard(pairs: DataFrame, a_col: str = "id_a",
 
 def adamic_adar(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
                 assume_canonical: bool = False,
-                max_center_degree: int | None = MAX_CENTER_DEGREE) -> DataFrame:
+                max_center_degree: int | None = MAX_CENTER_DEGREE,
+                small_edge_limit: int = SMALL_EDGE_LIMIT) -> DataFrame:
     """Adamic-Adar link prediction in exact integer arithmetic: each
     common neighbor z of a node pair contributes 1e6 DIV deg(z) — a
     low-degree common neighbor certifies the pair far more strongly
@@ -550,9 +768,29 @@ def adamic_adar(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
     symmetrized self-join keyed on the wedge center, two shuffles);
     the center's degree rides the wedge row so the weight needs no
     extra join. ``max_center_degree`` caps hub fan-out exactly as in
-    ``neighbor_jaccard`` — the SQL oracle mirrors the same cap.
-    Output: (a_col, b_col, n_common, aa_ppm, is_edge)."""
-    und = _canonical_edges(pairs, a_col, b_col, assume_canonical).persist()
+    ``neighbor_jaccard`` — the SQL oracle mirrors the same cap, and the
+    same driver tier runs the loop in dicts under the edge + wedge
+    budgets. Output: (a_col, b_col, n_common, aa_ppm, is_edge)."""
+    collected, rest = _collect_canonical(pairs, a_col, b_col,
+                                         assume_canonical, small_edge_limit)
+    if collected is not None:
+        node_type, spark = rest
+        pdf = _pair_similarity_driver(collected, max_center_degree,
+                                      aa_weights=True)
+        if pdf is not None:
+            from pyspark.sql import types as T
+            schema = T.StructType([
+                T.StructField(a_col, node_type, False),
+                T.StructField(b_col, node_type, False),
+                T.StructField("n_common", T.LongType(), False),
+                T.StructField("aa_ppm", T.LongType(), False),
+                T.StructField("is_edge", T.StringType(), False)])
+            pdf.columns = [a_col, b_col, "n_common", "aa_ppm", "is_edge"]
+            return spark.createDataFrame(pdf, schema)
+        und = spark.createDataFrame(collected, f"x {node_type.simpleString()}, "
+                                    f"y {node_type.simpleString()}").persist()
+    else:
+        und = rest
     deg = _degrees(und)
     sym = (und.select(F.col("x").alias("u"), F.col("y").alias("n"))
            .unionAll(und.select(F.col("y").alias("u"), F.col("x").alias("n"))))

