@@ -46,6 +46,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "sim_matryoshka_rerank",  # NEW: prefix-dim ANN + exact rerank
     "text_kn_trigram",       # NEW: integer Kneser-Ney trigram LM stats
     "mm_gif_decode",         # NEW: GIF87a LZW roundtrip decode
+    "mm_cross_modal_audit",  # NEW: text-vs-image dedup disagreement
 ]
 
 

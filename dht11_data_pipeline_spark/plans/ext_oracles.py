@@ -252,6 +252,31 @@ bits AS (
 )
 """
 
+# full phash near-dup pair query (shared by the mm_phash_near_dup
+# entry and the cross-modal audit below)
+_PHASH_PAIRS_SQL = _PHASH_BITS + """
+, ch AS (
+  SELECT doc_id, phash_hi, phash_lo, j,
+         CASE j WHEN 0 THEN (phash_hi >> 0) & 65535
+                WHEN 1 THEN (phash_hi >> 16) & 65535
+                WHEN 2 THEN (phash_lo >> 0) & 65535
+                ELSE (phash_lo >> 16) & 65535 END AS v
+  FROM bits, (SELECT unnest(range(0, 4)) AS j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash_hi AS ha, b.phash_hi AS hb,
+         a.phash_lo AS la, b.phash_lo AS lb
+  FROM ch a JOIN ch b ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+"""
+
+
 
 def _profile_sql(table: str, cols: list[tuple[str, str]]) -> str:
     """Mirror of operators/profile: per-column stats UNION ALL, same
@@ -1471,26 +1496,27 @@ FROM bits
     # pigeonhole Hamming join: 4 chunks of 16 bits — hamming <= 3 pairs
     # must agree on at least one chunk, so candidates come from 4
     # equi-joins, verified with exact bit_count(xor)
-    "mm_phash_near_dup": _PHASH_BITS + """
-, ch AS (
-  SELECT doc_id, phash_hi, phash_lo, j,
-         CASE j WHEN 0 THEN (phash_hi >> 0) & 65535
-                WHEN 1 THEN (phash_hi >> 16) & 65535
-                WHEN 2 THEN (phash_lo >> 0) & 65535
-                ELSE (phash_lo >> 16) & 65535 END AS v
-  FROM bits, (SELECT unnest(range(0, 4)) AS j)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.phash_hi AS ha, b.phash_hi AS hb,
-         a.phash_lo AS la, b.phash_lo AS lb
-  FROM ch a JOIN ch b ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+    "mm_phash_near_dup": _PHASH_PAIRS_SQL,
+
+    # cross-modal dedup audit: full outer of the text (minhash >= 0.5)
+    # and image (phash hamming <= 3) near-dup pair sets. TEXT_ONLY =
+    # same words, different rendering; IMAGE_ONLY = near-identical
+    # images over different text — both are the disagreement rows a
+    # multimodal curation pass re-examines before dropping anything
+    "mm_cross_modal_audit": f"""
+WITH t AS (SELECT doc_a, doc_b, jaccard FROM ({_minhash_sql(threshold=0.5)})),
+i AS (SELECT doc_a, doc_b, hamming FROM ({_PHASH_PAIRS_SQL})),
+j AS (
+  SELECT COALESCE(t.doc_a, i.doc_a) AS doc_a,
+         COALESCE(t.doc_b, i.doc_b) AS doc_b,
+         COALESCE(t.jaccard, -1.0) AS text_jaccard,
+         CAST(COALESCE(i.hamming, -1) AS INTEGER) AS image_hamming,
+         CASE WHEN t.doc_a IS NOT NULL AND i.doc_a IS NOT NULL THEN 'BOTH'
+              WHEN t.doc_a IS NOT NULL THEN 'TEXT_ONLY'
+              ELSE 'IMAGE_ONLY' END AS modality
+  FROM t FULL OUTER JOIN i ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b
 )
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
-         AS hamming
-FROM cand
-WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+SELECT * FROM j
 """,
 
     # gram first-occurrence (min doc id) joined back — novelty ppm

@@ -253,6 +253,36 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.jpeg_roundtrip(docs, blocks_per_row=8)
 
 
+def mm_cross_modal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup disagreement audit: full outer of the TEXT
+    near-dup pairs (minhash-LSH, jaccard >= 0.5) and the IMAGE near-dup
+    pairs (perceptual-hash hamming <= 3) over the same corpus.
+    TEXT_ONLY rows are same-words/different-rendering; IMAGE_ONLY rows
+    are near-identical images over different text (template
+    screenshots) — exactly the rows a multimodal curation pass
+    re-examines before trusting either modality's verdict alone. Both
+    pair generators are the existing bucketed paths (banded LSH,
+    pigeonhole chunks); the audit adds one outer join on the pair key."""
+    docs = load_table(spark, sf_dir, "documents")
+    tpairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    ph = multimodal.phash_payloads(
+        multimodal.attach_image_payload(docs, width=32))
+    ipairs = dedup.phash_hamming_pairs(ph, max_hamming=3)
+    t = tpairs.select("doc_a", "doc_b", "jaccard")
+    i = ipairs.select("doc_a", "doc_b", "hamming")
+    return (
+        t.join(i, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce(F.col("jaccard"), F.lit(-1.0)).alias("text_jaccard"),
+            F.coalesce(F.col("hamming"), F.lit(-1)).cast("int")
+            .alias("image_hamming"),
+            F.when(F.col("jaccard").isNotNull()
+                   & F.col("hamming").isNotNull(), "BOTH")
+            .when(F.col("jaccard").isNotNull(), "TEXT_ONLY")
+            .otherwise("IMAGE_ONLY").alias("modality")))
+
+
 def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-format decode #2 (GIF87a, functions/gifcodec):
     document bytes → palette-indexed pixels → real variable-width LZW
@@ -1618,6 +1648,7 @@ EXT_QUERIES = {
     "mm_png_decode": mm_png_decode,
     "mm_jpeg_decode": mm_jpeg_decode,
     "mm_gif_decode": mm_gif_decode,
+    "mm_cross_modal_audit": mm_cross_modal_audit,
     "mm_frame_sample": mm_frame_sample,
     "meta_profile_orders": meta_profile_orders,
     "a_salted_event_totals": a_salted_event_totals,
