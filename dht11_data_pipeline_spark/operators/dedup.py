@@ -103,13 +103,19 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
     sa = sizes.withColumnRenamed("sid", "doc_a").withColumnRenamed("set_size", "size_a")
     sb = sizes.withColumnRenamed("sid", "doc_b").withColumnRenamed("set_size", "size_b")
-    return (
+    out = (
         common.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn("jaccard",
                     F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
-    )
+        # eager checkpoint of the REDUCED pair list lets the inverted
+        # index release immediately — a lazy return would pin inv's
+        # cache forever (one leaked SQL-cache entry per call; enough of
+        # them evicted the storage pool mid-bench)
+        .localCheckpoint(eager=True))
+    inv.unpersist()
+    return out
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -481,11 +487,13 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         .distinct()  # a pair can match in more than one chunk
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    out = (
         cands.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-    )
+        .localCheckpoint(eager=True))  # release sk (see jaccard_pairs)
+    sk.unpersist()
+    return out
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",
@@ -531,12 +539,14 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         )).alias("d"), "n_common",
     ).select(F.col("d.doc_a"), F.col("d.doc_b"), "n_common")
     sa = sizes.select(F.col("sid").alias("doc_a"), F.col("set_size").alias("size_a"))
-    return (
+    out = (
         both.join(sa, "doc_a")
         .withColumn("containment", F.col("n_common") / F.col("size_a"))
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "containment")
-    )
+        .localCheckpoint(eager=True))  # release inv (see jaccard_pairs)
+    inv.unpersist()
+    return out
 
 
 def phash_hamming_pairs(ph: DataFrame, id_col: str = "doc_id",

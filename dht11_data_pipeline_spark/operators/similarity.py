@@ -161,7 +161,12 @@ def embedding_near_duplicates_multiprobe(
     out = per_table[0]
     for nxt in per_table[1:]:
         out = out.unionByName(nxt)
-    return out.distinct()
+    # eager checkpoint of the REDUCED pair list releases the normalized
+    # corpus cache immediately (a lazy return leaked one pinned cache
+    # entry per call — six graph queries each call this generator)
+    out = out.distinct().localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -233,11 +238,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cent_id", "neighbor_id", "sim", "rank")
-    )
+        .localCheckpoint(eager=True))  # top-k rows; releases lists
+    lists.unpersist()
+    return out
 
 
 def embedding_near_duplicates_lsh(corpus: DataFrame, threshold: float = 0.95,

@@ -191,7 +191,7 @@ def kmv_pairwise_jaccard(df: DataFrame, set_col: str, member_col: str,
     )
     w = Window.partitionBy("set_a", "set_b").orderBy("mh")
     sampled = u.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
-    return (
+    out = (
         sampled.groupBy("set_a", "set_b", "sk_a", "sk_b")
         .agg(
             F.count(F.lit(1)).cast("int").alias("used_k"),
@@ -207,4 +207,8 @@ def kmv_pairwise_jaccard(df: DataFrame, set_col: str, member_col: str,
             F.expr("CAST(overlap AS BIGINT) * 1000000 DIV used_k")
             .alias("jaccard_ppm"),
         )
-    )
+        .localCheckpoint(eager=True))  # pairwise rows are max_sets^2-
+    # bounded; the checkpoint lets the signature cache release instead
+    # of leaking one pinned entry per call
+    sig.unpersist()
+    return out
