@@ -48,9 +48,15 @@ def _mmhash(col, a: int, b: int):
     key >= 0, so a negative key would not error — it would silently
     hash-mismatch differential verification (round-5 ADVICE). The
     guard is a codegen'd comparison per row, noise next to the hash
-    arithmetic itself."""
+    arithmetic itself.
+
+    NULL keys pass through as NULL hashes (NULL buckets drop out of
+    the groupBy counts on both engines), the pre-guard behavior: the
+    guard exists solely for the sign divergence, and ``NULL >= 0``
+    evaluating to NULL must not reroute NULLs into the error branch
+    with a misleading 'is negative' message (round-6 ADVICE)."""
     k = F.col(col).cast("bigint")
-    k = F.when(k >= 0, k).otherwise(F.raise_error(F.concat(
+    k = F.when(k.isNull() | (k >= 0), k).otherwise(F.raise_error(F.concat(
         F.lit(f"sketch key column '{col}' is negative ("),
         F.col(col).cast("string"),
         F.lit("): pmod/% divergence — sketch keys must be non-negative"),

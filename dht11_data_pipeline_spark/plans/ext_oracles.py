@@ -1780,23 +1780,24 @@ FROM documents
 WITH d AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
 ),
-chars AS (
-  SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i FROM d
-),
 r AS (
   SELECT doc_id, n,
-         ascii(substr(text, i, 1)) AS u,
+         ascii(substr(text, CAST(i AS INTEGER), 1)) AS u,
          LEAST(255, GREATEST(0,
-           2 * CAST(FLOOR((ascii(substr(text, i, 1)) - 127) / 2.0)
-                    AS BIGINT) + 128)) AS rec
-  FROM chars
+           2 * CAST(FLOOR((ascii(substr(text, CAST(i AS INTEGER), 1)) - 127)
+                          / 2.0) AS BIGINT) + 128)) AS rec
+  -- LEFT JOIN LATERAL so n = 0 still yields a (NULL-char) row: the
+  -- codec pads empty docs to one 8x8-block row (width 64, height 8,
+  -- pixel_sum 0, max_abs_err 0) — mirrors the mm_gif_decode oracle
+  -- (round-6 ADVICE).
+  FROM d LEFT JOIN LATERAL unnest(range(1, n + 1)) AS t(i) ON TRUE
 )
 SELECT doc_id,
        CAST(64 AS INTEGER) AS width,
-       CAST(8 * ((n + 7) // 8) AS INTEGER) AS height,
-       CAST(8 * ((n + 7) // 8) AS INTEGER) AS n_blocks,
-       CAST(64 * SUM(rec) AS BIGINT) AS pixel_sum,
-       CAST(MAX(ABS(rec - u)) AS INTEGER) AS max_abs_err
+       CAST(8 * GREATEST(1, (n + 7) // 8) AS INTEGER) AS height,
+       CAST(8 * GREATEST(1, (n + 7) // 8) AS INTEGER) AS n_blocks,
+       CAST(64 * COALESCE(SUM(rec), 0) AS BIGINT) AS pixel_sum,
+       CAST(COALESCE(MAX(ABS(rec - u)), 0) AS INTEGER) AS max_abs_err
 FROM r GROUP BY doc_id, n
 """,
 

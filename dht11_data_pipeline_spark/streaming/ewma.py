@@ -34,7 +34,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = ("user_id bigint, rn int, event_id bigint, cents bigint, "
                  "ewma_cents bigint")
-STATE_SCHEMA = "y bigint, t int, last_ts bigint, last_event_id bigint"
+STATE_SCHEMA = ("y bigint, t int, last_ts bigint, last_event_id bigint, "
+                "recent_ts array<bigint>, recent_eid array<bigint>")
 
 _TS_MIN = -(1 << 63)
 
@@ -44,9 +45,12 @@ class OutOfOrderEventError(RuntimeError):
     absorbed (ts, event_id) for its user — the batch-equivalence
     contract is violated and the fold's result would silently diverge
     from the batch operator. Fix the feed (watermark + sort stage) or
-    pass ``strict=False`` to absorb anyway. An event EQUAL to the last
-    absorbed (ts, event_id) is not an error: it is checkpoint-replay
-    redelivery and is skipped idempotently."""
+    pass ``strict=False`` to absorb anyway. An event matching ANY of
+    the last ``replay_window`` absorbed (ts, event_id) pairs is not an
+    error: it is at-least-once redelivery (a source may re-send a whole
+    window, not just the tail event — round-6 ADVICE) and is skipped
+    idempotently. Only an event below the watermark that was never
+    absorbed — or one older than the replay window — raises."""
 
 
 class NullTimestampEventError(RuntimeError):
@@ -64,14 +68,20 @@ def _cents(v: float) -> int:
                                         rounding=ROUND_HALF_UP) * 100)
 
 
-def _make_fold(max_steps: int, expire_ms: int | None, strict: bool):
+def _make_fold(max_steps: int, expire_ms: int | None, strict: bool,
+               replay_window: int):
     def _fold(key: tuple, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
-        y, t, last_ts, last_eid = (state.get if state.exists
-                                   else (0, 0, _TS_MIN, _TS_MIN))
+        if state.exists:
+            y, t, last_ts, last_eid, r_ts, r_eid = state.get
+            recent = [(int(a), int(b))
+                      for a, b in zip(r_ts or [], r_eid or [])]
+        else:
+            y, t, last_ts, last_eid, recent = 0, 0, _TS_MIN, _TS_MIN, []
+        absorbed = set(recent)
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         out = {"user_id": [], "rn": [], "event_id": [], "cents": [],
                "ewma_cents": []}
@@ -90,17 +100,27 @@ def _make_fold(max_steps: int, expire_ms: int | None, strict: bool):
             else:
                 ts_val = int(pd.Timestamp(r["ts"]).value)
             if strict and (ts_val, eid) <= (last_ts, last_eid):
-                if (ts_val, eid) == (last_ts, last_eid):
-                    # exact redelivery of the last absorbed event
-                    # (checkpoint replay / at-least-once source):
-                    # already folded in — skip idempotently
+                if (ts_val, eid) in absorbed:
+                    # redelivery of an already-absorbed event — an
+                    # at-least-once source may re-send a whole window,
+                    # not just the tail (round-6 ADVICE): any event in
+                    # the kept ring of the last ``replay_window``
+                    # absorbed pairs skips idempotently
                     continue
                 raise OutOfOrderEventError(
                     f"user {key[0]}: event_id={eid} ts={r['ts']} arrived "
                     f"after state already absorbed (ts_ns={last_ts}, "
-                    f"event_id={last_eid})"
+                    f"event_id={last_eid}) and is not among the last "
+                    f"{replay_window} absorbed events (genuinely "
+                    "out-of-order, or redelivered from beyond the "
+                    "replay window)"
                 )
             last_ts, last_eid = ts_val, eid
+            recent.append((ts_val, eid))
+            absorbed.add((ts_val, eid))
+            if len(recent) > replay_window:
+                absorbed.discard(recent[0])
+                del recent[0]
             t += 1
             c = _cents(float(r["value"]))
             y += c << (t - 1)
@@ -109,7 +129,8 @@ def _make_fold(max_steps: int, expire_ms: int | None, strict: bool):
             out["event_id"].append(eid)
             out["cents"].append(c)
             out["ewma_cents"].append(y >> t)
-        state.update((y, t, last_ts, last_eid))
+        state.update((y, t, last_ts, last_eid,
+                      [a for a, _ in recent], [b for _, b in recent]))
         if expire_ms is not None:
             state.setTimeoutDuration(expire_ms)
         if out["user_id"]:
@@ -119,18 +140,25 @@ def _make_fold(max_steps: int, expire_ms: int | None, strict: bool):
 
 def streaming_ewma(events: DataFrame, max_steps: int = 40,
                    expire_ms: int | None = None,
-                   strict: bool = True) -> DataFrame:
+                   strict: bool = True,
+                   replay_window: int = 64) -> DataFrame:
     """Wire the EWMA fold over a (possibly streaming) events frame.
     Emits one row per absorbed event with its running smoothed value —
     identical rows to the batch closed form over the same prefix.
     ``strict`` (default) raises ``OutOfOrderEventError`` when a batch
-    delivers a per-user event at or before the last absorbed one."""
+    delivers a per-user event at or before the last absorbed one,
+    UNLESS that exact (ts, event_id) is among the last
+    ``replay_window`` absorbed events — then it is at-least-once
+    redelivery and skips idempotently. The ring bounds state at
+    O(replay_window) integers per user; size it to the source's
+    maximum redelivery overlap (a Kafka-like source re-sends at most
+    one in-flight window)."""
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if expire_ms is not None else GroupStateTimeout.NoTimeout)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _make_fold(max_steps, expire_ms, strict),
+            _make_fold(max_steps, expire_ms, strict, replay_window),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -51,15 +51,22 @@ def _partials(state_dir: str, kind: str, below: int | None = None) -> list[str]:
     root = os.path.join(state_dir, kind)
     if not os.path.isdir(root):
         return []
-    out = []
-    for name in sorted(os.listdir(root)):
+    # Sort NUMERICALLY by batch id: lexicographic listing puts b10
+    # before b2, so "latest" (dirs[-1]) would stick at b9 forever once
+    # ids reach double digits, silently losing every fold after it
+    # (round-6 ADVICE, high).  Pinned by an 11-batch parity test.
+    found: list[tuple[int, str]] = []
+    for name in os.listdir(root):
         if not name.startswith("b"):
             continue
-        bid = int(name[1:])
+        try:
+            bid = int(name[1:])
+        except ValueError:
+            continue
         if below is not None and bid >= below:
             continue
-        out.append(os.path.join(root, name))
-    return out
+        found.append((bid, os.path.join(root, name)))
+    return [path for _, path in sorted(found)]
 
 
 def _read_pile(spark: SparkSession, paths: list[str],

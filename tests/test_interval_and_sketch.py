@@ -96,3 +96,20 @@ def test_sketch_negative_key_refused(spark):
         countmin_frequencies(df, "key").collect()
     ok = spark.createDataFrame([(5,), (3,)], "key long")
     assert countmin_frequencies(ok, "key").count() > 0
+
+
+def test_sketch_null_key_passes_through(spark):
+    """NULL keys must NOT trip the negative-key guard (NULL >= 0 is
+    NULL, not False): they propagate NULL hashes and drop out of the
+    bucket counts, the pre-guard behavior (r6 ADVICE). The sketch over
+    [5, NULL, 5] equals the sketch over [5, 5]."""
+    from dht11_data_pipeline_spark.operators.sketches import (
+        countmin_frequencies)
+
+    with_null = spark.createDataFrame([(5,), (None,), (5,)], "key long")
+    no_null = spark.createDataFrame([(5,), (5,)], "key long")
+    got = sorted(map(tuple, countmin_frequencies(
+        with_null, "key").collect()))
+    want = sorted(map(tuple, countmin_frequencies(
+        no_null, "key").collect()))
+    assert got == want

@@ -153,6 +153,52 @@ def test_streaming_ewma_strict_skips_exact_redelivery(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def test_streaming_ewma_strict_skips_multi_event_overlap(spark, tmp_path):
+    """An at-least-once source re-sending a WINDOW of already-absorbed
+    events (not just the tail) must skip them all idempotently
+    (round-6 ADVICE): batch 1 replays both batch-0 events before the
+    new one."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        got = _run_feed(spark, tmp_path, [
+            [(1, 10, "2024-01-01 00:00:10", 1.0),
+             (1, 20, "2024-01-01 00:00:20", 2.0)],
+            # full-window redelivery + one genuinely new event
+            [(1, 10, "2024-01-01 00:00:10", 1.0),
+             (1, 20, "2024-01-01 00:00:20", 2.0),
+             (1, 30, "2024-01-01 00:00:30", 3.0)],
+        ])
+        rows = {r["event_id"]: r["rn"] for r in got.collect()}
+        assert rows == {10: 1, 20: 2, 30: 3}
+        assert got.count() == 3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_streaming_ewma_replay_beyond_window_raises(spark, tmp_path):
+    """An absorbed event redelivered AFTER falling out of the
+    replay_window ring is indistinguishable from a genuinely
+    out-of-order event and must raise."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        with pytest.raises(StreamingQueryException) as exc:
+            _run_feed(spark, tmp_path, [
+                [(1, 10, "2024-01-01 00:00:10", 1.0),
+                 (1, 20, "2024-01-01 00:00:20", 2.0),
+                 (1, 30, "2024-01-01 00:00:30", 3.0)],
+                # event 10 has been evicted from the 2-deep ring
+                [(1, 10, "2024-01-01 00:00:10", 1.0)],
+            ], replay_window=2)
+        assert "OutOfOrderEventError" in str(exc.value)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_streaming_ewma_strict_raises_on_null_ts(spark, tmp_path):
     import pytest
     from pyspark.errors.exceptions.captured import StreamingQueryException

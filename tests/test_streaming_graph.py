@@ -86,6 +86,59 @@ def test_streaming_triangles_replay_idempotent(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def test_partials_sort_numerically(tmp_path):
+    """b10 must come AFTER b9 (round-6 ADVICE high: lexicographic
+    listing froze 'latest' at b9 once ids hit double digits)."""
+    from dht11_data_pipeline_spark.streaming.graph import _partials
+    root = tmp_path / "state" / "counts"
+    for bid in (0, 2, 9, 10, 11):
+        (root / f"b{bid}").mkdir(parents=True)
+    (root / "not-a-batch").mkdir()
+    got = [os.path.basename(p) for p in _partials(str(tmp_path / "state"),
+                                                  "counts")]
+    assert got == ["b0", "b2", "b9", "b10", "b11"]
+    below = [os.path.basename(p) for p in _partials(
+        str(tmp_path / "state"), "counts", below=10)]
+    assert below == ["b0", "b2", "b9"]
+
+
+def test_streaming_components_double_digit_batches(spark, tmp_path):
+    """12 single-edge micro-batches chaining 0-1-...-12: the merges from
+    batches 10 and 11 must survive (lexicographic 'latest' would resume
+    from b9's labels and silently drop them)."""
+    from dht11_data_pipeline_spark.operators.graph import (
+        connected_components)
+    from dht11_data_pipeline_spark.streaming.graph import (
+        current_components, start_components_stream)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        src = tmp_path / "feed"
+        os.makedirs(src)
+        edges = [(i, i + 1) for i in range(12)]
+        for b, (a, bb) in enumerate(edges):
+            path = src / f"f{b:02d}.json"
+            path.write_text(json.dumps({"id_a": a, "id_b": bb}) + "\n")
+            os.utime(path, (1_700_000_000 + b, 1_700_000_000 + b))
+        q = start_components_stream(
+            spark, str(src), str(tmp_path / "state"),
+            str(tmp_path / "ckpt"))
+        q.awaitTermination(600)
+        parts = os.listdir(str(tmp_path / "state" / "labels"))
+        assert len(parts) == 12 and "b10" in parts and "b11" in parts
+        got = sorted(map(tuple, current_components(
+            spark, str(tmp_path / "state")).collect()))
+        want = sorted(map(tuple, connected_components(
+            spark.createDataFrame(edges, "id_a long, id_b long"),
+            "id_a", "id_b").collect()))
+        assert got == want
+        # the whole chain is ONE cluster rooted at node 0 — only true if
+        # the batch-10 and batch-11 merges actually folded in
+        assert {lbl for _, lbl in got} == {0}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_streaming_components_equal_batch(spark, tmp_path):
     from dht11_data_pipeline_spark.operators.graph import (
         connected_components)
