@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dht11_data_pipeline_spark.functions.hashing import SEP
 from dht11_data_pipeline_spark.functions.partitioning import right_size
@@ -606,3 +607,82 @@ def phash_hamming_pairs(ph: DataFrame, id_col: str = "doc_id",
                 F.expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", *blocks, "hamming"))
+
+
+# Content-defined chunking (CDC) constants, shared with the SQL oracle:
+# a chunk boundary is declared wherever the hash of the trailing
+# CDC_WINDOW-char window is divisible by CDC_DIVISOR, so boundaries
+# depend only on LOCAL content — an insertion early in a document
+# shifts every fixed-stride shingle but leaves all later CDC cut
+# points (and therefore their chunk hashes) intact. That shift
+# immunity is why file-level dedup stores (and training-corpus delta
+# dedup) chunk this way rather than at fixed offsets.
+CDC_WINDOW = 16
+CDC_DIVISOR = 32  # expected chunk length ~= CDC_DIVISOR chars
+
+
+def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    window: int = CDC_WINDOW,
+                    divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined-chunking dedup: split every document at
+    content-derived cut points, hash the chunks, and report per
+    document how many of its chars live in chunks shared with at
+    least one OTHER document.
+
+    Boundary rule (mirrored verbatim in the DuckDB oracle): position
+    ``i`` (1-based) ends a chunk iff ``i == length`` or ``i >= window``
+    and the first 8 hex chars of sha256 of the trailing ``window``
+    chars, read as an integer, are divisible by ``divisor``.
+
+    Everything is built-in column work: posexplode(sequence) for the
+    positions, sha2 + conv for the rolling-window decision, one lag
+    window for chunk starts, one groupBy for the cross-doc share.
+    The explode is O(total chars) narrow rows carrying (doc_id, i)
+    only; at 100 TB the boundary scan moves into a single Arrow pass
+    with a gear rolling hash (O(1) per char, no per-position
+    re-hash), while the chunk-hash shuffle — the part that has to be
+    global — is unchanged: one exchange on a 64-char key with
+    map-side distinct, exactly the dedup_exact shape.
+    """
+    d = right_size(docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).alias("n_chars")))
+    pos = d.select(
+        "doc_id", "text", "n_chars",
+        F.explode(F.sequence(F.lit(1), F.col("n_chars"))).alias("i"))
+    wnd = F.substring(
+        F.col("text"), F.col("i") - F.lit(window - 1), F.lit(window))
+    cut = (F.conv(F.substring(F.sha2(wnd, 256), 1, 8), 16, 10)
+           .cast("bigint") % divisor == 0)
+    bounds = pos.filter(
+        (F.col("i") == F.col("n_chars"))
+        | ((F.col("i") >= window) & cut))
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    chunks = (bounds
+              .withColumn("s", F.coalesce(
+                  F.lag("i").over(w_doc) + 1, F.lit(1)))
+              .select(
+                  "doc_id", "n_chars",
+                  (F.col("i") - F.col("s") + 1).alias("chunk_len"),
+                  F.sha2(F.expr("substring(text, s, i - s + 1)"), 256)
+                  .alias("chunk_hash")))
+    shared = (chunks.groupBy("chunk_hash")
+              .agg(F.countDistinct("doc_id").alias("n_docs"))
+              .filter(F.col("n_docs") >= 2)
+              .select("chunk_hash"))
+    flagged = chunks.join(F.broadcast(shared), "chunk_hash", "left_semi") \
+        .groupBy("doc_id").agg(F.sum("chunk_len").alias("dup_chunk_chars"))
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.first("n_chars").alias("n_chars"))
+    return (per_doc.join(flagged, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_chunks").cast("bigint").alias("n_chunks"),
+                F.col("n_chars").cast("bigint").alias("n_chars"),
+                F.coalesce(F.col("dup_chunk_chars"), F.lit(0))
+                .cast("bigint").alias("dup_chunk_chars"),
+                F.round(F.coalesce(F.col("dup_chunk_chars"), F.lit(0))
+                        / F.col("n_chars"), 4).alias("dup_ratio")))

@@ -940,3 +940,46 @@ def kcore_peel(pairs: DataFrame, k: int = 3, max_rounds: int = 30,
     und.unpersist()
     nodes.unpersist()
     return out
+
+
+def degree_assortativity(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         assume_canonical: bool = False) -> DataFrame:
+    """Degree assortativity (Newman's r): the Pearson correlation of
+    endpoint degrees over all edges, both orientations counted — one
+    number separating hub-and-spoke near-dup graphs (r < 0: templates
+    matching many unrelated docs) from clique-y ones (r > 0:
+    boilerplate families).
+
+    Everything up to the final division is EXACT integer moments
+    (degrees are ints; Σd, Σd², Σ d_a·d_b accumulate as BIGINT), so
+    the emitted double is one identical expression on both engines —
+    no float accumulation order to drift. One degree aggregation, two
+    joins of the O(|V|) degree table onto the edge list, one global
+    aggregate: never more than the edge list in flight, no driver
+    collect."""
+    und = _canonical_edges(pairs, a_col, b_col, assume_canonical)
+    deg = _degrees(und)
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    e = und.join(dx, "x").join(dy, "y")
+    m = e.agg(
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("n_points"),
+        F.sum(F.col("dx") + F.col("dy")).cast("bigint").alias("s_x"),
+        F.sum(F.col("dx") * F.col("dx")
+              + F.col("dy") * F.col("dy")).cast("bigint").alias("s_xx"),
+        (F.sum(F.col("dx") * F.col("dy")) * 2).cast("bigint")
+        .alias("s_xy"))
+    # the final products move to double BEFORE multiplying: bigint
+    # moments are exact and identical on both engines, and double
+    # products of identical ints are identical too — while a bigint
+    # n·Σxy overflows ANSI arithmetic on billion-edge graphs
+    n_d = F.col("n_points").cast("double")
+    num = n_d * F.col("s_xy").cast("double") \
+        - F.col("s_x").cast("double") * F.col("s_x").cast("double")
+    den = n_d * F.col("s_xx").cast("double") \
+        - F.col("s_x").cast("double") * F.col("s_x").cast("double")
+    return m.select(
+        (F.col("n_points") / 2).cast("bigint").alias("n_edges"),
+        "s_x", "s_xx", "s_xy",
+        F.when(den != 0.0, F.round(num / den, 4)).alias("assortativity"))

@@ -590,3 +590,43 @@ def gif_roundtrip(df: DataFrame, text_col: str = "text",
 
     return right_size(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
         _batches, schema=GIF_ROUNDTRIP_SCHEMA)
+
+
+QOI_ROUNDTRIP_SCHEMA = ("doc_id bigint, width int, height int, "
+                        "pixel_sum bigint, n_mismatch int")
+
+
+def qoi_roundtrip(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", width: int = 64) -> DataFrame:
+    """REAL compressed-format decode #3 (QOI, functions/qoicodec):
+    each document's bytes become one grayscale RGB pixel of a
+    spec-conformant QOI stream (real run/index/diff/luma op encoding
+    with the 64-slot rolling hash table), which is then fully decoded
+    back.  QOI is lossless, so pixel_sum replays 3x the byte sum
+    exactly (r=g=b; zero padding adds nothing) and n_mismatch pins
+    the roundtrip at 0 — one wrong hash slot or run length
+    desynchronizes the index table and scrambles every later INDEX
+    op, so the value hash certifies the whole state machine.  One
+    Arrow pass; the QOI bytes never leave the executor batch."""
+    from dht11_data_pipeline_spark.functions.partitioning import right_size
+    from dht11_data_pipeline_spark.functions.qoicodec import (
+        decode_qoi_gray, text_to_qoi)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {id_col: [], "width": [], "height": [],
+                    "pixel_sum": [], "n_mismatch": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = text.encode("utf-8")
+                w, h, gray = decode_qoi_gray(text_to_qoi(raw, width))
+                rows[id_col].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(3 * sum(gray))
+                rows["n_mismatch"].append(
+                    sum(1 for a, b in zip(gray, raw) if a != b)
+                    + sum(1 for b in gray[len(raw):] if b != 0))
+            yield pd.DataFrame(rows)
+
+    return right_size(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        _batches, schema=QOI_ROUNDTRIP_SCHEMA)

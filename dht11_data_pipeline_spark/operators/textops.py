@@ -433,3 +433,70 @@ def kn_trigram(df: DataFrame, text_col: str = "text",
         .localCheckpoint(eager=True))  # bounded top_n rows; lets c3 release
     c3.unpersist()
     return ranked
+
+
+def rake_keywords(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", top_n: int = 3) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword/punctuation-free word runs; a word's score is
+    deg/freq over its phrase occurrences (deg = summed length of the
+    phrases it appears in); a phrase's score is the sum of its word
+    scores; emit each document's ``top_n`` distinct phrases.
+
+    All scoring is integer ppm (deg·1e6 DIV freq, summed as BIGINT) so
+    there is no float accumulation order to drift cross-engine, and
+    the final ranking ties on the phrase text. Shape: two narrow
+    explodes (segments, words), one per-doc window for phrase
+    grouping, two per-(doc,word) aggregations — everything keyed by
+    doc_id, so the whole operator is one shuffle family on the doc
+    key with no corpus-global state."""
+    from dht11_data_pipeline_spark.functions.text import STOPWORDS
+    from pyspark.sql.window import Window
+
+    d = right_size(df.select(F.col(id_col).alias("doc_id"),
+                             F.lower(F.col(text_col)).alias("t")))
+    segs = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("t"), "[^a-z0-9 ]+"))
+        .alias("seg_idx", "seg"))
+    words = (segs.select(
+        "doc_id", "seg_idx",
+        F.posexplode(F.split(F.col("seg"), " +")).alias("word_idx", "word"))
+        .filter(F.col("word") != ""))
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    w_seg = (Window.partitionBy("doc_id", "seg_idx").orderBy("word_idx")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    grouped = (words
+               .withColumn("is_break",
+                           F.array_contains(stop, F.col("word"))
+                           .cast("int"))
+               .withColumn("bucket", F.sum("is_break").over(w_seg))
+               .filter(F.col("is_break") == 0))
+    occ = (grouped.groupBy("doc_id", "seg_idx", "bucket")
+           .agg(F.expr("array_join(transform(array_sort("
+                       "collect_list(struct(word_idx, word))),"
+                       " s -> s.word), ' ')").alias("phrase"),
+                F.count(F.lit(1)).alias("phrase_len")))
+    members = occ.select(
+        "doc_id", "seg_idx", "bucket", "phrase", "phrase_len",
+        F.explode(F.split("phrase", " ")).alias("word"))
+    wstats = (members.groupBy("doc_id", "word")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("phrase_len").alias("deg")))
+    scored = (members.join(wstats, ["doc_id", "word"])
+              .groupBy("doc_id", "seg_idx", "bucket", "phrase",
+                       "phrase_len")
+              .agg(F.sum(F.expr("deg * 1000000 DIV freq"))
+                   .alias("score_ppm")))
+    distinct_phrases = (scored.groupBy("doc_id", "phrase")
+                        .agg(F.first("phrase_len").alias("n_words"),
+                             F.first("score_ppm").alias("score_ppm")))
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("phrase"))
+    return (distinct_phrases
+            .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+            .filter(F.col("rank") <= top_n)
+            .select("doc_id", "phrase",
+                    F.col("n_words").cast("bigint").alias("n_words"),
+                    F.col("score_ppm").cast("bigint").alias("score_ppm"),
+                    "rank"))

@@ -1251,6 +1251,51 @@ FROM pairs WHERE jaccard >= 0.2
 
     "dedup_simhash": _simhash_sql(),
 
+    # content-defined chunking: boundary at i iff i == n or (i >= 16
+    # and first-8-hex of sha256(trailing 16-char window) % 32 == 0) —
+    # the exact rule in operators/dedup.cdc_chunk_stats
+    "dedup_cdc_chunks": """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+pos AS (
+  SELECT doc_id, text, n, CAST(unnest(range(1, n + 1)) AS INTEGER) AS i
+  FROM d
+),
+b AS (
+  SELECT doc_id, text, n, i FROM pos
+  WHERE i = n OR (i >= 16 AND
+    ('0x' || substr(sha256(substr(text, i - 15, 16)), 1, 8))::BIGINT
+      % 32 = 0)
+),
+seg AS (
+  SELECT doc_id, n, i AS e,
+         COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+           AS s
+  FROM b
+),
+chunks AS (
+  SELECT seg.doc_id, seg.n, seg.e - seg.s + 1 AS chunk_len,
+         sha256(substr(d.text, seg.s, seg.e - seg.s + 1)) AS chunk_hash
+  FROM seg JOIN d USING (doc_id)
+),
+shared AS (
+  SELECT chunk_hash FROM chunks
+  GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_chars,
+       CAST(COALESCE(SUM(CASE WHEN shared.chunk_hash IS NOT NULL
+                              THEN chunk_len END), 0) AS BIGINT)
+         AS dup_chunk_chars,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN shared.chunk_hash IS NOT NULL
+                                    THEN chunk_len END), 0) AS DOUBLE)
+             / ANY_VALUE(n), 4) AS dup_ratio
+FROM chunks LEFT JOIN shared USING (chunk_hash)
+GROUP BY doc_id
+""",
+
     "text_quality": f"""
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks,
@@ -1425,6 +1470,41 @@ SELECT d.node AS vec_id, d.deg,
             // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
 FROM deg d LEFT JOIN tcnt t ON t.node = d.node
 WHERE d.deg >= 2
+""",
+
+    # Newman assortativity over the same deterministic edge set:
+    # BIGINT degree moments (exact), then one double expression —
+    # the double products of identical ints are identical on both
+    # engines, so no rounding dance beyond the final round(.,4)
+    "graph_degree_assortativity": f"""
+WITH pairs AS ({_multiprobe_near_dup_sql(threshold=0.25)}),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY node
+),
+e AS (
+  SELECT da.deg AS dx, db.deg AS dy
+  FROM pairs p
+  JOIN deg da ON da.node = p.id_a
+  JOIN deg db ON db.node = p.id_b
+),
+m AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(dx + dy) AS BIGINT) AS s_x,
+         CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS s_xx,
+         CAST(2 * SUM(dx * dy) AS BIGINT) AS s_xy
+  FROM e
+)
+SELECT CAST(n_points / 2 AS BIGINT) AS n_edges, s_x, s_xx, s_xy,
+       CASE WHEN CAST(n_points AS DOUBLE) * s_xx
+                 - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE) <> 0.0
+            THEN ROUND((CAST(n_points AS DOUBLE) * s_xy
+                        - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                       / (CAST(n_points AS DOUBLE) * s_xx
+                          - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)),
+                       4) END AS assortativity
+FROM m
 """,
 
     # neighbor-Jaccard twin of graph.neighbor_jaccard, hub-center cap
@@ -1642,6 +1722,76 @@ SELECT doc_id,
 FROM w
 """,
 
+    # RAKE: integer-ppm scoring (deg·1e6 // freq summed as BIGINT) so
+    # no float accumulation order exists to drift; stopword list is
+    # the shared functions.text.STOPWORDS constant
+    "text_rake_keywords": f"""
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+seg AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(t, '[^a-z0-9 ]+'), 1)
+           AS seg_idx,
+         unnest(regexp_split_to_array(t, '[^a-z0-9 ]+')) AS seg
+  FROM d
+),
+w AS (
+  SELECT doc_id, seg_idx,
+         generate_subscripts(regexp_split_to_array(seg, ' +'), 1)
+           AS word_idx,
+         unnest(regexp_split_to_array(seg, ' +')) AS word
+  FROM seg
+),
+b AS (
+  SELECT *, SUM(is_break) OVER (PARTITION BY doc_id, seg_idx
+                                ORDER BY word_idx
+                                ROWS UNBOUNDED PRECEDING) AS bucket
+  FROM (
+    SELECT *, CASE WHEN word IN
+        ({', '.join("'" + s + "'" for s in STOPWORDS)})
+      THEN 1 ELSE 0 END AS is_break
+    FROM w WHERE word <> ''
+  )
+),
+occ AS (
+  SELECT doc_id, seg_idx, bucket,
+         string_agg(word, ' ' ORDER BY word_idx) AS phrase,
+         COUNT(*) AS phrase_len
+  FROM b WHERE is_break = 0
+  GROUP BY doc_id, seg_idx, bucket
+),
+members AS (
+  SELECT doc_id, seg_idx, bucket, phrase, phrase_len,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM occ
+),
+wstats AS (
+  SELECT doc_id, word, COUNT(*) AS freq, SUM(phrase_len) AS deg
+  FROM members GROUP BY doc_id, word
+),
+scored AS (
+  SELECT m.doc_id, m.seg_idx, m.bucket, m.phrase, m.phrase_len,
+         SUM(s.deg * 1000000 // s.freq) AS score_ppm
+  FROM members m
+  JOIN wstats s ON s.doc_id = m.doc_id AND s.word = m.word
+  GROUP BY 1, 2, 3, 4, 5
+),
+dp AS (
+  SELECT doc_id, phrase, ANY_VALUE(phrase_len) AS n_words,
+         ANY_VALUE(score_ppm) AS score_ppm
+  FROM scored GROUP BY doc_id, phrase
+),
+r AS (
+  SELECT doc_id, phrase, n_words, score_ppm,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_ppm DESC, phrase) AS rk
+  FROM dp
+)
+SELECT doc_id, phrase, CAST(n_words AS BIGINT) AS n_words,
+       CAST(score_ppm AS BIGINT) AS score_ppm,
+       CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 3
+""",
+
     "text_repetition": """
 WITH tf AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -1820,6 +1970,29 @@ SELECT doc_id,
        CAST(64 AS INTEGER) AS width,
        CAST(GREATEST(1, (n + 63) // 64) AS INTEGER) AS height,
        pixel_sum,
+       CAST(0 AS INTEGER) AS n_mismatch
+FROM s
+""",
+
+    # QOI with one grayscale RGB pixel per byte: LOSSLESS, so the
+    # decode replays the bytes exactly — width 64, height = ceil(n/64)
+    # (min 1), pixel_sum = 3x byte sum (r=g=b; zero padding adds
+    # nothing), n_mismatch pinned 0 by the roundtrip
+    "mm_qoi_decode": """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(ascii(substr(text, CAST(i AS INTEGER), 1))), 0)
+              AS BIGINT) AS byte_sum
+  FROM d LEFT JOIN LATERAL unnest(range(1, n + 1)) AS t(i) ON TRUE
+  GROUP BY doc_id, n
+)
+SELECT doc_id,
+       CAST(64 AS INTEGER) AS width,
+       CAST(GREATEST(1, (n + 63) // 64) AS INTEGER) AS height,
+       CAST(3 * byte_sum AS BIGINT) AS pixel_sum,
        CAST(0 AS INTEGER) AS n_mismatch
 FROM s
 """,
@@ -2116,6 +2289,84 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
 FROM days JOIN first_seen USING (user_id)
 GROUP BY 1, 2
 """,
+    "t_rfm_segmentation": """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(value AS DECIMAL(18,2))) AS monetary_d
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         CAST(date_diff('day', last_day, MAX(last_day) OVER ()) AS INTEGER)
+           AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency,
+         CAST(monetary_d AS DOUBLE) AS monetary
+  FROM per_user
+),
+tiled AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         CAST(NTILE(5) OVER (ORDER BY recency_days ASC, user_id)
+              AS INTEGER) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id)
+              AS INTEGER) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id)
+              AS INTEGER) AS m_score
+  FROM scored
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+            WHEN r_score >= 4 AND f_score >= 4 THEN 'hibernating'
+            WHEN r_score >= 4 THEN 'at_risk'
+            WHEN f_score <= 2 THEN 'loyal'
+            ELSE 'regular' END AS segment
+FROM tiled
+""",
+
+    # trend/seasonal sums run over DECIMALs (exact, associative) so
+    # DuckDB's segment-tree frame evaluation cannot reorder a double
+    # sum; every emitted float is one division/round of identical
+    # inputs on both engines
+    "ts_seasonal_decompose": """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS total_d
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, total_d,
+         SUM(total_d) OVER w7 AS sum7,
+         COUNT(*) OVER w7 AS cnt7,
+         CAST(isodow(day) - 1 AS INTEGER) AS dow
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+tt AS (
+  SELECT *, CASE WHEN cnt7 = 7 THEN CAST(sum7 AS DOUBLE) / 7.0 END
+              AS trend
+  FROM t
+),
+dt AS (
+  SELECT *, CASE WHEN trend IS NOT NULL THEN
+              CAST(ROUND(CAST(total_d AS DOUBLE) - trend, 6)
+                   AS DECIMAL(18,6)) END AS detr
+  FROM tt
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, dow,
+       CAST(total_d AS DOUBLE) AS day_total,
+       ROUND(trend, 4) AS trend,
+       ROUND(CAST(SUM(detr) OVER wd AS DOUBLE) / COUNT(detr) OVER wd, 4)
+         AS seasonal,
+       ROUND(CAST(total_d AS DOUBLE) - trend
+             - CAST(SUM(detr) OVER wd AS DOUBLE) / COUNT(detr) OVER wd,
+             4) AS resid
+FROM dt
+WINDOW wd AS (PARTITION BY event_type, dow)
+""",
+
     "ts_anomaly_days": """
 WITH daily AS (
   SELECT event_type,

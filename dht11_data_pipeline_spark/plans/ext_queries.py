@@ -40,6 +40,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(docs, max_hamming=3)
 
 
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup: shift-immune cut points from a
+    16-char rolling window hash, chunk-hash share across documents,
+    per-doc duplicated-char ratio — the file-store dedup primitive
+    applied to a training corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cdc_chunk_stats(docs)
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.quality_metrics(docs)
@@ -291,6 +300,15 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip at 0 — the value hash certifies the entire LZW path."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.gif_roundtrip(docs, width=64)
+
+
+def mm_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode #3 (QOI, functions/qoicodec):
+    document bytes → grayscale RGB pixels → run/index/diff/luma op
+    stream → full decode.  Lossless, so pixel_sum replays 3× the byte
+    sum exactly and n_mismatch pins the roundtrip at 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.qoi_roundtrip(docs, width=64)
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,6 +793,51 @@ def t_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    user, then a rule segment — the classic lifecycle cut of a user
+    base. Monetary goes through DECIMAL(18,2) (the _money discipline)
+    so the quintile ordering is exact; every ntile ties on user_id so
+    the tiling is deterministic on both engines.
+
+    Scale: one shuffle to the user grain; the anchor date and the
+    three ntiles are windows over the ALREADY-AGGREGATED user frame
+    (never a join back through the fact scan — the global-scalar
+    rule), so the single-partition window touches O(users) rows, not
+    O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("timestamp").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary_d"))
+    scored = (per_user
+              .withColumn("anchor", F.max("last_day").over(
+                  Window.partitionBy()))
+              .select(
+                  "user_id",
+                  F.datediff("anchor", "last_day").cast("int")
+                  .alias("recency_days"),
+                  F.col("frequency").cast("bigint").alias("frequency"),
+                  F.col("monetary_d").cast("double").alias("monetary")))
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    tiled = scored.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"))
+    return tiled.withColumn(
+        "segment",
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1),
+               "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4),
+              "hibernating")
+        .when(F.col("r_score") >= 4, "at_risk")
+        .when(F.col("f_score") <= 2, "loyal")
+        .otherwise("regular"))
+
+
 _BM25_TERMS = ["spark", "stream", "merge"]
 
 
@@ -1121,6 +1184,55 @@ def ts_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("v") * 100).cast("bigint"))
 
 
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of daily spend per event type:
+    trend = centered 7-day moving average, seasonal = day-of-week mean
+    of the detrended series, residual = the rest.
+
+    Float discipline so both engines agree bit-for-bit: the moving-sum
+    runs over DECIMAL(18,2) day totals (exact, associative — immune to
+    DuckDB's segment-tree frame evaluation reordering a double sum),
+    the detrended values are rounded to 6 places and re-decimalized
+    before the day-of-week average, and every emitted float is a
+    single division or rounding of identical inputs. Seasonal means
+    are WINDOWS over the daily frame — no join back through the fact
+    scan. Edge days (incomplete 7-day window) emit NULL trend/resid
+    and are excluded from the seasonal means."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+             .alias("total_d")))
+    w7 = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3))
+    t = (daily
+         .withColumn("sum7", F.sum("total_d").over(w7))
+         .withColumn("cnt7", F.count("total_d").over(w7))
+         .withColumn("trend", F.when(
+             F.col("cnt7") == 7,
+             F.col("sum7").cast("double") / F.lit(7.0)))
+         .withColumn("dow", F.expr("weekday(day)").cast("int"))
+         .withColumn("detr", F.when(
+             F.col("trend").isNotNull(),
+             F.round(F.col("total_d").cast("double") - F.col("trend"), 6)
+             .cast("decimal(18,6)"))))
+    w_dow = Window.partitionBy("event_type", "dow")
+    out = (t
+           .withColumn("seasonal", F.sum("detr").over(w_dow).cast("double")
+                       / F.count("detr").over(w_dow))
+           .select(
+               "event_type",
+               F.date_format("day", "yyyy-MM-dd").alias("day"),
+               "dow",
+               F.col("total_d").cast("double").alias("day_total"),
+               F.round("trend", 4).alias("trend"),
+               F.round("seasonal", 4).alias("seasonal"),
+               F.round(F.col("total_d").cast("double") - F.col("trend")
+                       - F.col("seasonal"), 4).alias("resid")))
+    return out
+
+
 def cur_dup_aware_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-aware sampling: keep each doc with probability
     1/|its exact-dup cluster| — every distinct content contributes one
@@ -1308,6 +1420,17 @@ def cur_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("is_survivor")))
 
 
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the near-dup graph (threshold
+    0.25, same deterministic edge set as the triangle family): one
+    exact-integer-moment row answering "is this dedup graph
+    boilerplate cliques (r > 0) or template hubs (r < 0)"."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates_multiprobe(
+        emb, threshold=0.25)
+    return graph.degree_assortativity(pairs, assume_canonical=True)
+
+
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (ppm, exact integer) over the same
     near-dup graph as graph_triangle_count: cc ≈ 1e6 marks boilerplate
@@ -1370,6 +1493,16 @@ def text_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the char-bigram proxy (text_bigram_rarity)."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.kn_trigram(docs, top_n=100)
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: stopword/punctuation-delimited
+    candidate phrases scored by summed deg/freq of member words
+    (integer ppm), top 3 per document — the unsupervised what-is-this-
+    doc-about signal next to tf-idf (corpus-relative) and BM25
+    (query-relative)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.rake_keywords(docs, top_n=3)
 
 
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,6 +1726,7 @@ EXT_QUERIES = {
     "j_entity_resolution": j_entity_resolution,
     "t_journey_patterns": t_journey_patterns,
     "ts_trend_per_type": ts_trend_per_type,
+    "ts_seasonal_decompose": ts_seasonal_decompose,
     "mm_audio_ann": mm_audio_ann,
     "j_fuzzy_part_match": j_fuzzy_part_match,
     "t_event_type_affinity": t_event_type_affinity,
@@ -1616,6 +1750,7 @@ EXT_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_cdc_chunks": dedup_cdc_chunks,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -1627,6 +1762,7 @@ EXT_QUERIES = {
     "sim_ivf_ann_nprobe": sim_ivf_ann_nprobe,
     "graph_triangle_count": graph_triangle_count,
     "graph_clustering_coeff": graph_clustering_coeff,
+    "graph_degree_assortativity": graph_degree_assortativity,
     "dedup_containment": dedup_containment,
     "text_bigram_rarity": text_bigram_rarity,
     "t_attribution": t_attribution,
@@ -1636,6 +1772,7 @@ EXT_QUERIES = {
     "graph_link_prediction": graph_link_prediction,
     "graph_adamic_adar": graph_adamic_adar,
     "text_kn_trigram": text_kn_trigram,
+    "text_rake_keywords": text_rake_keywords,
     "graph_kcore": graph_kcore,
     "sim_matryoshka_rerank": sim_matryoshka_rerank,
     "text_ngram_novelty": text_ngram_novelty,
@@ -1648,6 +1785,7 @@ EXT_QUERIES = {
     "mm_png_decode": mm_png_decode,
     "mm_jpeg_decode": mm_jpeg_decode,
     "mm_gif_decode": mm_gif_decode,
+    "mm_qoi_decode": mm_qoi_decode,
     "mm_cross_modal_audit": mm_cross_modal_audit,
     "mm_frame_sample": mm_frame_sample,
     "meta_profile_orders": meta_profile_orders,
@@ -1671,6 +1809,7 @@ EXT_QUERIES = {
     "cur_decontaminate": cur_decontaminate,
     "t_funnel_conversion": t_funnel_conversion,
     "t_cohort_retention": t_cohort_retention,
+    "t_rfm_segmentation": t_rfm_segmentation,
     "ts_anomaly_days": ts_anomaly_days,
     "cur_quality_filter": cur_quality_filter,
 }
