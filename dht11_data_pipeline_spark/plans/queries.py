@@ -880,8 +880,10 @@ def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference has no array types; the engine exposes the full lambda
     surface the LLM-pipeline operators are built from).
 
-    Scale: HOFs are interpreted, not codegen'd (see
-    .claude/skills/verify gotchas) — the token array is materialized
+    Scale: HOFs are interpreted, not codegen'd (Spark evaluates
+    lambda expressions per-row outside WholeStageCodegen, see
+    HigherOrderFunction in Spark's catalyst expressions) — the
+    token array is materialized
     once in a prior projection so lambdas never re-evaluate split();
     fine here because arrays are word-lists (tiny), and the op stays
     narrow (no shuffle, columnar scan of one string column).
