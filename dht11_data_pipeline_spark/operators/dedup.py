@@ -634,55 +634,87 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
     ``i`` (1-based) ends a chunk iff ``i == length`` or ``i >= window``
     and the first 8 hex chars of sha256 of the trailing ``window``
     chars, read as an integer, are divisible by ``divisor``.
+    Empty (or NULL) documents produce no chunk rows and therefore no
+    output row — same contract as the oracle, whose ``range(1, n+1)``
+    is empty for ``n = 0``.
 
-    Everything is built-in column work: posexplode(sequence) for the
-    positions, sha2 + conv for the rolling-window decision, one lag
-    window for chunk starts, one groupBy for the cross-doc share.
-    The explode is O(total chars) narrow rows carrying (doc_id, i)
-    only; at 100 TB the boundary scan moves into a single Arrow pass
-    with a gear rolling hash (O(1) per char, no per-position
-    re-hash), while the chunk-hash shuffle — the part that has to be
-    global — is unchanged: one exchange on a 64-char key with
-    map-side distinct, exactly the dedup_exact shape.
+    The boundary scan is ONE Arrow pass per document (mapInPandas):
+    each task streams its documents once, emitting (doc_id, n_chars,
+    chunk_len, chunk_hash) rows directly — no O(total chars) row
+    explode, no per-doc lag-window shuffle, and the divisibility test
+    reduces to one byte of the digest (``divisor`` is a power of two,
+    so ``first-4-bytes % 32 == 0`` ⟺ ``digest[3] & 31 == 0``). The
+    pass is embarrassingly parallel and narrow; the chunk-hash
+    shuffle — the only part that has to be global — is unchanged: one
+    exchange on a 64-char key with map-side distinct, exactly the
+    dedup_exact shape.
     """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    pow2 = divisor > 0 and (divisor & (divisor - 1)) == 0
+    mask = divisor - 1
+
+    def scan(batches):
+        import hashlib
+
+        for pdf in batches:
+            doc_ids, ns, lens, hashes = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not text:  # empty or NULL: no chunks, no output row
+                    continue
+                n = len(text)
+                cuts = []
+                for i in range(window, n + 1):
+                    dig = hashlib.sha256(
+                        text[i - window:i].encode("utf-8")).digest()
+                    v = int.from_bytes(dig[:4], "big")
+                    if (v & mask) == 0 if pow2 else v % divisor == 0:
+                        cuts.append(i)
+                if not cuts or cuts[-1] != n:
+                    cuts.append(n)
+                s = 0
+                for e in cuts:
+                    doc_ids.append(doc_id)
+                    ns.append(n)
+                    lens.append(e - s)
+                    hashes.append(hashlib.sha256(
+                        text[s:e].encode("utf-8")).hexdigest())
+                    s = e
+            yield pd.DataFrame({
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_chars": pd.Series(ns, dtype="int64"),
+                "chunk_len": pd.Series(lens, dtype="int64"),
+                "chunk_hash": pd.Series(hashes, dtype="object"),
+            })
+
     d = right_size(docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        F.length(text_col).alias("n_chars")))
-    pos = d.select(
-        "doc_id", "text", "n_chars",
-        F.explode(F.sequence(F.lit(1), F.col("n_chars"))).alias("i"))
-    wnd = F.substring(
-        F.col("text"), F.col("i") - F.lit(window - 1), F.lit(window))
-    cut = (F.conv(F.substring(F.sha2(wnd, 256), 1, 8), 16, 10)
-           .cast("bigint") % divisor == 0)
-    bounds = pos.filter(
-        (F.col("i") == F.col("n_chars"))
-        | ((F.col("i") >= window) & cut))
-    w_doc = Window.partitionBy("doc_id").orderBy("i")
-    chunks = (bounds
-              .withColumn("s", F.coalesce(
-                  F.lag("i").over(w_doc) + 1, F.lit(1)))
-              .select(
-                  "doc_id", "n_chars",
-                  (F.col("i") - F.col("s") + 1).alias("chunk_len"),
-                  F.sha2(F.expr("substring(text, s, i - s + 1)"), 256)
-                  .alias("chunk_hash")))
-    shared = (chunks.groupBy("chunk_hash")
-              .agg(F.countDistinct("doc_id").alias("n_docs"))
-              .filter(F.col("n_docs") >= 2)
-              .select("chunk_hash"))
-    flagged = chunks.join(F.broadcast(shared), "chunk_hash", "left_semi") \
-        .groupBy("doc_id").agg(F.sum("chunk_len").alias("dup_chunk_chars"))
-    per_doc = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
+        F.col(text_col).alias("text")))
+    chunks = d.mapInPandas(
+        scan,
+        schema=("doc_id bigint, n_chars bigint, chunk_len bigint, "
+                "chunk_hash string"))
+    # The chunk stream is scanned exactly ONCE (it's a Python stage —
+    # re-materializing it per consumer would triple the corpus pass),
+    # and exchanged exactly TWICE: one repartition on chunk_hash that
+    # both the (chunk_hash, doc_id) aggregation and the per-hash count
+    # window reuse (HashPartitioning(chunk_hash) satisfies clustering
+    # on the superset key), then the final groupBy doc_id. Rows at the
+    # (chunk_hash, doc_id) grain are distinct docs, so the window's
+    # count(*) ≡ countDistinct(doc_id) without building a set —
+    # skew-safe even when one chunk is shared by millions of docs.
+    g = chunks.repartition("chunk_hash").groupBy("chunk_hash", "doc_id").agg(
+        F.sum("chunk_len").alias("chars"),
+        F.count(F.lit(1)).alias("k"),
         F.first("n_chars").alias("n_chars"))
-    return (per_doc.join(flagged, "doc_id", "left")
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("chunk_hash"))
+    g = g.withColumn("dup_chars",
+                     F.when(n_docs >= 2, F.col("chars")).otherwise(F.lit(0)))
+    return (g.groupBy("doc_id")
+            .agg(F.sum("k").cast("bigint").alias("n_chunks"),
+                 F.first("n_chars").cast("bigint").alias("n_chars"),
+                 F.sum("dup_chars").cast("bigint").alias("dup_chunk_chars"))
             .select(
-                "doc_id",
-                F.col("n_chunks").cast("bigint").alias("n_chunks"),
-                F.col("n_chars").cast("bigint").alias("n_chars"),
-                F.coalesce(F.col("dup_chunk_chars"), F.lit(0))
-                .cast("bigint").alias("dup_chunk_chars"),
-                F.round(F.coalesce(F.col("dup_chunk_chars"), F.lit(0))
-                        / F.col("n_chars"), 4).alias("dup_ratio")))
+                "doc_id", "n_chunks", "n_chars", "dup_chunk_chars",
+                F.round(F.col("dup_chunk_chars") / F.col("n_chars"), 4)
+                .alias("dup_ratio")))

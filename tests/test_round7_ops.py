@@ -39,7 +39,8 @@ def edge_sf_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize("key", ["mm_jpeg_decode", "mm_gif_decode",
-                                 "mm_png_decode", "mm_frame_sample"])
+                                 "mm_png_decode", "mm_frame_sample",
+                                 "dedup_cdc_chunks"])
 def test_codec_oracles_survive_empty_docs(spark, edge_sf_dir, key):
     import __spark_entry__ as E
     from diffcheck import compare_one
