@@ -36,17 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list limited to keys whose code or oracle actually changed in
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
-    "mm_audio_fingerprint",  # oracle: CAST(SUM..AS BIGINT) on fp_hi/fp_lo
-    "t_markov_transitions",  # oracle: CAST(SUM(n) OVER .. AS BIGINT)
-    "mm_audio_near_dup",     # degenerate-fingerprint filter (ADVICE r4)
-    "ts_holt_winters",       # vectorized numpy fold (VERDICT r5 item 3)
-    "mm_jpeg_decode",        # NEW: baseline JPEG decode (VERDICT r5 item 10)
-    "graph_adamic_adar",     # NEW: integer AA link prediction
-    "graph_kcore",           # NEW: k-core peel, capped-round oracle twin
-    "sim_matryoshka_rerank",  # NEW: prefix-dim ANN + exact rerank
-    "text_kn_trigram",       # NEW: integer Kneser-Ney trigram LM stats
-    "mm_gif_decode",         # NEW: GIF87a LZW roundtrip decode
-    "mm_cross_modal_audit",  # NEW: text-vs-image dedup disagreement
+    "dedup_cdc_chunks",      # boundary scan: one Arrow pass; empty-doc fix
+    "t_rfm_segmentation",    # quintiles via distributed global_ntile
 ]
 
 

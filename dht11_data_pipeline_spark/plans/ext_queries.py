@@ -800,33 +800,36 @@ def t_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the quintile ordering is exact; every ntile ties on user_id so
     the tiling is deterministic on both engines.
 
-    Scale: one shuffle to the user grain; the anchor date and the
-    three ntiles are windows over the ALREADY-AGGREGATED user frame
-    (never a join back through the fact scan — the global-scalar
-    rule), so the single-partition window touches O(users) rows, not
-    O(events)."""
+    Scale: one shuffle to the user grain, then NO single-partition
+    stage anywhere: the anchor date is a 1-row aggregate broadcast
+    back (the global-scalar rule, J3 shape), and the three quintiles
+    go through ``operators.ranking.global_ntile`` — a range-
+    partitioned parallel sort + O(#partitions) offset frame that
+    reproduces SQL NTILE exactly, so the oracle's plain ``NTILE(5)
+    OVER (ORDER BY ...)`` stays the verbatim twin while the Spark
+    plan survives a billion-user frame."""
+    from dht11_data_pipeline_spark.operators.ranking import global_ntile
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(F.col("ts").cast("timestamp").cast("date")).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary_d"))
-    scored = (per_user
-              .withColumn("anchor", F.max("last_day").over(
-                  Window.partitionBy()))
+    per_user = per_user.persist()  # feeds the anchor agg and the frame
+    anchor = per_user.agg(F.max("last_day").alias("anchor"))
+    scored = (per_user.crossJoin(F.broadcast(anchor))
               .select(
                   "user_id",
                   F.datediff("anchor", "last_day").cast("int")
                   .alias("recency_days"),
                   F.col("frequency").cast("bigint").alias("frequency"),
                   F.col("monetary_d").cast("double").alias("monetary")))
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
-    tiled = scored.select(
-        "user_id", "recency_days", "frequency", "monetary",
-        F.ntile(5).over(r_w).cast("int").alias("r_score"),
-        F.ntile(5).over(f_w).cast("int").alias("f_score"),
-        F.ntile(5).over(m_w).cast("int").alias("m_score"))
+    tiled = scored
+    for out_col, order in [
+            ("r_score", [F.col("recency_days").asc(), F.col("user_id")]),
+            ("f_score", [F.col("frequency").desc(), F.col("user_id")]),
+            ("m_score", [F.col("monetary").desc(), F.col("user_id")])]:
+        tiled = global_ntile(tiled, 5, order, out_col)
     return tiled.withColumn(
         "segment",
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1),

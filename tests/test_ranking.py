@@ -1,0 +1,59 @@
+"""global_ntile must reproduce SQL NTILE exactly (it replaces the
+single-partition window in t_rfm_segmentation with a distributed
+rank; any divergence from the window form is a correctness bug, not
+a tolerance)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from dht11_data_pipeline_spark.operators.ranking import global_ntile  # noqa: E402
+
+
+@pytest.mark.parametrize("n_rows", [0, 1, 3, 4, 5, 6, 23, 100, 1001])
+@pytest.mark.parametrize("n_tiles", [2, 5, 7])
+def test_global_ntile_matches_window_ntile(spark, n_rows, n_tiles):
+    # values collide on purpose (v = id % 7) so the unique-id tiebreak
+    # carries the ordering; descending order exercises the range
+    # partitioner's non-default sort direction.
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 7).alias("v"))
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {r["id"]: r["t"] for r in
+           global_ntile(df, n_tiles, order, "t").collect()}
+    want = {r["id"]: r["t"] for r in
+            df.select("id", F.ntile(n_tiles).over(
+                Window.orderBy(*order)).alias("t")).collect()}
+    assert got == want
+
+
+def test_global_ntile_plan_single_partition_only_on_offset_frame(spark):
+    """The data path must be range-partitioned; the only permissible
+    SinglePartition exchange is the O(#partitions) offset frame, i.e.
+    it must sit directly above the per-_pid count aggregate, never
+    above the row-level sort the window form would have required."""
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 3).alias("v"))
+    from dht11_data_pipeline_spark.operators.ranking import _range_indexed
+
+    data_path = _range_indexed(df, [F.col("v"), F.col("id")])
+    data_plan = data_path._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in data_plan
+    assert "SinglePartition" not in data_plan
+
+    out = global_ntile(df, 5, [F.col("v"), F.col("id")], "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window [ntile" not in plan
+    lines = plan.splitlines()
+    for idx, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[idx + 1:idx + 3])
+            assert "HashAggregate(keys=[_pid" in below, (
+                "SinglePartition exchange over something other than "
+                "the per-partition count frame:\n" + below)
