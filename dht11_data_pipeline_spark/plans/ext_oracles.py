@@ -1977,7 +1977,15 @@ FROM s
     # QOI with one grayscale RGB pixel per byte: LOSSLESS, so the
     # decode replays the bytes exactly — width 64, height = ceil(n/64)
     # (min 1), pixel_sum = 3x byte sum (r=g=b; zero padding adds
-    # nothing), n_mismatch pinned 0 by the roundtrip
+    # nothing), n_mismatch pinned 0 by the roundtrip.
+    # ASCII-ONLY FIXTURE ASSUMPTION (shared with the jpeg/gif oracles):
+    # the LATERAL below indexes CHARACTERS (ascii(substr(text, i, 1)))
+    # while n counts UTF-8 BYTES (octet_length(encode(text))) and the
+    # Python codec synthesizes pixels from text.encode() bytes; the two
+    # agree only while every document codepoint is < U+0080, which the
+    # generated fixtures guarantee (tests/test_round7_ops.py pins the
+    # generator's ASCII property). A non-ASCII corpus needs a byte-wise
+    # unnest over encode(text) here instead.
     "mm_qoi_decode": """
 WITH d AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents

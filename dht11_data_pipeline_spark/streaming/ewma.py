@@ -76,7 +76,16 @@ def _make_fold(max_steps: int, expire_ms: int | None, strict: bool,
             state.remove()
             return
         if state.exists:
-            y, t, last_ts, last_eid, r_ts, r_eid = state.get
+            # Unpack defensively: a checkpoint written before the
+            # redelivery ring existed stores 4 fields, not 6 — treat
+            # the missing ring as empty so an in-place upgrade resumes
+            # instead of dying on tuple arity (only redelivery of the
+            # exact tail event stays deduplicated until the ring
+            # refills, the pre-upgrade behavior).
+            stored = tuple(state.get)
+            y, t, last_ts, last_eid = stored[:4]
+            r_ts, r_eid = (stored[4], stored[5]) if len(stored) >= 6 \
+                else ([], [])
             recent = [(int(a), int(b))
                       for a, b in zip(r_ts or [], r_eid or [])]
         else:

@@ -59,3 +59,19 @@ def test_jpeg_roundtrip_emits_row_for_empty_doc(spark):
     r = rows[0]
     assert (r["width"], r["height"], r["n_blocks"],
             r["pixel_sum"], r["max_abs_err"]) == (64, 8, 8, 0, 0)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_documents_fixture_is_ascii(sf_dir):
+    """The mm_* codec oracles index CHARACTERS while the Python codecs
+    consume UTF-8 BYTES; the two agree only on ASCII text. Pin the
+    fixture property the oracles rely on (documented at the
+    mm_qoi_decode oracle) so a regenerated corpus cannot silently
+    break byte/char parity."""
+    import duckdb
+
+    (n_bad,) = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE octet_length(encode(text)) <> length(text)").fetchone()
+    assert n_bad == 0
