@@ -621,14 +621,15 @@ CDC_WINDOW = 16
 CDC_DIVISOR = 32  # expected chunk length ~= CDC_DIVISOR chars
 
 
-def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id",
-                    window: int = CDC_WINDOW,
-                    divisor: int = CDC_DIVISOR) -> DataFrame:
-    """Content-defined-chunking dedup: split every document at
-    content-derived cut points, hash the chunks, and report per
-    document how many of its chars live in chunks shared with at
-    least one OTHER document.
+def cdc_chunks(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               window: int = CDC_WINDOW,
+               divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined chunk extraction: one (doc_id, n_chars,
+    chunk_len, chunk_hash) row per chunk. The shared front half of
+    ``cdc_chunk_stats`` and the streaming CDC dedup twin
+    (streaming/cdc.py) — both must cut identically or stream/batch
+    parity breaks.
 
     Boundary rule (mirrored verbatim in the DuckDB oracle): position
     ``i`` (1-based) ends a chunk iff ``i == length`` or ``i >= window``
@@ -690,10 +691,22 @@ def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
     d = right_size(docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text")))
-    chunks = d.mapInPandas(
+    return d.mapInPandas(
         scan,
         schema=("doc_id bigint, n_chars bigint, chunk_len bigint, "
                 "chunk_hash string"))
+
+
+def cdc_chunk_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    window: int = CDC_WINDOW,
+                    divisor: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined-chunking dedup: split every document at
+    content-derived cut points (``cdc_chunks``), hash the chunks, and
+    report per document how many of its chars live in chunks shared
+    with at least one OTHER document.
+    """
+    chunks = cdc_chunks(docs, text_col, id_col, window, divisor)
     # The chunk stream is scanned exactly ONCE (it's a Python stage —
     # re-materializing it per consumer would triple the corpus pass),
     # and exchanged exactly TWICE: one repartition on chunk_hash that
