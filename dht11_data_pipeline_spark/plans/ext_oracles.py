@@ -547,6 +547,72 @@ fp AS (
 
 
 EXT_ORACLES: dict[str, str] = {
+    # the Spark side tiles with operators.ranking.global_ntile (a
+    # distributed exact NTILE); the plain window here is the semantic
+    # twin — identical assignment, single-partition plan the engine
+    # side deliberately avoids
+    "o_revenue_deciles": """
+WITH per_cust AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, rev_d,
+         NTILE(10) OVER (ORDER BY rev_d DESC, o_custkey) AS decile
+  FROM per_cust
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_d) AS DOUBLE) AS total_revenue,
+       CAST(MIN(rev_d) AS DOUBLE) AS min_revenue,
+       CAST(MAX(rev_d) AS DOUBLE) AS max_revenue
+FROM tiled GROUP BY decile
+""",
+
+    # Pearson r from DECIMAL-exact moments cast to double at the end —
+    # five double ops + sqrt on identical inputs on both engines (the
+    # ts_anomaly_days discipline); den <= 0 (constant series) yields
+    # NULL on both sides
+    "ts_autocorrelation": """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS x_d
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x_d,
+         LAG(x_d, 1) OVER w AS lag1, LAG(x_d, 2) OVER w AS lag2,
+         LAG(x_d, 3) OVER w AS lag3, LAG(x_d, 7) OVER w AS lag7
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+pairs AS (
+  SELECT event_type, lag, x_d, y_d FROM (
+    SELECT event_type, x_d, 1 AS lag, lag1 AS y_d FROM lagged
+    UNION ALL SELECT event_type, x_d, 2, lag2 FROM lagged
+    UNION ALL SELECT event_type, x_d, 3, lag3 FROM lagged
+    UNION ALL SELECT event_type, x_d, 7, lag7 FROM lagged
+  ) WHERE y_d IS NOT NULL
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x_d) AS DOUBLE) AS sx,
+         CAST(SUM(y_d) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x_d * y_d AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x_d * x_d AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y_d * y_d AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+       CASE WHEN sqrt(n_pairs * sxx - sx * sx)
+                 * sqrt(n_pairs * syy - sy * sy) > 0
+            THEN ROUND((n_pairs * sxy - sx * sy)
+                       / (sqrt(n_pairs * sxx - sx * sx)
+                          * sqrt(n_pairs * syy - sy * sy)), 4)
+       END AS acf
+FROM m
+""",
+
     "mm_audio_fingerprint": _AUDIO_FP + """
 SELECT doc_id, n_frames, fp_hi, fp_lo FROM fp
 """,

@@ -1715,9 +1715,89 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("n_frames",))
 
 
+def o_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue deciles: per-customer order revenue tiled into
+    10 exact NTILE buckets, reported as one row per decile (count,
+    total, min/max). Revenue goes through DECIMAL(18,2) (the _money
+    discipline) so the tiling order is exact; the decile assignment
+    ties on custkey so it is deterministic on both engines.
+
+    Scale: the tiling is operators.ranking.global_ntile — a range-
+    partitioned parallel sort plus an O(#partitions) offset frame —
+    so unlike a plain NTILE window there is no single task sorting
+    the whole customer base; the oracle's NTILE(10) OVER (ORDER BY)
+    is the verbatim semantic twin."""
+    from dht11_data_pipeline_spark.operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"))
+    tiled = global_ntile(
+        per_cust, 10, [F.col("rev_d").desc(), F.col("o_custkey")], "decile")
+    return (tiled.groupBy("decile")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum("rev_d").cast("double").alias("total_revenue"),
+                 F.min("rev_d").cast("double").alias("min_revenue"),
+                 F.max("rev_d").cast("double").alias("max_revenue")))
+
+
+_ACF_LAGS = (1, 2, 3, 7)
+
+
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the per-type daily total at lags 1/2/3/7
+    observations — the seasonality probe a forecasting pipeline runs
+    before choosing a model (lag-7 high → weekly cycle). Pearson r is
+    assembled from DECIMAL-exact moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    cast to double at the very end, so both engines perform the
+    identical five double operations + sqrt on identical inputs —
+    never a streaming corr() whose accumulation order drifts.
+
+    Scale: one map-side partial agg to the day×type grain; the lag
+    window, the unpivot, and the moment aggregation all run over the
+    tiny daily frame partitioned by event_type — the fact table is
+    scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("x_d")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "x_d",
+        *[F.lag("x_d", lag).over(w).alias(f"lag{lag}")
+          for lag in _ACF_LAGS])
+    stack_args = ", ".join(f"{lag}, lag{lag}" for lag in _ACF_LAGS)
+    pairs = (lagged.select(
+        "event_type", "x_d",
+        F.expr(f"stack({len(_ACF_LAGS)}, {stack_args}) AS (lag, y_d)"))
+        .filter(F.col("y_d").isNotNull()))
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x_d").cast("double").alias("sx"),
+        F.sum("y_d").cast("double").alias("sy"),
+        F.sum((F.col("x_d") * F.col("y_d")).cast("decimal(38,4)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("x_d") * F.col("x_d")).cast("decimal(38,4)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("y_d") * F.col("y_d")).cast("decimal(38,4)"))
+        .cast("double").alias("syy"))
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+           * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")))
+    return m.select(
+        "event_type", F.col("lag").cast("int").alias("lag"), "n_pairs",
+        F.when(den > 0, F.round(num / den, 4)).alias("acf"))
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "o_revenue_deciles": o_revenue_deciles,
+    "ts_autocorrelation": ts_autocorrelation,
     "mm_audio_fingerprint": mm_audio_fingerprint,
     "mm_audio_near_dup": mm_audio_near_dup,
     "ts_holt_winters": ts_holt_winters,
