@@ -33,9 +33,30 @@ HEADLINE = [
 ]
 
 
+def _run_conditions() -> dict:
+    """Record whether the box was quiet: timings on this 32-core host
+    move ±20-50% when another Spark JVM runs concurrently, and three
+    rounds of 'regressions' on unchanged code traced back to exactly
+    that. other_jvms counts java processes besides our own session's;
+    load1 is the 1-minute loadavg BEFORE warm-up."""
+    try:
+        import subprocess
+        pids = subprocess.run(["pgrep", "-c", "java"], capture_output=True,
+                              text=True, timeout=10)
+        n_java = int(pids.stdout.strip() or 0)
+    except Exception:  # noqa: BLE001 — conditions are best-effort
+        n_java = -1
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = -1.0
+    return {"other_jvms": max(0, n_java), "load1_at_start": load1}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    conditions = _run_conditions()  # sample BEFORE our own JVM starts
     spark = get_spark("bench")
 
     import __spark_entry__ as entrymod
@@ -90,6 +111,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "conditions": conditions,
     }
     line = json.dumps(result, separators=(",", ":"))
     # the AUTHORITATIVE full per-query map lives in-repo: the driver
@@ -110,6 +132,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "conditions": conditions,
         "median_sec": round(vals[len(vals) // 2], 3) if vals else 0.0,
         "over_2s": sum(1 for v in vals if v > 2.0),
         "full_map": "BENCH_LATEST.json",

@@ -40,6 +40,26 @@ from dht11_data_pipeline_spark.functions.text import distinct_shingles, tokens
 MAX_SHINGLE_DF = 100_000
 
 
+def _trim_hot_shingles(inv: DataFrame, docs: DataFrame,
+                       max_shingle_df: int | None) -> DataFrame:
+    """Drop stop-shingles (document frequency > cap) from the join side
+    of an inverted index. Pigeonhole short-circuit: a shingle's df is
+    bounded by the number of documents, so when the corpus itself is
+    no larger than the cap the trim pass provably removes nothing —
+    skip its df-aggregation + broadcast anti-join entirely (they cost
+    real stages: adding them inert at fixture scale doubled the
+    jaccard/containment wall time between bench rounds 5 and 6). The
+    one count() job here is metadata-cheap next to the shingle join,
+    and at real corpus sizes the condition is false and the cap
+    engages as designed — identically on the SQL-oracle side, whose
+    HAVING df <= cap trims nothing in exactly the same regime."""
+    if max_shingle_df is None or docs.count() <= max_shingle_df:
+        return inv
+    hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > max_shingle_df).select("shingle"))
+    return inv.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Group identical content by sha256; emit one row per content
@@ -90,11 +110,7 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ).persist()
     sizes = inv.groupBy(F.col(id_col).alias("sid")).agg(
         F.count(F.lit(1)).cast("int").alias("set_size"))
-    joinable = inv
-    if max_shingle_df is not None:
-        hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-               .filter(F.col("df") > max_shingle_df).select("shingle"))
-        joinable = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    joinable = _trim_hot_shingles(inv, df, max_shingle_df)
     a, b = joinable.alias("a"), joinable.alias("b")
     common = (
         a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
@@ -521,11 +537,7 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     ).persist()
     sizes = inv.groupBy(F.col(id_col).alias("sid")).agg(
         F.count(F.lit(1)).cast("int").alias("set_size"))
-    joinable = inv
-    if max_shingle_df is not None:
-        hot = (inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-               .filter(F.col("df") > max_shingle_df).select("shingle"))
-        joinable = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    joinable = _trim_hot_shingles(inv, df, max_shingle_df)
     a, b = joinable.alias("a"), joinable.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
