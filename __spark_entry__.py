@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 CHANGED_THIS_ROUND: list[str] = [
     "dedup_cdc_chunks",      # boundary scan: one Arrow pass; empty-doc fix
     "t_rfm_segmentation",    # quintiles via distributed global_ntile
+    "dedup_containment",     # inert df-cap pass short-circuited
+    "dedup_ngram_jaccard",   # inert df-cap pass short-circuited
 ]
 
 

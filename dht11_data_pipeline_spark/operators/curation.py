@@ -54,6 +54,48 @@ def hash_split(df: DataFrame, id_col: str = "doc_id", salt: str = "split1",
     )
 
 
+def weighted_keep(df: DataFrame, weight: Column, rate_ppm: int = 500_000,
+                  id_col: str = "doc_id",
+                  salt: str = "wkeep1") -> DataFrame:
+    """Deterministic importance-sampling gate: keep each row with
+    probability ``rate_ppm/1e6 × w/w_max`` — higher-quality documents
+    survive proportionally more often, the sampling step that turns a
+    DSIR-style weight column into an actual curated subset (weights
+    alone don't shrink a corpus; the gate does).
+
+    Entirely integer arithmetic, so the decision is engine-exact:
+    keep iff ``bucket × w_max < rate_ppm × w`` with ``bucket`` the
+    portable sha256 hash bucket in [0, 1e6) — no float probability,
+    no RNG, no seed; re-runs, replays, and the SQL oracle all keep
+    the identical subset, and membership depends only on (id, weight),
+    never on partitioning or row order (the hash_split discipline).
+
+    Scale: w_max is a 1-row aggregate broadcast back (the global-
+    scalar rule — never a window over the corpus); everything else is
+    a narrow projection. Weights must be non-negative integers;
+    products stay far under 2^63 (1e6 × w_max with bigint weights of
+    realistic magnitude).
+    """
+    w_max = df.agg(F.max(weight.cast("bigint")).alias("_w_max"))
+    bucket = _hash_bucket(F.col(id_col), salt, 1_000_000)
+    staged = (df.crossJoin(F.broadcast(w_max))
+              .select(F.col(id_col),
+                      weight.cast("bigint").alias("weight"),
+                      bucket.cast("bigint").alias("bucket"),
+                      "_w_max"))
+    # integer DIV (not /): Spark DIV == DuckDB // on non-negative
+    # operands, keeping the emitted ppm engine-exact
+    return staged.select(
+        id_col, "weight",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.least(F.lit(1_000_000).cast("bigint"),
+                F.expr(f"({rate_ppm} * weight) DIV _w_max"))
+        .cast("bigint").alias("keep_ppm"),
+        F.when(F.col("bucket") * F.col("_w_max")
+               < F.lit(rate_ppm) * F.col("weight"), "Y")
+        .otherwise("N").alias("keep_flag"))
+
+
 def stratified_quota(df: DataFrame, strata: list[str], k: int,
                      id_col: str = "doc_id",
                      salt: str = "quota1") -> DataFrame:

@@ -613,6 +613,52 @@ SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
 FROM m
 """,
 
+    # the Spark side computes rank AND running total with the
+    # distributed global_rank_cumsum operator; the single-partition
+    # ROW_NUMBER + SUM OVER here is the semantic twin. Integer cents
+    # end-to-end; 10000*cum fits BIGINT comfortably at any tested SF
+    "o_customer_revenue_rank": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev_cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey)
+              AS BIGINT) AS rank,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents
+  FROM per_cust
+)
+SELECT o_custkey, rank, rev_cents,
+       CAST((10000 * cum_cents)
+            // (SELECT MAX(cum_cents) FROM ranked) AS BIGINT)
+         AS cum_share_bp
+FROM ranked
+""",
+
+    # integer-exact importance gate: bucket*w_max < rate*w, bucket the
+    # portable sha256 ppm hash; // and DIV agree (operands non-negative)
+    "cur_weighted_sample": """
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+         ('0x' || substr(sha256('wkeep1' || chr(31)
+              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+           AS bucket
+  FROM documents),
+mx AS (SELECT MAX(weight) AS w_max FROM w)
+SELECT doc_id, weight,
+       CAST(bucket AS INTEGER) AS bucket,
+       CAST(LEAST(1000000, (500000 * weight) // w_max) AS BIGINT)
+         AS keep_ppm,
+       CASE WHEN bucket * w_max < 500000 * weight
+            THEN 'Y' ELSE 'N' END AS keep_flag
+FROM w, mx
+""",
+
     "mm_audio_fingerprint": _AUDIO_FP + """
 SELECT doc_id, n_frames, fp_hi, fp_lo FROM fp
 """,

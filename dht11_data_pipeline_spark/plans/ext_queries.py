@@ -1741,6 +1741,55 @@ def o_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("rev_d").cast("double").alias("max_revenue")))
 
 
+def o_customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full customer revenue leaderboard: every customer's exact
+    ROW_NUMBER by total order revenue (DECIMAL-exact), descending,
+    custkey tiebreak — plus their cumulative share of total revenue
+    expressed in exact basis points (the 'what fraction of revenue do
+    the top N customers hold' curve).
+
+    Scale: rank AND running total come from
+    operators.ranking.global_rank_cumsum in one distributed pass —
+    range-partitioned parallel sort, O(#partitions) count/value prefix
+    frame, within-partition running totals — never the single-task
+    SUM-OVER-(ORDER BY) window the oracle uses as its semantic twin.
+    Revenue is integer cents end-to-end; total revenue is a 1-row
+    broadcast aggregate (global-scalar rule); the share is one integer
+    DIV at the end."""
+    from dht11_data_pipeline_spark.operators.ranking import global_rank_cumsum
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"))
+    # cents: BIGINT-exact revenue so the cumulative sum is integer math
+    cents = per_cust.select(
+        "o_custkey", (F.col("rev_d") * 100).cast("bigint").alias("rev_cents"))
+    ranked = global_rank_cumsum(
+        cents, [F.col("rev_cents").desc(), F.col("o_custkey")],
+        "rev_cents", "rank", "cum_cents")
+    # total revenue == the last rank's running total; aggregating the
+    # (checkpointed) ranked frame reads cached partitions instead of
+    # re-scanning orders through the groupBy a cents.agg() would cost
+    total = ranked.agg(F.max("cum_cents").alias("_total_cents"))
+    return (ranked.crossJoin(F.broadcast(total))
+            .select(
+                "o_custkey", "rank", "rev_cents",
+                F.expr("CAST((10000 * cum_cents) DIV _total_cents AS BIGINT)")
+                .alias("cum_share_bp")))
+
+
+def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-sampling gate: keep with probability proportional to
+    document length (the weight a DSIR-style scorer would emit) at a
+    50% base rate — deterministic integer-hash decision, so the kept
+    subset is identical across runs, replays, and engines (no RNG).
+    Completes the curation family: text_dsir_weight computes weights,
+    this turns weights into an actual subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_keep(docs, F.length("text"),
+                                  rate_ppm=500_000)
+
+
 _ACF_LAGS = (1, 2, 3, 7)
 
 
@@ -1798,6 +1847,8 @@ EXT_QUERIES = {
     # declaration order and has a bounded per-round budget
     "o_revenue_deciles": o_revenue_deciles,
     "ts_autocorrelation": ts_autocorrelation,
+    "cur_weighted_sample": cur_weighted_sample,
+    "o_customer_revenue_rank": o_customer_revenue_rank,
     "mm_audio_fingerprint": mm_audio_fingerprint,
     "mm_audio_near_dup": mm_audio_near_dup,
     "ts_holt_winters": ts_holt_winters,

@@ -33,6 +33,38 @@ def test_global_ntile_matches_window_ntile(spark, n_rows, n_tiles):
     assert got == want
 
 
+@pytest.mark.parametrize("n_rows", [0, 1, 7, 100, 1001])
+def test_global_row_number_matches_window(spark, n_rows):
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 5).alias("v"))
+    order = [F.col("v").desc(), F.col("id").asc()]
+    from dht11_data_pipeline_spark.operators.ranking import global_row_number
+    got = {r["id"]: r["rn"] for r in
+           global_row_number(df, order, "rn").collect()}
+    want = {r["id"]: r["rn"] for r in
+            df.select("id", F.row_number().over(
+                Window.orderBy(*order)).cast("bigint").alias("rn")).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("n_rows", [0, 1, 7, 100, 1001])
+def test_global_rank_cumsum_matches_windows(spark, n_rows):
+    from dht11_data_pipeline_spark.operators.ranking import global_rank_cumsum
+
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 5).alias("v"),
+        ((F.col("id") * 37) % 1000).cast("bigint").alias("val"))
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {r["id"]: (r["rn"], r["cum"]) for r in
+           global_rank_cumsum(df, order, "val", "rn", "cum").collect()}
+    w = Window.orderBy(*order)
+    want = {r["id"]: (r["rn"], r["cum"]) for r in df.select(
+        "id", F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("val").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").alias("cum")).collect()}
+    assert got == want
+
+
 def test_global_ntile_plan_single_partition_only_on_offset_frame(spark):
     """The data path must be range-partitioned; the only permissible
     SinglePartition exchange is the O(#partitions) offset frame, i.e.
