@@ -613,6 +613,79 @@ SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
 FROM m
 """,
 
+    # same DECIMAL-exact-moments discipline as ts_autocorrelation; the
+    # calendar-day lag is DATE + INTEGER on both engines, so date gaps
+    # drop pairs identically
+    "ts_cross_correlation": """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS total_d
+  FROM events GROUP BY 1, 2
+),
+purch AS (
+  SELECT day AS p_day, total_d AS y_d FROM daily
+  WHERE event_type = 'purchase'
+),
+lead AS (
+  SELECT event_type, t.lag, day + t.lag AS p_day, total_d AS x_d
+  FROM daily, UNNEST([0, 1, 2, 3]) AS t(lag)
+  WHERE event_type <> 'purchase'
+),
+pairs AS (
+  SELECT event_type, lag, x_d, y_d FROM lead JOIN purch USING (p_day)
+),
+m AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x_d) AS DOUBLE) AS sx,
+         CAST(SUM(y_d) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x_d * y_d AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x_d * x_d AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y_d * y_d AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+       CASE WHEN sqrt(n_pairs * sxx - sx * sx)
+                 * sqrt(n_pairs * syy - sy * sy) > 0
+            THEN ROUND((n_pairs * sxy - sx * sy)
+                       / (sqrt(n_pairs * sxx - sx * sx)
+                          * sqrt(n_pairs * syy - sy * sy)), 4)
+       END AS xcorr
+FROM m
+""",
+
+    # lift = p(xy)/(p(x)p(y)) from exact integer counts; the final
+    # expression is the identical double multiply chain + one division
+    # on both engines (no ln() — libm last-ulp drift)
+    "text_bigram_lift": """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+uni AS (
+  SELECT word, COUNT(*) AS c FROM toks, UNNEST(w) AS u(word)
+  GROUP BY word
+),
+big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS c_xy
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+n AS (SELECT SUM(c) AS n_tok FROM uni),
+m AS (SELECT SUM(GREATEST(len(w) - 1, 0)) AS m_big FROM toks)
+SELECT big.w1, big.w2,
+       CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(ux.c AS BIGINT) AS c_x,
+       CAST(uy.c AS BIGINT) AS c_y,
+       ROUND((CAST(c_xy AS DOUBLE) * CAST(n_tok AS DOUBLE)
+              * CAST(n_tok AS DOUBLE))
+             / (CAST(m_big AS DOUBLE) * CAST(ux.c AS DOUBLE)
+                * CAST(uy.c AS DOUBLE)), 4) AS lift
+FROM big
+JOIN uni ux ON ux.word = big.w1
+JOIN uni uy ON uy.word = big.w2
+CROSS JOIN n CROSS JOIN m
+""",
+
     # the Spark side computes rank AND running total with the
     # distributed global_rank_cumsum operator; the single-partition
     # ROW_NUMBER + SUM OVER here is the semantic twin. Integer cents

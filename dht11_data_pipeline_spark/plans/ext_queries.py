@@ -1778,6 +1778,110 @@ def o_customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("cum_share_bp")))
 
 
+_XCORR_LAGS = (0, 1, 2, 3)
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation: for every non-purchase event type,
+    Pearson r between its daily total on day d and the PURCHASE daily
+    total on day d+L, L = 0..3 calendar days — the "does engagement
+    today predict revenue in L days" probe that decides attribution
+    windows. Same DECIMAL-exact-moments discipline as
+    ts_autocorrelation (identical five double ops + sqrt on both
+    engines, NULL on constant series); the lag is a calendar-day
+    equi-join (day+L), so date gaps drop pairs identically on both
+    engines rather than silently sliding rows.
+
+    Scale: one partial agg to day×type, then joins and moments over
+    the tiny daily frame; the purchase series broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.select(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("total_d")))
+    purch = (daily.filter(F.col("event_type") == "purchase")
+             .select(F.col("day").alias("p_day"),
+                     F.col("total_d").alias("y_d")))
+    lead = daily.filter(F.col("event_type") != "purchase").select(
+        "event_type", "total_d",
+        F.explode(F.array(*[F.struct(
+            F.lit(lag).alias("lag"),
+            F.date_add("day", lag).alias("p_day"))
+            for lag in _XCORR_LAGS])).alias("l")
+    ).select("event_type", F.col("l.lag").alias("lag"),
+             F.col("l.p_day").alias("p_day"),
+             F.col("total_d").alias("x_d"))
+    pairs = lead.join(F.broadcast(purch), "p_day")
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x_d").cast("double").alias("sx"),
+        F.sum("y_d").cast("double").alias("sy"),
+        F.sum((F.col("x_d") * F.col("y_d")).cast("decimal(38,4)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("x_d") * F.col("x_d")).cast("decimal(38,4)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("y_d") * F.col("y_d")).cast("decimal(38,4)"))
+        .cast("double").alias("syy"))
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+           * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")))
+    return m.select(
+        "event_type", F.col("lag").cast("int").alias("lag"), "n_pairs",
+        F.when(den > 0, F.round(num / den, 4)).alias("xcorr"))
+
+
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: corpus-wide lift of adjacent word pairs
+    — lift = p(xy) / (p(x)·p(y)) with p(xy)=c_xy/M (bigram frequency)
+    and p(x)=c_x/N (unigram frequency). The PMI-without-the-log form:
+    every input to the final expression is an exact integer count, so
+    both engines perform the identical multiplications and one
+    division on identical doubles (no ln(), whose last ulp is libm-
+    dependent). Bigrams below 5 occurrences are noise-filtered.
+
+    Scale: two explodes (tokens, bigrams) into two counting
+    aggregations; N and M are 1-row broadcast aggregates; the two
+    unigram joins hash on the word — vocabulary-sized, not
+    corpus-sized."""
+    from dht11_data_pipeline_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("w"))
+    uni = (toks.select(F.explode("w").alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    big = (toks.select(F.explode(shingles(F.col("w"), 2)).alias("bg"))
+           .groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+           .filter(F.col("c_xy") >= 5))
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    m_big = (toks.select((F.greatest(F.size("w") - 1, F.lit(0)))
+                         .alias("nb"))
+             .agg(F.sum("nb").alias("m_big")))
+    split = big.select(
+        "bg", "c_xy",
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"))
+    joined = (split
+              .join(uni.select(F.col("word").alias("w1"),
+                               F.col("c").alias("c_x")), "w1")
+              .join(uni.select(F.col("word").alias("w2"),
+                               F.col("c").alias("c_y")), "w2")
+              .crossJoin(F.broadcast(n_tok))
+              .crossJoin(F.broadcast(m_big)))
+    lift = ((F.col("c_xy").cast("double") * F.col("n_tok").cast("double")
+             * F.col("n_tok").cast("double"))
+            / (F.col("m_big").cast("double") * F.col("c_x").cast("double")
+               * F.col("c_y").cast("double")))
+    return joined.select(
+        "w1", "w2",
+        F.col("c_xy").cast("bigint").alias("c_xy"),
+        F.col("c_x").cast("bigint").alias("c_x"),
+        F.col("c_y").cast("bigint").alias("c_y"),
+        F.round(lift, 4).alias("lift"))
+
+
 def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-sampling gate: keep with probability proportional to
     document length (the weight a DSIR-style scorer would emit) at a
@@ -1849,6 +1953,8 @@ EXT_QUERIES = {
     "ts_autocorrelation": ts_autocorrelation,
     "cur_weighted_sample": cur_weighted_sample,
     "o_customer_revenue_rank": o_customer_revenue_rank,
+    "ts_cross_correlation": ts_cross_correlation,
+    "text_bigram_lift": text_bigram_lift,
     "mm_audio_fingerprint": mm_audio_fingerprint,
     "mm_audio_near_dup": mm_audio_near_dup,
     "ts_holt_winters": ts_holt_winters,
