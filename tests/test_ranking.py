@@ -89,3 +89,28 @@ def test_global_ntile_plan_single_partition_only_on_offset_frame(spark):
             assert "HashAggregate(keys=[_pid" in below, (
                 "SinglePartition exchange over something other than "
                 "the per-partition count frame:\n" + below)
+
+
+def test_weighted_keep_rate_tracks_weight(spark):
+    """The importance gate's empirical keep rate must track the
+    keep_ppm the operator itself reports: over many ids per weight
+    class, observed Y-fraction lands within a wide tolerance of the
+    target probability, and w = w_max with rate 1e6 keeps everything."""
+    from dht11_data_pipeline_spark.operators.curation import weighted_keep
+
+    df = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        # four weight classes: 25, 50, 75, 100 (w_max)
+        ((F.col("id") % 4 + 1) * 25).alias("w"))
+    out = weighted_keep(df, F.col("w"), rate_ppm=1_000_000).collect()
+    by_w: dict[int, list] = {}
+    for r in out:
+        by_w.setdefault(r["weight"], []).append(r)
+    assert set(by_w) == {25, 50, 75, 100}
+    for w, rows in by_w.items():
+        target = w / 100  # rate 1.0 x w / w_max
+        ppm = rows[0]["keep_ppm"]
+        assert ppm == int(1_000_000 * w) // 100
+        got = sum(1 for r in rows if r["keep_flag"] == "Y") / len(rows)
+        assert abs(got - target) < 0.05, (w, got, target)
+    assert all(r["keep_flag"] == "Y" for r in by_w[100])
