@@ -7,7 +7,8 @@ from __future__ import annotations
 
 from dht11_data_pipeline_spark.functions.text import LANG_MARKERS, STOPWORDS
 from dht11_data_pipeline_spark.functions.vectors import make_planes
-from dht11_data_pipeline_spark.operators.dedup import MAX_SHINGLE_DF
+from dht11_data_pipeline_spark.operators.dedup import (
+    CDC_DIVISOR, CDC_GEAR, CDC_WINDOW, MAX_SHINGLE_DF, _cdc_masks)
 from dht11_data_pipeline_spark.operators.graph import MAX_CENTER_DEGREE
 from dht11_data_pipeline_spark.operators.sketches import (
     CM_A, CM_B, CM_ROWS, CM_WIDTH, HASH_P, KMV_A, KMV_B, KMV_K)
@@ -1436,11 +1437,19 @@ FROM pairs WHERE jaccard >= 0.2
 
     "dedup_simhash": _simhash_sql(),
 
-    # content-defined chunking: boundary at i iff i == n or (i >= 16
-    # and first-8-hex of sha256(trailing 16-char window) % 32 == 0) —
-    # the exact rule in operators/dedup.cdc_chunk_stats
-    "dedup_cdc_chunks": """
-WITH d AS (
+    # content-defined chunking: boundary at 1-based i iff i == n or
+    # (i >= CDC_WINDOW and the top log2(CDC_DIVISOR) bits of the gear
+    # rolling hash h_i = Σ_{j<window} GEAR[cp_{i-j} & 255] << j are
+    # zero) — the exact rule in operators/dedup.cdc_chunks. The gear
+    # table is inlined below from the same CDC_GEAR constant the Spark
+    # scan reads; greatest(i - j, 1) only clamps positions the
+    # i >= window guard already rejects, keeping every substr/ord call
+    # total (DuckDB does not short-circuit vectorized predicates).
+    "dedup_cdc_chunks": f"""
+WITH gt AS (
+  SELECT CAST({list(CDC_GEAR)!r} AS BIGINT[]) AS gl
+),
+d AS (
   SELECT doc_id, text, length(text) AS n FROM documents
 ),
 pos AS (
@@ -1448,10 +1457,12 @@ pos AS (
   FROM d
 ),
 b AS (
-  SELECT doc_id, text, n, i FROM pos
-  WHERE i = n OR (i >= 16 AND
-    ('0x' || substr(sha256(substr(text, i - 15, 16)), 1, 8))::BIGINT
-      % 32 = 0)
+  SELECT doc_id, text, n, i FROM pos, gt
+  WHERE i = n OR (i >= {CDC_WINDOW} AND ((
+    {" + ".join(
+        f"gl[(ord(substr(text, greatest(i - {j}, 1), 1)) & 255) + 1]"
+        f" * {1 << j}" for j in range(CDC_WINDOW))}
+  ) & {_cdc_masks(CDC_WINDOW, CDC_DIVISOR)[1]}) = 0)
 ),
 seg AS (
   SELECT doc_id, n, i AS e,

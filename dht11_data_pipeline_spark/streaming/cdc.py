@@ -42,10 +42,6 @@ DOC_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
 ])
 
-_CHUNK_SCHEMA = ("doc_id bigint, n_chars bigint, chunk_len bigint, "
-                 "chunk_hash string")
-
-
 def start_cdc_dedup_stream(spark: SparkSession, source_path: str,
                            state_dir: str, verdicts_dir: str,
                            checkpoint_dir: str,
