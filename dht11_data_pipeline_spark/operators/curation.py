@@ -75,12 +75,33 @@ def weighted_keep(df: DataFrame, weight: Column, rate_ppm: int = 500_000,
     a narrow projection. Weights must be non-negative integers;
     products stay far under 2^63 (1e6 × w_max with bigint weights of
     realistic magnitude).
+
+    The precondition is ENFORCED, not just documented: a NULL or
+    negative weight, or an all-zero corpus (w_max = 0, which would
+    divide by zero), raises at run time instead of silently diverging
+    from the SQL twin — Spark's ``least()`` skips NULLs and its DIV
+    returns NULL on /0 where DuckDB's ``//`` throws, so degenerate
+    inputs are exactly where the two engines would disagree.
     """
-    w_max = df.agg(F.max(weight.cast("bigint")).alias("_w_max"))
+    w_checked = (F.when(weight.isNull() | (weight.cast("bigint") < 0),
+                        F.raise_error(F.format_string(
+                            "weighted_keep: weight must be a "
+                            "non-negative integer, got %s for id %s",
+                            weight.cast("string"),
+                            F.col(id_col).cast("string")))
+                        .cast("bigint"))
+                 .otherwise(weight.cast("bigint")))
+    w_max = df.agg(
+        F.when(F.max(w_checked) <= 0,
+               F.raise_error(F.lit(
+                   "weighted_keep: all weights are zero (or the corpus "
+                   "is empty) — keep probability is undefined"))
+               .cast("bigint"))
+        .otherwise(F.max(w_checked)).alias("_w_max"))
     bucket = _hash_bucket(F.col(id_col), salt, 1_000_000)
     staged = (df.crossJoin(F.broadcast(w_max))
               .select(F.col(id_col),
-                      weight.cast("bigint").alias("weight"),
+                      w_checked.alias("weight"),
                       bucket.cast("bigint").alias("bucket"),
                       "_w_max"))
     # integer DIV (not /): Spark DIV == DuckDB // on non-negative

@@ -800,22 +800,27 @@ def t_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the quintile ordering is exact; every ntile ties on user_id so
     the tiling is deterministic on both engines.
 
-    Scale: one shuffle to the user grain, then NO single-partition
-    stage anywhere: the anchor date is a 1-row aggregate broadcast
-    back (the global-scalar rule, J3 shape), and the three quintiles
-    go through ``operators.ranking.global_ntile`` — a range-
-    partitioned parallel sort + O(#partitions) offset frame that
-    reproduces SQL NTILE exactly, so the oracle's plain ``NTILE(5)
-    OVER (ORDER BY ...)`` stays the verbatim twin while the Spark
-    plan survives a billion-user frame."""
-    from dht11_data_pipeline_spark.operators.ranking import global_ntile
+    Scale: one shuffle to the user grain, then NO unbudgeted
+    single-partition stage: the anchor date is a 1-row aggregate
+    broadcast back (the global-scalar rule, J3 shape), and the three
+    quintiles go through ``operators.ranking.global_ntile_auto`` —
+    the window form when the user frame provably fits one task (the
+    100k-row budget tier, graph.small_edge_limit convention), the
+    range-partitioned distributed exact NTILE beyond it — so the
+    oracle's plain ``NTILE(5) OVER (ORDER BY ...)`` stays the
+    verbatim twin at every size while a billion-user frame never
+    funnels through one task. The user frame is localCheckpointed
+    ONCE (no persist to leak; it feeds the anchor aggregate, the
+    cardinality probe that picks the tier, and the scored frame)."""
+    from dht11_data_pipeline_spark.operators.ranking import global_ntile_auto
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(F.col("ts").cast("timestamp").cast("date")).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary_d"))
-    per_user = per_user.persist()  # feeds the anchor agg and the frame
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary_d"),
+    ).localCheckpoint(eager=True)
+    n_users = per_user.count()  # cached-read metadata job, picks the tier
     anchor = per_user.agg(F.max("last_day").alias("anchor"))
     scored = (per_user.crossJoin(F.broadcast(anchor))
               .select(
@@ -829,7 +834,7 @@ def t_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("r_score", [F.col("recency_days").asc(), F.col("user_id")]),
             ("f_score", [F.col("frequency").desc(), F.col("user_id")]),
             ("m_score", [F.col("monetary").desc(), F.col("user_id")])]:
-        tiled = global_ntile(tiled, 5, order, out_col)
+        tiled = global_ntile_auto(tiled, 5, order, out_col, n_rows=n_users)
     return tiled.withColumn(
         "segment",
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1),

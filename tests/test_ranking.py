@@ -91,6 +91,59 @@ def test_global_ntile_plan_single_partition_only_on_offset_frame(spark):
                 "the per-partition count frame:\n" + below)
 
 
+@pytest.mark.parametrize("small_limit", [0, 100_000])
+def test_global_ntile_auto_tiers_agree(spark, small_limit):
+    """Both tiers of the auto form produce the identical assignment:
+    small_limit=0 forces the distributed path (the graph
+    small_edge_limit convention), the default takes the window form
+    at this size."""
+    from dht11_data_pipeline_spark.operators.ranking import global_ntile_auto
+
+    df = spark.range(503).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {r["id"]: r["t"] for r in
+           global_ntile_auto(df, 5, order, "t",
+                             small_limit=small_limit).collect()}
+    want = {r["id"]: r["t"] for r in
+            df.select("id", F.ntile(5).over(
+                Window.orderBy(*order)).alias("t")).collect()}
+    assert got == want
+
+
+def test_global_ntile_reliable_checkpoint_dir(spark, tmp_path):
+    """The opt-in reliable checkpoint (executor-loss-safe at scale)
+    must not change the assignment, and the data path must still be
+    range-partitioned — no SinglePartition row-level sort."""
+    df = spark.range(2003).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    order = [F.col("v").asc(), F.col("id").asc()]
+    out = global_ntile(df, 4, order, "t",
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    got = {r["id"]: r["t"] for r in out.collect()}
+    want = {r["id"]: r["t"] for r in
+            df.select("id", F.ntile(4).over(
+                Window.orderBy(*order)).alias("t")).collect()}
+    assert got == want
+    from dht11_data_pipeline_spark.operators.ranking import _range_indexed
+    plan = _range_indexed(df, order)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_overflow_guard_raises_loudly(spark):
+    """A partition count at or past 2^33 must fail the job with the
+    named error, not silently corrupt ranks (the guard rides the
+    offset expression of the O(#partitions) frame)."""
+    from dht11_data_pipeline_spark.operators.ranking import _overflow_guard
+
+    bad = spark.createDataFrame([(0, 1 << 33)], "_pid int, _cnt long")
+    with pytest.raises(Exception, match="local-index decode"):
+        bad.select((F.lit(0) + _overflow_guard()).alias("_off")).collect()
+    ok = spark.createDataFrame([(0, (1 << 33) - 1)], "_pid int, _cnt long")
+    assert ok.select((F.lit(0) + _overflow_guard()).alias("_off")) \
+        .collect()[0]["_off"] == 0
+
+
 def test_weighted_keep_rate_tracks_weight(spark):
     """The importance gate's empirical keep rate must track the
     keep_ppm the operator itself reports: over many ids per weight
@@ -114,3 +167,18 @@ def test_weighted_keep_rate_tracks_weight(spark):
         got = sum(1 for r in rows if r["keep_flag"] == "Y") / len(rows)
         assert abs(got - target) < 0.05, (w, got, target)
     assert all(r["keep_flag"] == "Y" for r in by_w[100])
+
+
+@pytest.mark.parametrize("bad", ["null", "negative", "all_zero"])
+def test_weighted_keep_rejects_degenerate_inputs(spark, bad):
+    """NULL / negative weights and an all-zero corpus are exactly
+    where Spark's least()/DIV semantics diverge from DuckDB's // —
+    the gate must raise, not silently emit engine-specific output."""
+    from dht11_data_pipeline_spark.operators.curation import weighted_keep
+
+    rows = {"null": [(1, 5), (2, None)],
+            "negative": [(1, 5), (2, -3)],
+            "all_zero": [(1, 0), (2, 0)]}[bad]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    with pytest.raises(Exception, match="weighted_keep"):
+        weighted_keep(df, F.col("w")).collect()
