@@ -28,7 +28,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dht11_data_pipeline_spark.functions.hashing import SEP
 from dht11_data_pipeline_spark.functions.partitioning import right_size
 from dht11_data_pipeline_spark.functions.text import distinct_shingles, tokens
 
@@ -135,26 +134,49 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out
 
 
+# Minhash seeded-hash family: ONE sha256 per shingle (the strong base
+# hash), then k universal multiply-mod hashes of the base — the
+# standard "one cryptographic hash + k universal hashes" minhash
+# construction, 8x less hashing than sha256-per-seed at identical
+# statistical quality. Same arithmetic contract as operators/sketches:
+# base < P ~ 1e9, A < 2^20, so A·base + B < 2^50 — exact BIGINT in any
+# engine, no 128-bit intermediate. Shared with plans/ext_oracles so
+# the SQL twin replays the identical signatures.
+MINHASH_P = 1_000_000_007
+MINHASH_A = (604_171, 335_731, 771_019, 260_817,
+             918_463, 123_377, 557_941, 804_509)
+MINHASH_B = (402_653, 718_063, 194_867, 633_305,
+             85_661, 941_099, 369_743, 250_021)
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3, num_hashes: int = 8) -> DataFrame:
-    """k seeded min-hashes per document. Each h_s(doc) = min over
-    shingles of sha256(s || shingle) (first 16 hex chars — fixed-width
-    hex compares like the integer it encodes, identically in any
-    engine).
+    """k min-hashes per document: h_s(doc) = min over shingles of
+    ``(A_s · base + B_s) mod P`` with ``base`` = the first 15 hex
+    chars of sha256(shingle) reduced mod P — one sha256 per shingle
+    total, with the k seeded values derived by exact integer
+    arithmetic (see MINHASH_* constants).
 
-    Shape: explode shingles → ONE codegen'd groupBy computing all k
-    mins (map-side partial agg). The higher-order-function variant
+    Shape: explode shingles → one projection computing the base hash
+    once per shingle → ONE codegen'd groupBy computing all k mins
+    (map-side partial agg). The higher-order-function variant
     (k transforms over the array) is shuffle-free but interpreted —
-    k× sha256 passes per doc made it 4× slower at sf0.1; the explode
-    pays one shuffle on id and hashes each shingle exactly k times in
-    whole-stage codegen."""
-    inv = _doc_shingles(df, text_col, id_col, n).select(
-        F.col(id_col), F.explode("shingle_set").alias("shingle"))
+    it was 4× slower at sf0.1; the explode pays one shuffle on id and
+    hashes each shingle exactly ONCE in whole-stage codegen."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes <= {len(MINHASH_A)} (fixed "
+                         f"oracle-shared hash family); got {num_hashes}")
+    # 15 hex chars = 60 bits: always positive in BIGINT (ANSI-safe)
+    base = F.pmod(
+        F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, 15), 16, 10)
+        .cast("bigint"), F.lit(MINHASH_P))
+    inv = (_doc_shingles(df, text_col, id_col, n)
+           .select(F.col(id_col), F.explode("shingle_set").alias("shingle"))
+           .select(F.col(id_col), base.alias("_base")))
     mins = [
-        F.min(F.substring(
-            F.sha2(F.concat_ws(SEP, F.lit(str(seed)), F.col("shingle")), 256), 1, 16,
-        )).alias(f"_h{seed}")
-        for seed in range(num_hashes)
+        F.min((F.col("_base") * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P)
+        .alias(f"_h{s}")
+        for s in range(num_hashes)
     ]
     return (
         inv.groupBy(id_col).agg(*mins)
@@ -174,7 +196,10 @@ def _band_rows(signatures: DataFrame, id_col: str,
             F.transform(
                 F.sequence(F.lit(0), (sig_len / band_size).cast("int") - 1),
                 lambda b: F.concat_ws(
-                    "|", F.slice(F.col("signature"), b * band_size + 1, band_size)),
+                    "|", F.transform(
+                        F.slice(F.col("signature"), b * band_size + 1,
+                                band_size),
+                        lambda v: v.cast("string"))),
             )
         ).alias("band_idx", "band_key"),
     )

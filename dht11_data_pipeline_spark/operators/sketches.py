@@ -120,12 +120,22 @@ def countmin_frequencies(df: DataFrame, key_col: str,
     est(u) = min_j sketch[j][h_j(u) mod w] — always >= true count
     (collisions only ADD), with the classic (eps = e/w, delta = e^-d)
     guarantee. Output: (key, true_n, cm_est, overcount).
+
+    Shape: ONE pass builds the per-key truth table, and the sketch is
+    derived from it — a cell's count is the SUM of true_n over the
+    keys hashing into it, identical to counting raw occurrences but
+    exploding d rows per DISTINCT key instead of d per input row (and
+    sparing the second raw scan; the key aggregate's exchange is
+    shared by both consumers). At corpus scale this is the difference
+    between a d·rows shuffle and a d·keys one.
     """
     _cm_check_grid(d, w)
     keyed = df.select(F.col(key_col).cast("bigint").alias("key"))
-    sketch = cm_cells(keyed, d, w)
     truth = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("true_n"))
-    return cm_estimate(sketch, truth, d, w)
+    cells = (_cm_buckets(truth, d, w, "true_n")
+             .groupBy("j", "bucket")
+             .agg(F.sum("true_n").alias("cell_n")))
+    return cm_estimate(cells, truth, d, w)
 
 
 def kmv_signatures(df: DataFrame, set_col: str, member_col: str,
@@ -162,18 +172,23 @@ def kmv_pairwise_jaccard(df: DataFrame, set_col: str, member_col: str,
     force, or pre-filter to a candidate set list), mirroring the
     ``brute_limit`` refusal on brute-force cosine.
     """
+    sig = kmv_signatures(df, set_col, member_col, k).persist()
+    sizes = sig.groupBy("set_key").agg(F.count(F.lit(1)).alias("sk_n"))
     if max_sets is not None:
-        # guard BEFORE any persist so the refusal path leaves no cached
-        # state behind; counting distinct set keys on the raw input also
-        # avoids building the sketch just to refuse it
-        s = df.select(F.col(set_col).alias("set_key")).distinct().count()
+        # the guard rides the sizes aggregate the estimate needs anyway
+        # (one job over the persisted sketch) instead of a separate
+        # distinct-count pass over the raw input — the sketch build
+        # itself is linear (two shuffles), so building it before
+        # refusing is safe; only the S^2 pair stage is quadratic. The
+        # blocking unpersist keeps the refusal path cache-clean
+        # (ADVICE r5 contract, pinned by the refusal test).
+        s = sizes.count()
         if s > max_sets:
+            sig.unpersist(True)
             raise ValueError(
                 f"kmv_pairwise_jaccard over {s} sets is {s}^2 pairs x {k} "
                 f"sketch rows (limit {max_sets}); pre-filter the set "
                 "column to a candidate list or pass max_sets=None to force")
-    sig = kmv_signatures(df, set_col, member_col, k).persist()
-    sizes = sig.groupBy("set_key").agg(F.count(F.lit(1)).alias("sk_n"))
     pairs = (sizes.select(F.col("set_key").alias("set_a"),
                           F.col("sk_n").alias("sk_a"))
              .crossJoin(sizes.select(F.col("set_key").alias("set_b"),

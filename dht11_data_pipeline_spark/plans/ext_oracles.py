@@ -8,7 +8,8 @@ from __future__ import annotations
 from dht11_data_pipeline_spark.functions.text import LANG_MARKERS, STOPWORDS
 from dht11_data_pipeline_spark.functions.vectors import make_planes
 from dht11_data_pipeline_spark.operators.dedup import (
-    CDC_DIVISOR, CDC_GEAR, CDC_WINDOW, MAX_SHINGLE_DF, _cdc_masks)
+    CDC_DIVISOR, CDC_GEAR, CDC_WINDOW, MAX_SHINGLE_DF, MINHASH_A,
+    MINHASH_B, MINHASH_P, _cdc_masks)
 from dht11_data_pipeline_spark.operators.graph import MAX_CENTER_DEGREE
 from dht11_data_pipeline_spark.operators.sketches import (
     CM_A, CM_B, CM_ROWS, CM_WIDTH, HASH_P, KMV_A, KMV_B, KMV_K)
@@ -68,20 +69,32 @@ def _shingles_from(src: str) -> str:
 
 def _minhash_sql(num_hashes: int = 8, band_size: int = 2,
                  threshold: float = 0.5, src: str = "documents") -> str:
+    # one sha256 per shingle reduced mod P, then k multiply-mod seeded
+    # hashes — mirrors operators/dedup.minhash_signature exactly
+    # (MINHASH_* constants are the single source of truth)
     sig_items = ", ".join(
-        "list_aggregate(list_transform(shingle_set, "
-        f"x -> substr(sha256('{s}' || chr(31) || x), 1, 16)), 'min')"
+        "list_aggregate(list_transform(bv, "
+        f"v -> (v * {MINHASH_A[s]} + {MINHASH_B[s]}) % {MINHASH_P}), 'min')"
         for s in range(num_hashes)
     )
     n_bands = num_hashes // band_size
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        + " || '|' || ".join(f"signature[{b * band_size + r + 1}]" for r in range(band_size))
+        + " || '|' || ".join(
+            f"signature[{b * band_size + r + 1}]::VARCHAR"
+            for r in range(band_size))
         + " AS band_key FROM sigs"
         for b in range(n_bands)
     )
     return (_shingles_from(src) + f"""
-, sigs AS (SELECT doc_id, [{sig_items}] AS signature FROM sh)
+, bases AS (
+  SELECT doc_id, shingle_set,
+         list_transform(shingle_set,
+           x -> ('0x' || substr(sha256(x), 1, 15))::BIGINT
+                % {MINHASH_P}) AS bv
+  FROM sh
+)
+, sigs AS (SELECT doc_id, [{sig_items}] AS signature FROM bases)
 , bands AS ({band_selects})
 , cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

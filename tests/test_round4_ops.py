@@ -184,8 +184,11 @@ def test_holt_winters_python_twin_asserts_overflow():
 
 
 def test_kmv_pairwise_refusal_leaves_no_cache(spark):
-    """The max_sets refusal must fire BEFORE any persist so the raise
-    path leaves no cached DataFrame behind (ADVICE r5)."""
+    """The max_sets refusal path must leave no cached DataFrame behind
+    (ADVICE r5). The guard now rides the sizes aggregate (one job over
+    the persisted sketch instead of a separate distinct-count pass),
+    so the contract is enforced by a blocking unpersist in the raise
+    branch — this asserts the observable: storage is clean after."""
     import pytest
 
     from dht11_data_pipeline_spark.operators.sketches import (
