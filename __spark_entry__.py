@@ -36,10 +36,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list limited to keys whose code or oracle actually changed in
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
-    "dedup_cdc_chunks",      # boundary scan: one Arrow pass; empty-doc fix
-    "t_rfm_segmentation",    # quintiles via distributed global_ntile
-    "dedup_containment",     # inert df-cap pass short-circuited
-    "dedup_ngram_jaccard",   # inert df-cap pass short-circuited
+    "cur_cluster_balanced",  # NEW: embedding-space mixture balancing
+    "dedup_cdc_chunks",      # boundary rule: gear rolling hash (+oracle)
+    "dedup_minhash_lsh",     # minhash: 1 sha256 + k multiply-mod (+oracle)
+    "dedup_incremental",     # minhash rule change (shared signature)
+    "dedup_cascade",         # minhash rule change
+    "dedup_clusters",        # minhash rule change
+    "cur_survivorship",      # minhash rule change
+    "cur_end_to_end",        # minhash rule change
+    "mm_cross_modal_audit",  # minhash rule change
+    "a_countmin_freq",       # sketch built from per-key truth table
+    "a_kmv_jaccard",         # max_sets guard fused into sizes agg
+    "t_rfm_segmentation",    # tiered global_ntile_auto, persist dropped
+    "cur_weighted_sample",   # NULL/negative/all-zero weights now raise
+    "o_revenue_deciles",     # ranking overflow guard on offset frame
+    "o_customer_revenue_rank",  # ranking overflow guard on offset frame
 ]
 
 

@@ -104,8 +104,18 @@ def weighted_keep(df: DataFrame, weight: Column, rate_ppm: int = 500_000,
                       w_checked.alias("weight"),
                       bucket.cast("bigint").alias("bucket"),
                       "_w_max"))
-    # integer DIV (not /): Spark DIV == DuckDB // on non-negative
-    # operands, keeping the emitted ppm engine-exact
+    return weighted_gate_projection(staged, id_col, rate_ppm)
+
+
+def weighted_gate_projection(staged: DataFrame, id_col: str,
+                             rate_ppm: int) -> DataFrame:
+    """The weighted_keep decision itself, over a staged frame with
+    columns (id, weight, bucket, _w_max) — shared by the batch
+    operator (which computes ``_w_max`` as the corpus max) and the
+    streaming twin (which takes it as the scorer's declared ceiling),
+    so the two forms cannot drift. Integer DIV (not /): Spark DIV ==
+    DuckDB ``//`` on non-negative operands, keeping the emitted ppm
+    engine-exact."""
     return staged.select(
         id_col, "weight",
         F.col("bucket").cast("int").alias("bucket"),
@@ -115,6 +125,71 @@ def weighted_keep(df: DataFrame, weight: Column, rate_ppm: int = 500_000,
         F.when(F.col("bucket") * F.col("_w_max")
                < F.lit(rate_ppm) * F.col("weight"), "Y")
         .otherwise("N").alias("keep_flag"))
+
+
+def cluster_balanced_sample(df: DataFrame, k: int = 50,
+                            budget_ppm: int = 200_000,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            salt: str = "cbal1",
+                            quant: int = 1000) -> DataFrame:
+    """Embedding-space mixture balancing: assign every vector to its
+    nearest of k deterministic prototype centroids, then gate each
+    cluster at a rate inversely proportional to its size — so the kept
+    corpus contributes (approximately) EQUALLY from every semantic
+    cluster instead of letting the dominant topic swamp the training
+    mix. This is the standard "balance the mix across clusters"
+    curation stage: k-means-style assignment × the weighted_keep
+    integer-hash gate, composed.
+
+    Exactness chain (every step engine-portable, so a SQL oracle
+    replays the identical subset):
+      prototypes : ``select_centroids`` — k vectors first in
+                   multiplicative-hash order (O(k) collect, constant)
+      assignment : ``assign_clusters_exact`` — int64-quantized L2
+                   argmin, tie → lowest centroid id (never float)
+      gate       : keep iff bucket(id) < keep_ppm_c where
+                   keep_ppm_c = min(1e6, (budget_ppm·N) DIV (k_used·n_c))
+                   — expected kept per cluster ≈ N·budget/1e6/k_used,
+                   uniform across clusters, capped at n_c for clusters
+                   smaller than their quota.
+
+    All-integer arithmetic: bucket < 1e6, budget_ppm·N ≤ 1e6·N stays
+    inside int64 up to N ~ 9e12 rows; DIV == DuckDB ``//`` on the
+    non-negative operands.
+
+    Scale: the assignment's Arrow pass is localCheckpointed so its two
+    consumers (the k-row sizes aggregate and the final probe side) do
+    not re-execute the Python stage (Python stages re-run per consumer
+    otherwise); sizes ≤ k rows and the totals row are broadcast — no
+    corpus-wide shuffle anywhere after the checkpoint write.
+
+    Returns (id, cluster_id, n_in_cluster, keep_ppm, keep_flag).
+    """
+    from dht11_data_pipeline_spark.operators.kmeans import (
+        assign_clusters_exact, select_centroids)
+
+    if not 0 <= budget_ppm <= 1_000_000:
+        raise ValueError("budget_ppm must be in [0, 1e6]")
+    cents = select_centroids(df, k, id_col, vec_col)
+    assigned = assign_clusters_exact(df, cents, id_col, vec_col,
+                                     quant).localCheckpoint(eager=True)
+    sizes = (assigned.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_cluster")))
+    tot = sizes.agg(F.sum("n_in_cluster").cast("bigint").alias("_n"),
+                    F.count(F.lit(1)).cast("bigint").alias("_k_used"))
+    quotas = (sizes.crossJoin(F.broadcast(tot))
+              .select("cluster_id", "n_in_cluster",
+                      F.least(
+                          F.lit(1_000_000).cast("bigint"),
+                          F.expr(f"({budget_ppm} * _n) "
+                                 "DIV (_k_used * n_in_cluster)"))
+                      .cast("bigint").alias("keep_ppm")))
+    bucket = _hash_bucket(F.col(id_col), salt, 1_000_000)
+    return (assigned.join(F.broadcast(quotas), "cluster_id")
+            .select(id_col, "cluster_id", "n_in_cluster", "keep_ppm",
+                    F.when(bucket < F.col("keep_ppm"), "Y")
+                    .otherwise("N").alias("keep_flag")))
 
 
 def stratified_quota(df: DataFrame, strata: list[str], k: int,

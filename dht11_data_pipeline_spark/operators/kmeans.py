@@ -96,6 +96,60 @@ def assign_clusters(corpus: DataFrame, centroids: list[tuple[int, list[float]]],
         _assign, schema=out_schema)
 
 
+def assign_clusters_exact(corpus: DataFrame,
+                          centroids: list[tuple[int, list[float]]],
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          quant: int = 1000) -> DataFrame:
+    """(id, cluster_id) — nearest centroid under INTEGER-quantized
+    squared L2: every component is ``floor(x * quant)`` as int64 before
+    the distance sum, ties break to the lowest centroid id.
+
+    The point of the quantization is ENGINE-EXACTNESS, not speed:
+    ``x * quant`` is the same IEEE double in every engine and ``floor``
+    is exact, so the int64 distances — and therefore the argmin — are
+    bit-identical in Spark, numpy and a SQL engine's BIGINT arithmetic.
+    Float argmin (``assign_clusters``) legally moves boundary points
+    across engines/partitionings; this one never does, which is what
+    lets a cluster-conditioned downstream decision (e.g. the balanced
+    sampling gate in operators/curation.py) be replayed exactly by a
+    SQL oracle.
+
+    Scale: same shape as ``assign_clusters`` — centroid matrix in the
+    task closure (k·d int64s), one Arrow pass over the corpus, narrow.
+    Overflow headroom: |floor(x·quant)| ≤ Q ⇒ d2 ≤ d·(2Q)² — with
+    quant=1000, unit-scale embeddings and d=4096 that is ~1.6e13,
+    far inside int64.
+    """
+    if not centroids:
+        raise ValueError("need at least one centroid")
+    import numpy as np
+
+    centroids = sorted(centroids)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.floor(
+        np.array([v for _, v in centroids], dtype=np.float64) * quant
+    ).astype(np.int64)
+
+    out_schema = f"{id_col} long, cluster_id long"
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.floor(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64) * quant
+            ).astype(np.int64)
+            d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            idx = d2.argmin(axis=1)  # first minimum → lowest cid
+            out = pdf[[id_col]].copy()
+            out["cluster_id"] = cids[idx]
+            yield out
+
+    return right_size(corpus).select(id_col, vec_col).mapInPandas(
+        _assign, schema=out_schema)
+
+
 def _recompute(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
     """New centroid = element-wise mean per cluster (N·d scalar shuffle)."""
     dims = assigned.select(

@@ -746,6 +746,55 @@ SELECT doc_id, weight,
 FROM w, mx
 """,
 
+    # embedding-space mixture balancing — the whole chain is integer
+    # arithmetic (floor(x*1000) int64 L2 argmin with lowest-cid ties,
+    # multiplicative-hash centroid sample, bucket<quota gate), so this
+    # replays the balanced-mixture summary EXACTLY (cf. operators/
+    # curation.cluster_balanced_sample). Per-round CTEs materialized
+    # (multiply-referenced).
+    "cur_cluster_balanced": """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+cents AS MATERIALIZED (
+  SELECT e.vec_id AS cid, q.qv AS qc
+  FROM embeddings e JOIN q ON q.vec_id = e.vec_id
+  ORDER BY ((e.vec_id % 1000000007) * 2654435761) % 1000000007, e.vec_id
+  LIMIT 50),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_sum(list_transform(list_zip(q.qv, c.qc),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT),
+             c.cid) AS rn
+    FROM q CROSS JOIN cents c)
+  WHERE rn = 1),
+sizes AS MATERIALIZED (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_in_cluster
+  FROM assigned GROUP BY cluster_id),
+tot AS (
+  SELECT CAST(SUM(n_in_cluster) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k_used
+  FROM sizes),
+gate AS (
+  SELECT a.cluster_id, s.n_in_cluster,
+         CAST(LEAST(1000000,
+              (200000 * t.n) // (t.k_used * s.n_in_cluster)) AS BIGINT)
+           AS keep_ppm,
+         ('0x' || substr(sha256('cbal1' || chr(31)
+              || CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+           AS bucket
+  FROM assigned a JOIN sizes s USING (cluster_id) CROSS JOIN tot t)
+SELECT cluster_id, n_in_cluster,
+       CAST(MAX(keep_ppm) AS BIGINT) AS keep_ppm,
+       CAST(SUM(CASE WHEN bucket < keep_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM gate GROUP BY cluster_id, n_in_cluster
+""",
+
     "mm_audio_fingerprint": _AUDIO_FP + """
 SELECT doc_id, n_frames, fp_hi, fp_lo FROM fp
 """,

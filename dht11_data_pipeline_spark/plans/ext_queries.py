@@ -1899,6 +1899,28 @@ def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   rate_ppm=500_000)
 
 
+def cur_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space mixture balancing (operators/curation.
+    cluster_balanced_sample): assign every embedding to its nearest of
+    50 deterministic prototype centroids under INTEGER-quantized L2
+    (engine-exact — floor(x*1000) int64 distances, tie → lowest id),
+    then keep each cluster at a rate ∝ 1/cluster_size so every semantic
+    cluster contributes the same expected count to the curated mix.
+
+    Unlike sim_kmeans_clusters (whose float Lloyd assignment is only
+    invariant-checkable), the whole chain here is integer arithmetic,
+    so the oracle replays the EXACT per-cluster sizes, quotas and kept
+    counts — a full hash-match on the balanced-mixture summary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    gated = curation.cluster_balanced_sample(emb, k=50,
+                                             budget_ppm=200_000)
+    return (gated.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_cluster"),
+                 F.max("keep_ppm").cast("bigint").alias("keep_ppm"),
+                 F.sum(F.when(F.col("keep_flag") == "Y", 1).otherwise(0))
+                 .cast("bigint").alias("n_kept")))
+
+
 _ACF_LAGS = (1, 2, 3, 7)
 
 
@@ -1954,6 +1976,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_cluster_balanced": cur_cluster_balanced,
     "o_revenue_deciles": o_revenue_deciles,
     "ts_autocorrelation": ts_autocorrelation,
     "cur_weighted_sample": cur_weighted_sample,

@@ -224,3 +224,63 @@ def test_dup_aware_sample_expected_one_copy(spark):
     again = {r["doc_id"]: r["keep_flag"]
              for r in curation.dup_aware_sample(docs).collect()}
     assert again == {k: v["keep_flag"] for k, v in out.items()}
+
+
+def test_cluster_balanced_sample_properties(spark, sf_dir):
+    """The balanced gate equalizes expected per-cluster contribution:
+    quota arithmetic, flag/threshold agreement, determinism, and the
+    exact-assignment invariants (every vector assigned, clusters within
+    the seeded prototype ids)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = curation.cluster_balanced_sample(emb, k=20, budget_ppm=400_000)
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n  # every vector got exactly one gate row
+
+    from dht11_data_pipeline_spark.operators.kmeans import select_centroids
+    seed_ids = {cid for cid, _ in select_centroids(emb, 20)}
+    assert {r["cluster_id"] for r in rows} <= seed_ids
+
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r["cluster_id"], set()).add(
+            (r["n_in_cluster"], r["keep_ppm"]))
+    k_used = len(sizes)
+    for cid, consts in sizes.items():
+        assert len(consts) == 1  # size and quota constant per cluster
+        n_c, ppm = next(iter(consts))
+        assert ppm == min(1_000_000, (400_000 * n) // (k_used * n_c))
+    assert sum(next(iter(c))[0] for c in sizes.values()) == n
+
+    # determinism: identical subset on a re-run
+    again = {r[0]: r[4] for r in
+             curation.cluster_balanced_sample(
+                 emb, k=20, budget_ppm=400_000).collect()}
+    assert again == {r[0]: r[4] for r in rows}
+
+
+def test_cluster_balanced_sample_rejects_bad_budget(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="budget_ppm"):
+        curation.cluster_balanced_sample(emb, k=1, budget_ppm=2_000_000)
+
+
+def test_assign_clusters_exact_integer_ties(spark):
+    """Quantized-L2 argmin matches a hand computation, including the
+    tie rule (equal distance -> lowest centroid id)."""
+    from dht11_data_pipeline_spark.operators.kmeans import (
+        assign_clusters_exact)
+
+    corpus = spark.createDataFrame(
+        [(10, [0.0005, 0.0]),   # quantizes to [0,0]: tie between both
+         (11, [1.0, 1.0]),      # clearly nearest centroid 7
+         (12, [-1.0, -1.0])],   # clearly nearest centroid 3
+        "vec_id long, embedding array<float>")
+    cents = [(7, [1.0, 1.0]), (3, [-1.0, -1.0])]
+    got = {r["vec_id"]: r["cluster_id"]
+           for r in assign_clusters_exact(corpus, cents).collect()}
+    assert got == {10: 3, 11: 7, 12: 3}
