@@ -37,6 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
     "cur_cluster_balanced",  # NEW: embedding-space mixture balancing
+    "sim_hard_negatives",    # NEW: contrastive hard-negative mining
+    "text_doc_lm_score",     # NEW: per-doc trigram-LM fluency score
+    "cur_curriculum_order",  # NEW: TTR-quartile curriculum staging
     "dedup_cdc_chunks",      # boundary rule: gear rolling hash (+oracle)
     "dedup_minhash_lsh",     # minhash: 1 sha256 + k multiply-mod (+oracle)
     "dedup_incremental",     # minhash rule change (shared signature)

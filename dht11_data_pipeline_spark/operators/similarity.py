@@ -49,6 +49,44 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar vectors with a DIFFERENT label — the examples a
+    retrieval/embedding model learns the most from (near the query in
+    embedding space, but semantically wrong).
+
+    Same determinism contract as ``cosine_topk`` (similarity rounded to
+    4 decimals for ranking, ties on neighbor id); the label exclusion
+    is null-safe (``NOT (a <=> b)`` ≡ SQL ``IS DISTINCT FROM``), so a
+    NULL-labelled row is a valid negative for every labelled query.
+
+    Scale: identical to the brute top-k path — queries broadcast, the
+    corpus side streams; swap in the LSH/IVF candidate generator when
+    Q grows past broadcast size.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       F.col(label_col).alias("q_label"))
+    c = right_size(corpus).select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col).alias("cv"),
+                                  F.col(label_col).alias("n_label"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter((F.col("query_id") != F.col("neighbor_id"))
+                & ~F.col("q_label").eqNullSafe(F.col("n_label")))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "n_label", "sim", "rank")
+    )
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_planes: int = 4, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

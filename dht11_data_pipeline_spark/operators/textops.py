@@ -435,6 +435,62 @@ def kn_trigram(df: DataFrame, text_col: str = "text",
     return ranked
 
 
+def doc_lm_score(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-DOCUMENT fluency score under the corpus's own trigram LM —
+    the "score every document with an n-gram model trained on the
+    corpus itself" curation stage (kn_trigram surfaces the model's
+    top trigrams; this turns the model into a per-doc quality signal
+    an LM-filtering gate can threshold on).
+
+    All-integer and engine-exact: for each trigram occurrence,
+    ``p_ppm = (1e6 · c3) DIV c2`` with c3 the corpus count of the
+    trigram and c2 its context total c(w1 w2) — the trigram MLE floored
+    to ppm — and the document score is the integer mean
+    ``SUM(k · p_ppm) DIV SUM(k)`` over the doc's trigram types (k =
+    in-doc occurrences). Docs with < 3 tokens have no trigrams and are
+    absent from the output (mirrored in the oracle).
+
+    Shape (the decorrelation-window rule, never a join-back): one
+    token scan → an explicit (w1,w2) repartition whose subset-key
+    clustering satisfies EVERYTHING at the trigram grain — the
+    per-(trigram, doc) count, the c3 window on (w1,w2,w3) AND the c2
+    window on (w1,w2) all run on that ONE exchange (HashPartitioning
+    on a subset of the required keys co-locates the superset groups).
+    The per-doc mean is the only other shuffle: TWO exchanges total,
+    zero re-scans of the raw text, no persist/checkpoint state. The
+    subset keys trade a little context skew for the saved shuffle;
+    (w1,w2) cardinality is vocabulary², so hot contexts stay far
+    below a partition.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (right_size(df)
+            .select(F.col(id_col),
+                    F.expr(f"filter(split({text_col}, ' '), "
+                           "t -> t != '')").alias("tk"))
+            .filter(F.size("tk") >= 3))
+    tri = toks.select(F.col(id_col), F.explode(F.arrays_zip(
+        F.slice("tk", 1, F.size("tk") - 2).alias("w1"),
+        F.slice("tk", 2, F.size("tk") - 2).alias("w2"),
+        F.slice("tk", 3, F.size("tk") - 2).alias("w3"),
+    )).alias("g")).select(id_col, "g.w1", "g.w2", "g.w3")
+    dt = (tri.repartition("w1", "w2")
+          .groupBy("w1", "w2", "w3", id_col)
+          .agg(F.count(F.lit(1)).cast("bigint").alias("k")))
+    w3w = Window.partitionBy("w1", "w2", "w3")
+    w2w = Window.partitionBy("w1", "w2")
+    scored = (dt
+              .withColumn("c3", F.sum("k").over(w3w).cast("bigint"))
+              .withColumn("c2", F.sum("k").over(w2w).cast("bigint"))
+              .withColumn("p_ppm",
+                          F.expr("(1000000 * c3) DIV c2").cast("bigint")))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("k").cast("bigint").alias("n_trigrams"),
+                 F.expr("SUM(k * p_ppm) DIV SUM(k)")
+                 .cast("bigint").alias("lm_score_ppm")))
+
+
 def rake_keywords(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", top_n: int = 3) -> DataFrame:
     """RAKE keyword extraction (Rose et al. 2010): candidate phrases

@@ -746,6 +746,83 @@ SELECT doc_id, weight,
 FROM w, mx
 """,
 
+    # hard-negative mining: cosine top-k restricted to rows whose label
+    # differs (IS DISTINCT FROM ≡ Spark's NOT(<=>), null-safe) — same
+    # rounding/tiebreak contract as sim_cosine_topk
+    "sim_hard_negatives": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS nl
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, nl,
+         round(list_cosine_similarity(qv, cv), 4) AS sim
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id AND nl IS DISTINCT FROM ql
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, nl AS n_label, sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 3
+""",
+
+    # per-doc trigram-LM fluency: integer-ppm trigram MLE
+    # (1e6*c3 // c2, window sums over the doc-trigram grain) averaged
+    # per document — same tokenization/trigram construction as
+    # text_kn_trigram; SUM outputs cast to BIGINT (HUGEINT rule)
+    "text_doc_lm_score": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(len(tk) - 1 AS BIGINT)),
+    i -> struct_pack(
+      w1 := tk[CAST(i AS INTEGER)],
+      w2 := tk[CAST(i + 1 AS INTEGER)],
+      w3 := tk[CAST(i + 2 AS INTEGER)]))) AS g
+  FROM toks WHERE len(tk) >= 3
+),
+dt AS (
+  SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM tri GROUP BY 1, 2, 3, 4
+),
+sc AS (
+  SELECT doc_id, k,
+         CAST((1000000 * SUM(k) OVER (PARTITION BY w1, w2, w3))
+              // (SUM(k) OVER (PARTITION BY w1, w2)) AS BIGINT) AS p_ppm
+  FROM dt
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_trigrams,
+       CAST(SUM(k * p_ppm) // SUM(k) AS BIGINT) AS lm_score_ppm
+FROM sc GROUP BY doc_id
+""",
+
+    # curriculum staging: lexical-diversity (TTR ppm, integer) quartile
+    # — the oracle's plain NTILE(4) states exactly what the distributed
+    # ranking machinery computes without a single-partition sort
+    "cur_curriculum_order": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST((1000000 * CAST(len(list_distinct(tk)) AS BIGINT))
+              // len(tk) AS BIGINT) AS ttr_ppm
+  FROM t WHERE len(tk) >= 1
+)
+SELECT doc_id, ttr_ppm,
+       CAST(NTILE(4) OVER (ORDER BY ttr_ppm, doc_id) AS INTEGER) AS stage
+FROM s
+""",
+
     # embedding-space mixture balancing — the whole chain is integer
     # arithmetic (floor(x*1000) int64 L2 argmin with lowest-cid ties,
     # multiplicative-hash centroid sample, bucket<quota gate), so this

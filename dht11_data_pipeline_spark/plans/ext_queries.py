@@ -1921,6 +1921,53 @@ def cur_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_kept")))
 
 
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negative_topk):
+    per query vector, the 3 most-similar vectors with a DIFFERENT
+    label — the contrastive-training pairs an embedding model learns
+    the most from. Same determinism contract as sim_cosine_topk
+    (rounded sims, id tiebreaks); label exclusion is null-safe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.hard_negative_topk(emb, queries, k=3)
+
+
+def text_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency under the corpus's own trigram LM
+    (operators/textops.doc_lm_score): integer-ppm trigram MLE averaged
+    over each doc's trigrams — the LM-filtering quality signal, exact
+    in both engines (no logs, no floats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.doc_lm_score(docs)
+
+
+def cur_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: every document assigned to one of 4 training
+    stages by lexical-diversity quantile (type-token ratio in exact
+    integer ppm, doc_id tiebreak) — easy/repetitive text first, diverse
+    text last. The quantile is the DISTRIBUTED exact NTILE
+    (operators/ranking.global_ntile_auto): no single-partition sort at
+    any corpus size; the oracle states the same assignment as
+    NTILE(4) OVER (ORDER BY ttr_ppm, doc_id)."""
+    from dht11_data_pipeline_spark.operators.ranking import (
+        global_ntile_auto)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    scored = (docs
+              .select("doc_id", toks.alias("tk"))
+              .filter(F.size("tk") >= 1)
+              .select("doc_id",
+                      F.expr("(1000000 * CAST(size(array_distinct(tk)) "
+                             "AS BIGINT)) DIV size(tk)")
+                      .cast("bigint").alias("ttr_ppm")))
+    staged = global_ntile_auto(
+        scored, 4, [F.col("ttr_ppm"), F.col("doc_id")], "stage",
+        n_rows=None)
+    return staged.select("doc_id", "ttr_ppm",
+                         F.col("stage").cast("int").alias("stage"))
+
+
 _ACF_LAGS = (1, 2, 3, 7)
 
 
@@ -1976,6 +2023,9 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "sim_hard_negatives": sim_hard_negatives,
+    "text_doc_lm_score": text_doc_lm_score,
+    "cur_curriculum_order": cur_curriculum_order,
     "cur_cluster_balanced": cur_cluster_balanced,
     "o_revenue_deciles": o_revenue_deciles,
     "ts_autocorrelation": ts_autocorrelation,

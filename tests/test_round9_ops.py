@@ -1,0 +1,74 @@
+"""Round-9 operators: hard-negative mining, per-doc trigram-LM scoring,
+curriculum staging."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.operators.similarity import (
+    cosine_topk, hard_negative_topk)
+from dht11_data_pipeline_spark.operators.textops import doc_lm_score
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = hard_negative_topk(emb, queries, k=3)
+    labels = {r["vec_id"]: r["label"] for r in
+              emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r["query_id"]] != r["n_label"]
+        assert r["n_label"] == labels[r["neighbor_id"]]
+        assert 1 <= r["rank"] <= 3
+    # a hard negative is never MORE similar than the best unrestricted
+    # neighbor: the top-1 overall sim bounds the top-1 negative sim
+    best_any = {r["query_id"]: r["sim"] for r in
+                cosine_topk(emb, queries, k=1).collect()}
+    best_neg = {r["query_id"]: r["sim"] for r in rows if r["rank"] == 1}
+    for qid, s in best_neg.items():
+        assert s <= best_any[qid]
+
+
+def test_doc_lm_score_hand_example(spark):
+    # corpus: "a b c" twice and "a b d" once.
+    #   c3(a,b,c)=2, c3(a,b,d)=1, c2(a,b)=3
+    #   doc 1/2 score = (1e6*2)//3 = 666666; doc 3 = (1e6*1)//3 = 333333
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d"), (4, "too short")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_trigrams"], r["lm_score_ppm"])
+           for r in doc_lm_score(docs).collect()}
+    assert got == {1: (1, 666666), 2: (1, 666666), 3: (1, 333333)}
+    # doc 4 has < 3 tokens -> absent
+
+
+def test_doc_lm_score_repeated_trigram_weighting(spark):
+    # one doc with trigram (x x x) twice via "x x x x": trigrams
+    # (x,x,x) at positions 1..2 -> k=2; corpus-unique context so
+    # p=1e6; mean = 1e6
+    docs = spark.createDataFrame([(1, "x x x x")],
+                                 "doc_id long, text string")
+    [r] = doc_lm_score(docs).collect()
+    assert (r["n_trigrams"], r["lm_score_ppm"]) == (2, 1000000)
+
+
+def test_curriculum_order_stages_balanced(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    out = E.queries()["cur_curriculum_order"](spark, sf_dir).collect()
+    n = len(out)
+    assert n > 0
+    sizes = {}
+    for r in out:
+        sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # staging is monotone in ttr: every stage-1 doc has ttr <= every
+    # stage-4 doc
+    max_s1 = max(r["ttr_ppm"] for r in out if r["stage"] == 1)
+    min_s4 = min(r["ttr_ppm"] for r in out if r["stage"] == 4)
+    assert max_s1 <= min_s4
