@@ -40,6 +40,8 @@ CHANGED_THIS_ROUND: list[str] = [
     "sim_hard_negatives",    # NEW: contrastive hard-negative mining
     "text_doc_lm_score",     # NEW: per-doc trigram-LM fluency score
     "cur_curriculum_order",  # NEW: TTR-quartile curriculum staging
+    "sim_label_knn_audit",   # NEW: kNN majority-vote mislabel audit
+    "text_oov_rate",         # NEW: top-V vocabulary coverage audit
     "dedup_cdc_chunks",      # boundary rule: gear rolling hash (+oracle)
     "dedup_minhash_lsh",     # minhash: 1 sha256 + k multiply-mod (+oracle)
     "dedup_incremental",     # minhash rule change (shared signature)

@@ -87,6 +87,44 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
+def knn_label_audit(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Mislabeled-example detection: predict each query's label by
+    MAJORITY VOTE of its k nearest neighbors (exact cosine top-k), and
+    surface the disagreements — the standard dataset-QA sweep before a
+    classifier train (a doc whose neighborhood consistently out-votes
+    its label is a labeling error or a genuinely hard boundary case).
+
+    Deterministic end-to-end: the top-k inherits cosine_topk's
+    rounded-sim/id-tiebreak contract, and a vote tie elects the
+    SMALLEST label. Output per query: (query_id, true_label,
+    predicted_label, votes, label_match).
+
+    Scale: neighbor labels come from the corpus frame, which streams —
+    the Q·k top-k frame is the broadcast side of the label join; the
+    vote/argmax windows partition by query_id (never global).
+    """
+    topk = cosine_topk(corpus, queries, k, id_col, vec_col)
+    nb_labels = right_size(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"))
+    votes = (F.broadcast(topk).join(nb_labels, "neighbor_id")
+             .groupBy("query_id", "n_label")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(),
+                                               F.col("n_label").asc())
+    pred = (votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    truth = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(label_col).alias("true_label"))
+    return (pred.join(F.broadcast(truth), "query_id")
+            .select("query_id", "true_label",
+                    F.col("n_label").alias("predicted_label"), "votes",
+                    (F.col("true_label") == F.col("n_label"))
+                    .alias("label_match")))
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_planes: int = 4, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

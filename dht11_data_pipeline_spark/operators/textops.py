@@ -491,6 +491,63 @@ def doc_lm_score(df: DataFrame, text_col: str = "text",
                  .cast("bigint").alias("lm_score_ppm")))
 
 
+def oov_rate(df: DataFrame, vocab_size: int = 1000,
+             text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Vocabulary-coverage audit: per document, how much of it falls
+    outside the corpus's own top-``vocab_size`` token vocabulary — the
+    "will the tokenizer shred this doc into bytes" signal a curation
+    pipeline thresholds before training (high OOV ⇒ boilerplate,
+    code-as-prose, wrong language, or OCR noise).
+
+    Vocabulary = the ``vocab_size`` tokens ranked by (corpus count
+    DESC, token) — a TOTAL order, so the cut is deterministic and the
+    SQL twin reproduces it exactly. The rank is the DISTRIBUTED
+    ranking operator (operators/ranking.global_row_number), never a
+    single-partition window: the token-TYPE frame is vocabulary-sized
+    (easily 1e9 rows at 100 TB with web tokenization).
+
+    Shape: one token scan → (token, doc) counts on an explicit token
+    repartition; the corpus count per token is a WINDOW sum on that
+    same exchange and the type frame is a dropDuplicates on it too
+    (three consumers, one exchange). The type frame is checkpointed
+    before ranking (it feeds the ranked vocab AND keeps the doc-grain
+    frame's lineage shallow); the chosen vocab is ``vocab_size`` rows
+    → broadcast left join, then one per-doc aggregate.
+
+    Output: (id, n_tokens, n_oov, oov_ppm) with
+    ``oov_ppm = 1e6·n_oov DIV n_tokens`` — exact integers end-to-end.
+    """
+    from dht11_data_pipeline_spark.operators.ranking import (
+        global_row_number)
+    from pyspark.sql.window import Window
+
+    toks = (right_size(df)
+            .select(F.col(id_col),
+                    F.explode(F.expr(
+                        f"filter(split({text_col}, ' '), t -> t != '')"))
+                    .alias("token")))
+    dt = (toks.repartition("token")
+          .groupBy("token", id_col)
+          .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+          .withColumn("c", F.sum("k").over(Window.partitionBy("token"))
+                      .cast("bigint"))
+          .localCheckpoint(eager=True))
+    types = dt.select("token", "c").dropDuplicates(["token"])
+    vocab = (global_row_number(
+        types, [F.col("c").desc(), F.col("token")], "rk")
+        .filter(F.col("rk") <= vocab_size)
+        .select("token", F.lit(1).alias("_in_vocab")))
+    return (dt.join(F.broadcast(vocab), "token", "left")
+            .groupBy(id_col)
+            .agg(F.sum("k").cast("bigint").alias("n_tokens"),
+                 F.sum(F.when(F.col("_in_vocab").isNull(), F.col("k"))
+                       .otherwise(F.lit(0)))
+                 .cast("bigint").alias("n_oov"))
+            .select(id_col, "n_tokens", "n_oov",
+                    F.expr("(1000000 * n_oov) DIV n_tokens")
+                    .cast("bigint").alias("oov_ppm")))
+
+
 def rake_keywords(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", top_n: int = 3) -> DataFrame:
     """RAKE keyword extraction (Rose et al. 2010): candidate phrases

@@ -746,6 +746,59 @@ SELECT doc_id, weight,
 FROM w, mx
 """,
 
+    # kNN mislabel audit: same top-k contract as sim_cosine_topk, then
+    # a vote count and an argmax with the tie electing the smallest
+    # label; COUNT cast to BIGINT (HUGEINT rule)
+    "sim_label_knn_audit": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                  label AS tl
+           FROM embeddings WHERE vec_id % 10 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             label AS nl
+      FROM embeddings),
+s AS (
+  SELECT query_id, tl, neighbor_id, nl,
+         round(list_cosine_similarity(qv, cv), 4) AS sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rk
+      FROM s),
+v AS (SELECT query_id, tl, nl, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, nl) AS pr
+      FROM v)
+SELECT query_id, tl AS true_label, nl AS predicted_label, votes,
+       (tl = nl) AS label_match
+FROM p WHERE pr = 1
+""",
+
+    # vocabulary-coverage audit: top-20 vocab by (count DESC, token) —
+    # a total order, so the cut is engine-exact; integer ppm
+    "text_oov_rate": """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS token
+  FROM documents
+),
+dt AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM tk GROUP BY 1, 2
+),
+tc AS (SELECT token, CAST(SUM(k) AS BIGINT) AS c FROM dt GROUP BY 1),
+v AS (SELECT token FROM tc ORDER BY c DESC, token LIMIT 20)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN k ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       CAST((1000000 * SUM(CASE WHEN v.token IS NULL THEN k ELSE 0 END))
+            // SUM(k) AS BIGINT) AS oov_ppm
+FROM dt LEFT JOIN v USING (token)
+GROUP BY doc_id
+""",
+
     # hard-negative mining: cosine top-k restricted to rows whose label
     # differs (IS DISTINCT FROM ≡ Spark's NOT(<=>), null-safe) — same
     # rounding/tiebreak contract as sim_cosine_topk

@@ -1968,6 +1968,28 @@ def cur_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("stage").cast("int").alias("stage"))
 
 
+def sim_label_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN mislabel audit (operators/similarity.knn_label_audit):
+    majority vote of each query's 5 nearest neighbors vs its own
+    label — disagreements flag labeling errors. Vote ties elect the
+    smallest label; the neighbor set inherits cosine_topk's
+    determinism contract, so the oracle replays the votes exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.knn_label_audit(emb, queries, k=5)
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit (operators/textops.oov_rate): per-doc
+    share of tokens outside the corpus's top-20 vocabulary, in exact
+    integer ppm. The vocab cut ranks the token-TYPE frame with the
+    distributed global_row_number (a real vocabulary is 1e9 types at
+    100 TB — never a single-partition window); the synthetic corpus
+    has 31 types, so top-20 leaves real OOV mass to measure."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.oov_rate(docs, vocab_size=20)
+
+
 _ACF_LAGS = (1, 2, 3, 7)
 
 
@@ -2023,6 +2045,8 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "sim_label_knn_audit": sim_label_knn_audit,
+    "text_oov_rate": text_oov_rate,
     "sim_hard_negatives": sim_hard_negatives,
     "text_doc_lm_score": text_doc_lm_score,
     "cur_curriculum_order": cur_curriculum_order,

@@ -72,3 +72,52 @@ def test_curriculum_order_stages_balanced(spark, sf_dir):
     max_s1 = max(r["ttr_ppm"] for r in out if r["stage"] == 1)
     min_s4 = min(r["ttr_ppm"] for r in out if r["stage"] == 4)
     assert max_s1 <= min_s4
+
+
+def test_knn_label_audit_majority_and_ties(spark):
+    from dht11_data_pipeline_spark.operators.similarity import (
+        knn_label_audit)
+
+    # 2D unit-ish vectors: qid 0 labelled 9 sits among three label-1
+    # vectors and one label-2 -> predicted 1, votes 3, mismatch.
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.99, 0.01], 1),
+        (2, [0.98, 0.02], 1),
+        (3, [0.97, 0.03], 1),
+        (4, [0.96, 0.04], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = knn_label_audit(emb, emb.filter("vec_id = 0"), k=4)
+    [r] = out.collect()
+    assert (r["true_label"], r["predicted_label"], r["votes"],
+            r["label_match"]) == (9, 1, 3, False)
+
+    # vote tie (2 vs 2) elects the SMALLEST label: corpus without the
+    # third label-1 vector, backfilled with a second label-2 one
+    emb2 = spark.createDataFrame(
+        [r for r in rows if r[0] != 3] + [(5, [0.95, 0.05], 2)],
+        "vec_id long, embedding array<float>, label int")
+    out2 = knn_label_audit(emb2, emb2.filter("vec_id = 0"), k=4)
+    [r2] = out2.collect()
+    assert r2["predicted_label"] == 1 and r2["votes"] == 2
+
+
+def test_oov_rate_hand_example(spark):
+    from dht11_data_pipeline_spark.operators.textops import oov_rate
+
+    # counts: a=4, b=3, c=2 -> vocab_size=2 keeps {a, b}; c is OOV
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b b c")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"])
+           for r in oov_rate(docs, vocab_size=2).collect()}
+    assert got == {1: (4, 1, 250000), 2: (5, 1, 200000)}
+
+    # count tie at the cut breaks on token order: vocab_size=1 with
+    # equal counts keeps the lexicographically first token
+    docs2 = spark.createDataFrame([(1, "x y x y")],
+                                  "doc_id long, text string")
+    [r] = oov_rate(docs2, vocab_size=1).collect()
+    assert (r["n_tokens"], r["n_oov"]) == (4, 2)
