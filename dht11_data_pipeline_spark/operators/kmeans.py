@@ -146,7 +146,10 @@ def assign_clusters_exact(corpus: DataFrame,
             out["cluster_id"] = cids[idx]
             yield out
 
-    return right_size(corpus).select(id_col, vec_col).mapInPandas(
+    # right_size probes df.rdd, which streaming frames reject — a
+    # stream's micro-batches already carry the source's parallelism
+    base = corpus if corpus.isStreaming else right_size(corpus)
+    return base.select(id_col, vec_col).mapInPandas(
         _assign, schema=out_schema)
 
 

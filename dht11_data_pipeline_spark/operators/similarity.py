@@ -125,6 +125,45 @@ def knn_label_audit(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     .alias("label_match")))
 
 
+def semantic_contamination(corpus: DataFrame, probes: DataFrame,
+                           threshold: float = 0.4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """EMBEDDING-space eval decontamination: drop any training vector
+    whose cosine to ANY eval probe reaches ``threshold`` — the
+    semantic sibling of the n-gram ``curation.decontaminate`` (an eval
+    answer paraphrased into different words escapes n-gram overlap but
+    not its embedding neighborhood).
+
+    Per corpus row: (id, n_hits, max_sim, verdict keep|drop), with the
+    cosine rounded to 4 decimals before both the threshold test and
+    the max (the cosine_topk determinism contract), so the verdicts
+    hash-match across engines.
+
+    Scale: eval sets are small by nature (10³–10⁵ rows) — the probe
+    side broadcasts and the corpus streams through one narrow
+    O(N·Q) scoring pass; the per-doc aggregate combines map-side
+    (each corpus row's Q scores sit in one partition). If Q ever
+    outgrows broadcast, swap the probe side into the multiprobe-LSH
+    candidate generator (embedding_near_duplicates) and aggregate the
+    verified pairs the same way.
+    """
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).alias("pv"))
+    c = right_size(corpus).select(F.col(id_col), F.col(vec_col).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(p))
+              .select(id_col,
+                      F.round(cosine(F.col("cv"), F.col("pv")), 4)
+                      .alias("sim")))
+    hit = F.when(F.col("sim") >= threshold, 1).otherwise(0)
+    return (scored.groupBy(id_col)
+            .agg(F.sum(hit).cast("bigint").alias("n_hits"),
+                 F.max("sim").alias("max_sim"))
+            .select(id_col, "n_hits", "max_sim",
+                    F.when(F.col("n_hits") > 0, "drop")
+                    .otherwise("keep").alias("verdict")))
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_planes: int = 4, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -746,6 +746,26 @@ SELECT doc_id, weight,
 FROM w, mx
 """,
 
+    # embedding-space decontamination: rounded cosine vs every probe,
+    # hit-count + max per corpus vector; SUM cast to BIGINT
+    "cur_semantic_decontaminate": """
+WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 50 <> 0),
+s AS (
+  SELECT c.vec_id, round(list_cosine_similarity(cv, pv), 4) AS sim
+  FROM c CROSS JOIN p
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       MAX(sim) AS max_sim,
+       CASE WHEN SUM(CASE WHEN sim >= 0.4 THEN 1 ELSE 0 END) > 0
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM s GROUP BY vec_id
+""",
+
     # kNN mislabel audit: same top-k contract as sim_cosine_topk, then
     # a vote count and an argmax with the tie electing the smallest
     # label; COUNT cast to BIGINT (HUGEINT rule)

@@ -1990,6 +1990,21 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.oov_rate(docs, vocab_size=20)
 
 
+def cur_semantic_decontaminate(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Embedding-space eval decontamination (operators/similarity.
+    semantic_contamination): vectors vec_id % 50 == 0 act as the eval
+    set; every other vector is dropped if its rounded cosine to any
+    probe reaches 0.4. Complements the n-gram cur_decontaminate — a
+    paraphrased eval answer escapes token overlap but not its
+    embedding neighborhood."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return similarity.semantic_contamination(corpus, probes,
+                                             threshold=0.4)
+
+
 _ACF_LAGS = (1, 2, 3, 7)
 
 
@@ -2045,6 +2060,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_semantic_decontaminate": cur_semantic_decontaminate,
     "sim_label_knn_audit": sim_label_knn_audit,
     "text_oov_rate": text_oov_rate,
     "sim_hard_negatives": sim_hard_negatives,

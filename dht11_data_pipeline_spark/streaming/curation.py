@@ -74,6 +74,53 @@ def weighted_keep_stream(df: DataFrame, w_max: int,
     return weighted_gate_projection(staged, id_col, rate_ppm)
 
 
+def cluster_balanced_stream(df: DataFrame,
+                            centroids: list[tuple[int, list[float]]],
+                            quotas: dict[int, int],
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            salt: str = "cbal1",
+                            quant: int = 1000) -> DataFrame:
+    """Streaming form of ``operators/curation.cluster_balanced_sample``:
+    the same integer-exact nearest-prototype assignment and the same
+    ``bucket < keep_ppm`` gate, with the per-cluster quotas passed IN
+    (a stream cannot know corpus-wide cluster sizes; a deployment
+    refreshes the quota map from a periodic batch pass — the same
+    declared-parameter move as ``weighted_keep_stream``'s w_max).
+
+    Stateless per row given (centroids, quotas): works identically on
+    a streaming or batch frame. A vector assigned to a cluster absent
+    from the quota map raises (quota maps must cover the prototype
+    set) — silent drops would skew the mix unnoticed.
+
+    Returns (id, cluster_id, keep_ppm, keep_flag).
+    """
+    from dht11_data_pipeline_spark.operators.kmeans import (
+        assign_clusters_exact)
+
+    if not quotas:
+        raise ValueError("cluster_balanced_stream: need a non-empty "
+                         "quota map")
+    assigned = assign_clusters_exact(df, centroids, id_col, vec_col,
+                                     quant)
+    quota_expr = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in sorted(quotas)]),
+        F.array(*[F.lit(int(quotas[c])).cast("bigint")
+                  for c in sorted(quotas)]))
+    keep_ppm = F.element_at(quota_expr, F.col("cluster_id"))
+    checked = (F.when(keep_ppm.isNull(),
+                      F.raise_error(F.format_string(
+                          "cluster_balanced_stream: cluster %s has no "
+                          "quota", F.col("cluster_id").cast("string")))
+                      .cast("bigint"))
+               .otherwise(keep_ppm))
+    bucket = _hash_bucket(F.col(id_col), salt, 1_000_000)
+    return assigned.select(
+        id_col, "cluster_id",
+        checked.alias("keep_ppm"),
+        F.when(bucket < checked, "Y").otherwise("N").alias("keep_flag"))
+
+
 def start_weighted_keep_stream(spark: SparkSession, source_path: str,
                                out_dir: str, checkpoint_dir: str,
                                w_max: int, rate_ppm: int = 500_000,

@@ -121,3 +121,20 @@ def test_oov_rate_hand_example(spark):
                                   "doc_id long, text string")
     [r] = oov_rate(docs2, vocab_size=1).collect()
     assert (r["n_tokens"], r["n_oov"]) == (4, 2)
+
+
+def test_semantic_contamination_hand_example(spark):
+    from dht11_data_pipeline_spark.operators.similarity import (
+        semantic_contamination)
+
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [0.9, 0.1]),    # cosine ~0.994 -> drop
+         (2, [0.0, 1.0]),    # cosine 0 -> keep
+         (3, [-1.0, 0.0])],  # cosine -1 -> keep
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["n_hits"], r["verdict"])
+           for r in semantic_contamination(corpus, probes,
+                                           threshold=0.4).collect()}
+    assert got == {1: (1, "drop"), 2: (0, "keep"), 3: (0, "keep")}

@@ -75,3 +75,65 @@ def test_weighted_keep_stream_enforces_ceiling(spark):
         weighted_keep_stream(df, w_max=50).collect()
     with pytest.raises(ValueError, match="ceiling"):
         weighted_keep_stream(df, w_max=0)
+
+
+def test_cluster_balanced_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Fed the batch pass's own centroids and quota map, the stateless
+    stream gate keeps the identical subset (true stream run over a
+    JSON-lines feed, then the pure-projection form)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dht11_data_pipeline_spark.operators.kmeans import (
+        select_centroids)
+    from dht11_data_pipeline_spark.streaming.curation import (
+        cluster_balanced_stream)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = curation.cluster_balanced_sample(emb, k=20,
+                                             budget_ppm=400_000)
+    expected = {(r["vec_id"], r["cluster_id"], r["keep_ppm"],
+                 r["keep_flag"]) for r in batch.collect()}
+    quotas = {r["cluster_id"]: r["keep_ppm"] for r in
+              batch.select("cluster_id", "keep_ppm").distinct().collect()}
+    cents = select_centroids(emb, 20)
+
+    # pure-projection parity on the batch frame
+    got = {tuple(r) for r in
+           cluster_balanced_stream(emb, cents, quotas).collect()}
+    assert got == expected
+
+    # true micro-batched stream over a parquet feed
+    feed = str(tmp_path / "feed")
+    emb.repartition(3).write.parquet(feed)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(feed))
+    out = str(tmp_path / "out")
+    q = (cluster_balanced_stream(src, cents, quotas)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got_stream = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got_stream == expected
+
+
+def test_cluster_balanced_stream_rejects_uncovered_cluster(spark):
+    import pytest
+
+    from dht11_data_pipeline_spark.streaming.curation import (
+        cluster_balanced_stream)
+
+    df = spark.createDataFrame([(1, [0.9, 0.9]), (2, [-0.9, -0.9])],
+                               "vec_id long, embedding array<float>")
+    cents = [(1, [1.0, 1.0]), (2, [-1.0, -1.0])]
+    with pytest.raises(Exception, match="no quota"):
+        cluster_balanced_stream(df, cents, {1: 500_000}).collect()
+    with pytest.raises(ValueError, match="quota map"):
+        cluster_balanced_stream(df, cents, {})
