@@ -746,6 +746,23 @@ SELECT doc_id, weight,
 FROM w, mx
 """,
 
+    # deterministic training-order shuffle: rank in (sha bucket, id)
+    # order — the same portable hash as the curation gates
+    "cur_training_order": """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256('epoch1' || chr(31)
+              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+           AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS position,
+       CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) % 8
+            AS INTEGER) AS shard
+FROM k
+""",
+
     # embedding-space decontamination: rounded cosine vs every probe,
     # hit-count + max per corpus vector; SUM cast to BIGINT
     "cur_semantic_decontaminate": """

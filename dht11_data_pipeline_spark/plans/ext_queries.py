@@ -2005,6 +2005,31 @@ def cur_semantic_decontaminate(spark: SparkSession, sf_dir: str
                                              threshold=0.4)
 
 
+def cur_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding — the
+    last stage of every corpus pipeline: a reproducible corpus-wide
+    permutation (position = rank in sha-bucket order, doc_id tiebreak;
+    no RNG, so re-runs and the oracle emit the identical order) and a
+    round-robin shard assignment over it. The rank is the DISTRIBUTED
+    global_row_number — a corpus-wide ORDER BY with no single-partition
+    sort at any scale. Salt change ⇒ fresh epoch permutation."""
+    from dht11_data_pipeline_spark.operators.curation import _hash_bucket
+    from dht11_data_pipeline_spark.operators.ranking import (
+        global_row_number)
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        _hash_bucket(F.col("doc_id"), "epoch1", 1_000_000)
+        .cast("bigint").alias("shuffle_key"))
+    ordered = global_row_number(
+        keyed, [F.col("shuffle_key"), F.col("doc_id")], "position")
+    return ordered.select(
+        "doc_id", "shuffle_key",
+        F.col("position").cast("bigint").alias("position"),
+        F.expr("(position - 1) % 8").cast("int").alias("shard"))
+
+
 _ACF_LAGS = (1, 2, 3, 7)
 
 
@@ -2060,6 +2085,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_training_order": cur_training_order,
     "cur_semantic_decontaminate": cur_semantic_decontaminate,
     "sim_label_knn_audit": sim_label_knn_audit,
     "text_oov_rate": text_oov_rate,

@@ -138,3 +138,23 @@ def test_semantic_contamination_hand_example(spark):
            for r in semantic_contamination(corpus, probes,
                                            threshold=0.4).collect()}
     assert got == {1: (1, "drop"), 2: (0, "keep"), 3: (0, "keep")}
+
+
+def test_training_order_is_permutation_with_balanced_shards(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    out = E.queries()["cur_training_order"](spark, sf_dir).collect()
+    n = len(out)
+    assert sorted(r["position"] for r in out) == list(range(1, n + 1))
+    shards = {}
+    for r in out:
+        assert r["shard"] == (r["position"] - 1) % 8
+        shards[r["shard"]] = shards.get(r["shard"], 0) + 1
+    assert max(shards.values()) - min(shards.values()) <= 1
+    # deterministic: identical permutation on a re-run
+    again = {r["doc_id"]: r["position"]
+             for r in E.queries()["cur_training_order"](spark, sf_dir)
+             .collect()}
+    assert again == {r["doc_id"]: r["position"] for r in out}
