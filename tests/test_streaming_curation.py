@@ -137,3 +137,62 @@ def test_cluster_balanced_stream_rejects_uncovered_cluster(spark):
         cluster_balanced_stream(df, cents, {1: 500_000}).collect()
     with pytest.raises(ValueError, match="quota map"):
         cluster_balanced_stream(df, cents, {})
+
+
+def test_oov_rate_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Fed the batch pass's own top-V vocabulary, the stateless stream
+    audit emits the identical per-doc rows — projection parity AND a
+    true availableNow stream run."""
+    from pyspark.sql import types as T
+
+    from dht11_data_pipeline_spark.operators.ranking import (
+        global_row_number)
+    from dht11_data_pipeline_spark.operators.textops import oov_rate
+    from dht11_data_pipeline_spark.streaming.textops import (
+        oov_rate_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = oov_rate(docs, vocab_size=20)
+    expected = {tuple(r) for r in batch.collect()}
+
+    # reproduce the batch vocab cut exactly (count DESC, token)
+    toks = docs.selectExpr(
+        "explode(filter(split(text, ' '), t -> t != '')) AS token")
+    types = toks.groupBy("token").count()
+    vocab = [r["token"] for r in
+             global_row_number(types, [F.col("count").desc(),
+                                       F.col("token")], "rk")
+             .filter("rk <= 20").collect()]
+
+    got = {tuple(r) for r in
+           oov_rate_stream(docs.select("doc_id", "text"), vocab)
+           .collect()}
+    assert got == expected
+
+    feed = str(tmp_path / "feed")
+    docs.select("doc_id", "text").repartition(3).write.parquet(feed)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(feed))
+    out = str(tmp_path / "out")
+    q = (oov_rate_stream(src, vocab)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == expected
+
+
+def test_oov_rate_stream_rejects_empty_vocab(spark):
+    import pytest
+
+    from dht11_data_pipeline_spark.streaming.textops import (
+        oov_rate_stream)
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocabulary"):
+        oov_rate_stream(df, [])
