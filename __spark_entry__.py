@@ -44,6 +44,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "text_oov_rate",         # NEW: top-V vocabulary coverage audit
     "cur_semantic_decontaminate",  # NEW: embedding-space eval decontam
     "cur_training_order",    # NEW: deterministic shuffle + sharding
+    "cur_dsir_resample",     # NEW: DSIR score -> importance gate e2e
     "dedup_cdc_chunks",      # boundary rule: gear rolling hash (+oracle)
     "dedup_minhash_lsh",     # minhash: 1 sha256 + k multiply-mod (+oracle)
     "dedup_incremental",     # minhash rule change (shared signature)

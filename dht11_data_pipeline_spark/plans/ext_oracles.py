@@ -746,6 +746,46 @@ SELECT doc_id, weight,
 FROM w, mx
 """,
 
+    # full DSIR stage: the text_dsir_weight score chain feeding the
+    # cur_weighted_sample integer gate — keep iff bucket*w_max <
+    # rate*score, all integer (// == DIV on non-negative operands)
+    "cur_dsir_resample": """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+idx AS (
+  SELECT doc_id, lang, tok, unnest(range(1, len(tok))) AS i
+  FROM t WHERE len(tok) >= 2),
+g AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(sha256('dsir1' || chr(31)
+               || array_to_string(tok[i : i + 1], ' ')), 1, 8))::BIGINT
+              % 128 AS INTEGER) AS bucket
+  FROM idx),
+stats AS (
+  SELECT bucket,
+         COUNT(*) AS raw_n,
+         COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+  FROM g GROUP BY bucket),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_grams, SUM(tgt_n * 1000000 // raw_n) AS w
+  FROM g JOIN stats USING (bucket) GROUP BY doc_id),
+s AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0
+                   ELSE w // n_grams END AS BIGINT) AS weight,
+         ('0x' || substr(sha256('wkeep1' || chr(31)
+              || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+           AS bucket
+  FROM documents d LEFT JOIN per USING (doc_id)),
+mx AS (SELECT MAX(weight) AS w_max FROM s)
+SELECT doc_id, weight,
+       CAST(bucket AS INTEGER) AS bucket,
+       CAST(LEAST(1000000, (500000 * weight) // w_max) AS BIGINT)
+         AS keep_ppm,
+       CASE WHEN bucket * w_max < 500000 * weight
+            THEN 'Y' ELSE 'N' END AS keep_flag
+FROM s, mx
+""",
+
     # deterministic training-order shuffle: rank in (sha bucket, id)
     # order — the same portable hash as the curation gates
     "cur_training_order": """

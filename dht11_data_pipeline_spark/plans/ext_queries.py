@@ -2030,6 +2030,23 @@ def cur_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(position - 1) % 8").cast("int").alias("shard"))
 
 
+def cur_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR stage end-to-end (Xie et al. 2023): hashed-bigram
+    importance scores against the lang='en' target slice
+    (textops.dsir_weights, integer ppm) fed straight into the
+    deterministic importance-sampling gate (curation.weighted_keep) —
+    score the corpus, then actually resample it. Both halves are
+    driver-green on their own; this is the composition a training-mix
+    build runs, with keep probability ∝ score/score_max at a 50% base
+    rate and zero RNG anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (textops.dsir_weights(docs, target_col="lang",
+                              target_value="en")
+         .select("doc_id", "score_ppm"))
+    return curation.weighted_keep(w, F.col("score_ppm"),
+                                  rate_ppm=500_000)
+
+
 _ACF_LAGS = (1, 2, 3, 7)
 
 
@@ -2085,6 +2102,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_dsir_resample": cur_dsir_resample,
     "cur_training_order": cur_training_order,
     "cur_semantic_decontaminate": cur_semantic_decontaminate,
     "sim_label_knn_audit": sim_label_knn_audit,
