@@ -36,29 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list limited to keys whose code or oracle actually changed in
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
-    "cur_cluster_balanced",  # NEW: embedding-space mixture balancing
-    "sim_hard_negatives",    # NEW: contrastive hard-negative mining
-    "text_doc_lm_score",     # NEW: per-doc trigram-LM fluency score
-    "cur_curriculum_order",  # NEW: TTR-quartile curriculum staging
-    "sim_label_knn_audit",   # NEW: kNN majority-vote mislabel audit
-    "text_oov_rate",         # NEW: top-V vocabulary coverage audit
-    "cur_semantic_decontaminate",  # NEW: embedding-space eval decontam
-    "cur_training_order",    # NEW: deterministic shuffle + sharding
-    "cur_dsir_resample",     # NEW: DSIR score -> importance gate e2e
-    "dedup_cdc_chunks",      # boundary rule: gear rolling hash (+oracle)
-    "dedup_minhash_lsh",     # minhash: 1 sha256 + k multiply-mod (+oracle)
-    "dedup_incremental",     # minhash rule change (shared signature)
-    "dedup_cascade",         # minhash rule change
-    "dedup_clusters",        # minhash rule change
-    "cur_survivorship",      # minhash rule change
-    "cur_end_to_end",        # minhash rule change
-    "mm_cross_modal_audit",  # minhash rule change
-    "a_countmin_freq",       # sketch built from per-key truth table
-    "a_kmv_jaccard",         # max_sets guard fused into sizes agg
-    "t_rfm_segmentation",    # tiered global_ntile_auto, persist dropped
-    "cur_weighted_sample",   # NULL/negative/all-zero weights now raise
-    "o_revenue_deciles",     # ranking overflow guard on offset frame
-    "o_customer_revenue_rank",  # ranking overflow guard on offset frame
+    "cur_source_temperature",  # NEW: per-source temperature mixing
+    "cur_weighted_sample",   # empty-corpus raise now fires (isNull arm)
+    "cur_dsir_resample",     # dsir_weights refactored onto shared helpers
+    "t_rfm_segmentation",    # ranking _pin: checkpoint-dir conflict guard
+    "o_revenue_deciles",     # ranking _pin: checkpoint-dir conflict guard
+    "o_customer_revenue_rank",  # ranking _pin: checkpoint-dir conflict guard
+    "dedup_minhash_lsh",     # one-shot verify now re-shingles candidates only
+    "dedup_cascade",         # rides minhash_near_duplicates
+    "dedup_clusters",        # rides minhash_near_duplicates
+    "cur_survivorship",      # rides minhash_near_duplicates
+    "cur_end_to_end",        # rides minhash_near_duplicates
+    "mm_cross_modal_audit",  # rides minhash_near_duplicates
 ]
 
 

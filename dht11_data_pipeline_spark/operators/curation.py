@@ -91,8 +91,11 @@ def weighted_keep(df: DataFrame, weight: Column, rate_ppm: int = 500_000,
                             F.col(id_col).cast("string")))
                         .cast("bigint"))
                  .otherwise(weight.cast("bigint")))
+    # isNull covers the empty corpus: F.max over zero rows is NULL and
+    # `NULL <= 0` is NULL (falls to otherwise), so without the explicit
+    # null test the documented empty-corpus raise would never fire.
     w_max = df.agg(
-        F.when(F.max(w_checked) <= 0,
+        F.when(F.max(w_checked).isNull() | (F.max(w_checked) <= 0),
                F.raise_error(F.lit(
                    "weighted_keep: all weights are zero (or the corpus "
                    "is empty) — keep probability is undefined"))
@@ -188,6 +191,87 @@ def cluster_balanced_sample(df: DataFrame, k: int = 50,
     bucket = _hash_bucket(F.col(id_col), salt, 1_000_000)
     return (assigned.join(F.broadcast(quotas), "cluster_id")
             .select(id_col, "cluster_id", "n_in_cluster", "keep_ppm",
+                    F.when(bucket < F.col("keep_ppm"), "Y")
+                    .otherwise("N").alias("keep_flag")))
+
+
+def _exact_isqrt(n: Column) -> Column:
+    """floor(sqrt(n)) made engine-exact: the double-precision candidate
+    is within ±1 of the true integer root for any bigint n, so one
+    Newton-style correction pins it — no reliance on two engines'
+    sqrt/floor rounding agreeing at perfect-square boundaries. Mirrored
+    verbatim in the DuckDB oracle (plans/ext_oracles)."""
+    c = F.floor(F.sqrt(n.cast("double"))).cast("bigint")
+    return (F.when((c + 1) * (c + 1) <= n, c + 1)
+            .when(c * c > n, c - 1)
+            .otherwise(c))
+
+
+def source_temperature_sample(df: DataFrame, group_col: str = "source",
+                              tau: int = 2, rate_ppm: int = 500_000,
+                              id_col: str = "doc_id",
+                              salt: str = "stemp1") -> DataFrame:
+    """Per-source temperature mixing: down-weight large sources so the
+    kept corpus is τ-temperature-flattened across domains — the
+    standard training-mix stage alongside cluster balancing
+    (cluster_balanced_sample) and DSIR resampling. With per-source
+    sizes n_g, temperature sampling keeps source g at a rate
+    ∝ n_g^(1/τ − 1), so expected kept counts go as n_g^(1/τ): τ=1 is
+    the natural mix, τ=2 the classic sqrt-flattening (multilingual
+    pretraining's default), τ=0 (sentinel for τ→∞) the uniform mix —
+    every source contributes the same expected count.
+
+    Integer-exact so the SQL oracle replays the identical subset:
+    rates are anchored at the SMALLEST source (which keeps at the full
+    ``rate_ppm``) and scaled down by exact integer arithmetic —
+      τ=1: keep_ppm_g = rate_ppm
+      τ=2: keep_ppm_g = (rate_ppm · isqrt(min_n)) DIV isqrt(n_g)
+      τ=0: keep_ppm_g = (rate_ppm · min_n) DIV n_g
+    with isqrt the Newton-corrected exact floor sqrt (_exact_isqrt) —
+    no float pow, whose last-ulp rounding the two engines need not
+    share. Overflow-safe: isqrt ≤ 1e6 for n ≤ 1e12, so the τ=2 product
+    ≤ 1e12; the τ=0 product rate_ppm·min_n ≤ 1e6·n stays inside int64
+    to ~9e12 rows per source.
+
+    Scale: ONE shuffle builds the per-source sizes (map-side partials,
+    #sources rows out); min_n is a window over that tiny frame (single
+    lineage — never agg-and-join-back, which would re-scan the corpus);
+    the rates broadcast back onto the docs. The gate itself is the
+    weighted_keep hash discipline: keep iff bucket(id) < keep_ppm_g,
+    so membership depends only on (id, source sizes) — replay- and
+    partitioning-independent.
+
+    Returns (id, group, n_docs, keep_ppm, keep_flag).
+    """
+    if tau not in (0, 1, 2):
+        raise ValueError(
+            f"source_temperature_sample: tau must be 0 (uniform mix), "
+            f"1 (natural mix) or 2 (sqrt flattening) — fractional "
+            f"powers are not engine-exact; got {tau}")
+    if not 0 <= rate_ppm <= 1_000_000:
+        raise ValueError("rate_ppm must be in [0, 1e6]")
+    sizes = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # global scalar as a window over the aggregated (tiny) frame
+    all_rows = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    sizes = sizes.withColumn("_min_n", F.min("n_docs").over(all_rows))
+    if tau == 1:
+        keep = F.lit(rate_ppm).cast("bigint")
+    elif tau == 2:
+        sizes = (sizes
+                 .withColumn("_isq_min", _exact_isqrt(F.col("_min_n")))
+                 .withColumn("_isq_g", _exact_isqrt(F.col("n_docs"))))
+        keep = F.expr(f"({rate_ppm} * _isq_min) DIV _isq_g")
+    else:  # tau == 0: uniform expected count per source
+        keep = F.expr(f"({rate_ppm} * _min_n) DIV n_docs")
+    rates = sizes.select(
+        group_col, "n_docs",
+        F.least(F.lit(1_000_000).cast("bigint"), keep)
+        .cast("bigint").alias("keep_ppm"))
+    bucket = _hash_bucket(F.col(id_col), salt, 1_000_000)
+    return (df.join(F.broadcast(rates), group_col)
+            .select(id_col, group_col, "n_docs", "keep_ppm",
                     F.when(bucket < F.col("keep_ppm"), "Y")
                     .otherwise("N").alias("keep_flag")))
 

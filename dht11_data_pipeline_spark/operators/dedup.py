@@ -227,13 +227,25 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             threshold: float = 0.5) -> DataFrame:
     """Full cascade: LSH candidates → exact-Jaccard verify ≥ threshold.
 
-    The verify computes Jaccard ONLY for candidate pairs, via
-    array_intersect of the two (distinct) shingle sets — O(candidates),
-    not the all-pairs inverted-index join; that's the whole point of
-    LSH at scale."""
-    sigs = minhash_signature(df, text_col, id_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, band_size)
-    sh = _doc_shingles(df, text_col, id_col, n)
+    The corpus is SKETCHED EXACTLY ONCE: signatures (8 bigints + id
+    per doc — trivially small next to the text) are localCheckpointed
+    before banding, because the band self-join consumes them on both
+    aliases and an unmaterialized plan would run the whole
+    shingle+sha256+groupBy sketch twice (exchange reuse does not
+    rescue two aggregate consumers of one subplan — the standing
+    SCALE.md finding). The verify then re-shingles ONLY documents that
+    appear in a candidate pair, via a semi-join point lookup — the
+    same O(|batch| + candidates) shape as minhash_incremental_pairs;
+    before round 10 it re-shingled the FULL corpus on both join sides
+    (three corpus-wide shingle passes per run, measured ~1.9 s at
+    sf0.1 vs ~1.2 s with this shape)."""
+    sigs = minhash_signature(df, text_col, id_col, n, num_hashes) \
+        .localCheckpoint()
+    cands = lsh_candidate_pairs(sigs, id_col, band_size).localCheckpoint()
+    touched = (cands.select(F.col("doc_a").alias("cid"))
+               .union(cands.select(F.col("doc_b").alias("cid"))).distinct())
+    needed = df.join(touched, df[id_col] == touched.cid, "left_semi")
+    sh = _doc_shingles(needed, text_col, id_col, n).localCheckpoint()
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle_set").alias("set_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle_set").alias("set_b"))
     common = F.size(F.array_intersect("set_a", "set_b"))

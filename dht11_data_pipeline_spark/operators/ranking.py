@@ -52,11 +52,42 @@ def _pin(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     executor memory/disk — gone with a lost executor, which on a real
     cluster restarts the whole ranking stage; pass ``checkpoint_dir``
     to pin to reliable storage instead (HDFS/S3 path), the
-    belt-and-braces form for a long ranking stage at scale."""
+    belt-and-braces form for a long ranking stage at scale.
+
+    ``setCheckpointDir`` is SESSION-GLOBAL state, so this only sets it
+    when unset and raises on a conflicting value — silently redirecting
+    a dir another caller configured (or relies on) would move THEIR
+    checkpoints too."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = df.sparkSession.sparkContext
+    current = sc.getCheckpointDir()
+    if current is None:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif not _same_checkpoint_dir(current, checkpoint_dir):
+        raise ValueError(
+            f"ranking checkpoint_dir={checkpoint_dir!r} conflicts with "
+            f"the session's already-configured checkpoint dir "
+            f"{current!r}; setCheckpointDir is session-global, so "
+            f"refusing to redirect it — pass the configured dir or "
+            f"leave checkpoint_dir=None for localCheckpoint")
     return df.checkpoint(eager=True)
+
+
+def _same_checkpoint_dir(current: str, requested: str) -> bool:
+    """getCheckpointDir returns the qualified URI (file:/...) of the
+    per-context UUID subdir Spark creates UNDER the configured dir;
+    compare on the path part and accept either the dir itself or its
+    UUID child so passing the same local dir twice is a no-op."""
+    import posixpath
+    from urllib.parse import urlparse
+
+    def _path(d: str) -> str:
+        p = urlparse(d)
+        return (p.path or d).rstrip("/")
+
+    cur, req = _path(current), _path(requested)
+    return cur == req or posixpath.dirname(cur) == req
 
 
 def _range_indexed(df: DataFrame, order_by: list[Column]) -> DataFrame:

@@ -231,6 +231,46 @@ def span_coverage(df: DataFrame, text_col: str = "text",
     )
 
 
+def _dsir_grams(df: DataFrame, text_col: str, id_col: str,
+                target_col: str, target_value: str, buckets: int,
+                salt: str) -> DataFrame:
+    from dht11_data_pipeline_spark.functions.text import shingles
+    from dht11_data_pipeline_spark.operators.curation import _hash_bucket
+
+    return right_size(df).filter(F.size(tokens(text_col)) >= 2).select(
+        F.col(id_col),
+        (F.col(target_col) == target_value).alias("is_target"),
+        F.explode(shingles(tokens(text_col), 2)).alias("gram"),
+    ).withColumn("bucket", _hash_bucket(F.col("gram"), salt, buckets))
+
+
+def _dsir_stats(grams: DataFrame) -> DataFrame:
+    return (
+        grams.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("raw_n"),
+             F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_n"))
+        .select("bucket",
+                F.expr("tgt_n * 1000000 DIV raw_n").alias("ratio_ppm"))
+    )
+
+
+def dsir_bucket_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", target_col: str = "lang",
+                      target_value: str = "en", buckets: int = 128,
+                      salt: str = "dsir1") -> DataFrame:
+    """The DSIR importance MODEL alone: per-feature-bucket
+    target-vs-raw frequency ratios in integer ppm — the table a
+    deployment trains in a periodic batch pass and feeds to the
+    streaming gate (streaming/curation.dsir_keep_stream) as its
+    declared ratios. Same arithmetic ``dsir_weights`` uses internally
+    (shared helpers, so the two cannot drift); buckets never seen in
+    the reference corpus are absent, which the stream treats as an
+    error on lookup — densify with ratio 0 if unseen-gram traffic is
+    expected."""
+    return _dsir_stats(_dsir_grams(df, text_col, id_col, target_col,
+                                   target_value, buckets, salt))
+
+
 def dsir_weights(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", target_col: str = "lang",
                  target_value: str = "en", buckets: int = 128,
@@ -247,22 +287,10 @@ def dsir_weights(df: DataFrame, text_col: str = "text",
     partial counts; ``buckets`` rows out), which broadcasts back onto
     the per-doc gram stream; the per-doc reduce is the second shuffle.
     Integer ppm ratios end-to-end — no float enters the output."""
-    from dht11_data_pipeline_spark.functions.text import shingles
-    from dht11_data_pipeline_spark.operators.curation import _hash_bucket
-
     base = df.select(F.col(id_col))
-    grams = right_size(df).filter(F.size(tokens(text_col)) >= 2).select(
-        F.col(id_col),
-        (F.col(target_col) == target_value).alias("is_target"),
-        F.explode(shingles(tokens(text_col), 2)).alias("gram"),
-    ).withColumn("bucket", _hash_bucket(F.col("gram"), salt, buckets))
-    stats = (
-        grams.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("raw_n"),
-             F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_n"))
-        .select("bucket",
-                F.expr("tgt_n * 1000000 DIV raw_n").alias("ratio_ppm"))
-    )
+    grams = _dsir_grams(df, text_col, id_col, target_col, target_value,
+                        buckets, salt)
+    stats = _dsir_stats(grams)
     per_doc = (
         grams.join(F.broadcast(stats), "bucket")
         .groupBy(id_col)

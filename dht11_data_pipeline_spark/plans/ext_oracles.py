@@ -746,6 +746,45 @@ SELECT doc_id, weight,
 FROM w, mx
 """,
 
+    # per-source τ=2 temperature mixing: keep_ppm_g = (rate ·
+    # isqrt(min_n)) // isqrt(n_g), with isqrt the Newton-corrected
+    # exact floor sqrt (mirrors curation._exact_isqrt — the double
+    # candidate is within ±1, one correction pins it in both engines)
+    "cur_source_temperature": """
+WITH sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+m AS (SELECT MIN(n_docs) AS min_n FROM sizes),
+c AS (
+  SELECT source, n_docs, min_n,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS cg,
+         CAST(floor(sqrt(CAST(min_n AS DOUBLE))) AS BIGINT) AS cm
+  FROM sizes, m),
+isq AS (
+  SELECT source, n_docs,
+         CASE WHEN (cg + 1) * (cg + 1) <= n_docs THEN cg + 1
+              WHEN cg * cg > n_docs THEN cg - 1 ELSE cg END AS isq_g,
+         CASE WHEN (cm + 1) * (cm + 1) <= min_n THEN cm + 1
+              WHEN cm * cm > min_n THEN cm - 1 ELSE cm END AS isq_min
+  FROM c),
+rates AS (
+  SELECT source, n_docs,
+         CAST(LEAST(1000000, (500000 * isq_min) // isq_g) AS BIGINT)
+           AS keep_ppm
+  FROM isq),
+gate AS (
+  SELECT d.source, r.n_docs, r.keep_ppm,
+         ('0x' || substr(sha256('stemp1' || chr(31)
+              || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+           AS bucket
+  FROM documents d JOIN rates r USING (source))
+SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(keep_ppm) AS BIGINT) AS keep_ppm,
+       CAST(SUM(CASE WHEN bucket < keep_ppm THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM gate GROUP BY source
+""",
+
     # full DSIR stage: the text_dsir_weight score chain feeding the
     # cur_weighted_sample integer gate — keep iff bucket*w_max <
     # rate*score, all integer (// == DIV on non-negative operands)

@@ -1921,6 +1921,25 @@ def cur_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_kept")))
 
 
+def cur_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature mixing (operators/curation.
+    source_temperature_sample, τ=2): each source kept at a rate
+    ∝ 1/isqrt(source_size), anchored so the smallest source keeps at
+    the full 500k ppm — sqrt-flattening the domain mix, the standard
+    training-mix stage alongside cluster balancing and DSIR. The whole
+    chain (exact Newton-corrected isqrt, integer DIV, sha256 hash gate)
+    is engine-portable, so the oracle replays the EXACT per-source
+    sizes, rates and kept counts — a full hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = curation.source_temperature_sample(docs, tau=2,
+                                               rate_ppm=500_000)
+    return (gated.groupBy("source")
+            .agg(F.max("n_docs").cast("bigint").alias("n_docs"),
+                 F.max("keep_ppm").cast("bigint").alias("keep_ppm"),
+                 F.sum(F.when(F.col("keep_flag") == "Y", 1).otherwise(0))
+                 .cast("bigint").alias("n_kept")))
+
+
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.hard_negative_topk):
     per query vector, the 3 most-similar vectors with a DIFFERENT
@@ -2102,6 +2121,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_source_temperature": cur_source_temperature,
     "cur_dsir_resample": cur_dsir_resample,
     "cur_training_order": cur_training_order,
     "cur_semantic_decontaminate": cur_semantic_decontaminate,

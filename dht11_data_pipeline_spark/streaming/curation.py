@@ -121,6 +121,140 @@ def cluster_balanced_stream(df: DataFrame,
         F.when(bucket < checked, "Y").otherwise("N").alias("keep_flag"))
 
 
+def source_temperature_stream(df: DataFrame, rates: dict[str, int],
+                              id_col: str = "doc_id",
+                              group_col: str = "source",
+                              salt: str = "stemp1") -> DataFrame:
+    """Streaming form of ``operators/curation.source_temperature_sample``:
+    the same ``bucket(id) < keep_ppm_g`` gate with the per-source rates
+    passed IN as the DECLARED MIX (a stream cannot know corpus-wide
+    source sizes; a deployment refreshes the rate map from a periodic
+    batch pass — the same declared-parameter move as
+    ``weighted_keep_stream``'s w_max and ``cluster_balanced_stream``'s
+    quotas).
+
+    Stateless per row given the map: works identically on a streaming
+    or batch frame, so batch replays / stream restarts keep the
+    identical subset. A row from a source absent from the map RAISES
+    (silent drops would skew the mix unnoticed) — new sources must
+    enter through a rate-map refresh, not fall through a default.
+
+    Returns (id, group, keep_ppm, keep_flag).
+    """
+    if not rates:
+        raise ValueError("source_temperature_stream: need a non-empty "
+                         "rate map")
+    bad = {g: r for g, r in rates.items()
+           if not 0 <= int(r) <= 1_000_000}
+    if bad:
+        raise ValueError(f"source_temperature_stream: rates must be "
+                         f"integer ppm in [0, 1e6]; got {bad}")
+    rate_expr = F.map_from_arrays(
+        F.array(*[F.lit(g) for g in sorted(rates)]),
+        F.array(*[F.lit(int(rates[g])).cast("bigint")
+                  for g in sorted(rates)]))
+    keep_ppm = F.element_at(rate_expr, F.col(group_col))
+    checked = (F.when(keep_ppm.isNull(),
+                      F.raise_error(F.format_string(
+                          "source_temperature_stream: source %s has no "
+                          "declared rate", F.col(group_col)))
+                      .cast("bigint"))
+               .otherwise(keep_ppm))
+    bucket = _hash_bucket(F.col(id_col), salt, 1_000_000)
+    return df.select(
+        id_col, group_col,
+        checked.alias("keep_ppm"),
+        F.when(bucket < checked, "Y").otherwise("N").alias("keep_flag"))
+
+
+def dsir_keep_stream(df: DataFrame, bucket_ratios: dict[int, int],
+                     w_max: int = 1_000_000,
+                     rate_ppm: int = 500_000, buckets: int = 128,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     salt: str = "dsir1",
+                     gate_salt: str = "wkeep1") -> DataFrame:
+    """Streaming DSIR resample: score each arriving document against a
+    DECLARED hashed-bigram importance table and gate it — the stream
+    form of ``cur_dsir_resample`` (textops.dsir_weights ∘
+    curation.weighted_keep), completing the score→keep stage's
+    stream==batch parity story.
+
+    The batch scorer learns its per-bucket target-vs-raw ratios from a
+    corpus-wide aggregate; a stream cannot aggregate an unbounded
+    corpus, so the ratios arrive as the declared model (ppm integers,
+    refreshed by a periodic batch pass — textops.dsir_bucket_stats).
+    Scoring is then per-row arithmetic: hash each bigram into its
+    feature bucket, look the ratio up in the map literal, score = mean
+    ratio over the document's bigram occurrences — the identical
+    integer DIV the batch scorer emits. The gate is the shared
+    ``weighted_gate_projection`` with ``w_max`` the declared score
+    ceiling (ratios ≤ 1e6 ⇒ scores ≤ 1e6 structurally; pass the batch
+    pass's observed max for exact batch parity, as the parity test
+    does). Fed the batch scorer's own table and ceiling, stream ==
+    batch row for row (tests/test_streaming_curation.py).
+
+    A bigram hashing into a bucket absent from the table RAISES — the
+    declared model must cover the full feature space (it is dense by
+    construction: buckets not seen in the reference corpus carry
+    ratio 0), and a silent default would skew scores unnoticed.
+
+    Stateless per row: no state store, no watermark; replays and
+    restarts keep the identical subset. The per-element map lookups
+    run interpreted (higher-order transform) — acceptable in a per-row
+    gate; the alternative (explode + join) would put a shuffle in a
+    latency path that needs none.
+
+    Returns the gate schema (id, weight, bucket, keep_ppm, keep_flag)
+    where weight is the document's score_ppm.
+    """
+    from dht11_data_pipeline_spark.functions.text import shingles, tokens
+
+    if not 0 < int(w_max) <= 1_000_000:
+        raise ValueError("dsir_keep_stream: declared score ceiling "
+                         "w_max must be in (0, 1e6]")
+    if bucket_ratios and not all(
+            0 <= int(v) <= 1_000_000 for v in bucket_ratios.values()):
+        raise ValueError("dsir_keep_stream: ratios must be integer ppm "
+                         "in [0, 1e6]")
+    ratio_expr = F.map_from_arrays(
+        F.array(*[F.lit(int(b)) for b in sorted(bucket_ratios)]),
+        F.array(*[F.lit(int(bucket_ratios[b])).cast("bigint")
+                  for b in sorted(bucket_ratios)]))
+
+    def ratio_of(g):
+        return F.coalesce(
+            F.element_at(ratio_expr,
+                         _hash_bucket(g, salt, buckets).cast("int")),
+            F.raise_error(F.concat(
+                F.lit("dsir_keep_stream: bigram bucket of '"), g,
+                F.lit("' has no declared ratio"))).cast("bigint"))
+
+    staged = (df
+              .withColumn("_ratios",
+                          F.transform(shingles(tokens(text_col), 2),
+                                      ratio_of))
+              .withColumn("_score",
+                          F.when(F.size("_ratios") <= 0,
+                                 F.lit(0).cast("bigint"))
+                          .otherwise(F.expr(
+                              "aggregate(_ratios, 0L, (acc, x) -> acc + x) "
+                              "DIV size(_ratios)").cast("bigint")))
+              .select(
+                  F.col(id_col),
+                  F.when(F.col("_score") > F.lit(int(w_max)),
+                         F.raise_error(F.format_string(
+                             "dsir_keep_stream: score %s exceeds the "
+                             f"declared ceiling {int(w_max)} for id %s",
+                             F.col("_score").cast("string"),
+                             F.col(id_col).cast("string")))
+                         .cast("bigint"))
+                  .otherwise(F.col("_score")).alias("weight"),
+                  _hash_bucket(F.col(id_col), gate_salt, 1_000_000)
+                  .cast("bigint").alias("bucket"),
+                  F.lit(int(w_max)).cast("bigint").alias("_w_max")))
+    return weighted_gate_projection(staged, id_col, rate_ppm)
+
+
 def start_weighted_keep_stream(spark: SparkSession, source_path: str,
                                out_dir: str, checkpoint_dir: str,
                                w_max: int, rate_ppm: int = 500_000,

@@ -34,7 +34,13 @@ DOC_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
 ])
 
-_SIG_SCHEMA = "doc_id long, signature array<string>"
+# Must track minhash_signature's output type: since the 1-sha256 +
+# multiply-mod hash family (operators/dedup.py) signatures are
+# array<bigint>, not the old sha256-hex array<string>. Signature
+# stores written under the old scheme are INCOMPATIBLE with new
+# signatures (old-vs-new band keys can never match) and must be
+# rebuilt after any hash-family change.
+_SIG_SCHEMA = "doc_id long, signature array<bigint>"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:

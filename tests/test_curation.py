@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from dht11_data_pipeline_spark.operators import curation, dedup
@@ -284,3 +285,79 @@ def test_assign_clusters_exact_integer_ties(spark):
     got = {r["vec_id"]: r["cluster_id"]
            for r in assign_clusters_exact(corpus, cents).collect()}
     assert got == {10: 3, 11: 7, 12: 3}
+
+
+def test_weighted_keep_raises_on_empty_corpus(spark):
+    """F.max over zero rows is NULL and NULL <= 0 is NULL, so the
+    empty-corpus raise needs the explicit isNull arm (ADVICE r9) —
+    without it the operator silently returned an empty frame while
+    its docstring promised a loud failure."""
+    from dht11_data_pipeline_spark.operators.curation import weighted_keep
+
+    df = spark.createDataFrame([], "doc_id bigint, w bigint")
+    with pytest.raises(Exception, match="weighted_keep"):
+        weighted_keep(df, F.col("w")).collect()
+
+
+def test_source_temperature_rates_and_anchoring(spark, sf_dir):
+    """τ=2: smallest source keeps at the full rate; larger sources are
+    scaled by exact isqrt ratio; τ=0 equalizes expected counts; τ=1 is
+    the natural mix. Rates must be reproducible from the per-source
+    sizes by pure integer arithmetic."""
+    import math
+
+    from dht11_data_pipeline_spark.operators.curation import (
+        source_temperature_sample)
+    from dht11_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    min_n = min(sizes.values())
+
+    out = source_temperature_sample(docs, tau=2, rate_ppm=500_000)
+    rows = out.collect()
+    assert len(rows) == sum(sizes.values())  # per-doc frame, no drops
+    got = {(r["source"], r["n_docs"], r["keep_ppm"]) for r in rows}
+    want = {(g, n, min(10**6, (500_000 * math.isqrt(min_n))
+                       // math.isqrt(n))) for g, n in sizes.items()}
+    assert got == want
+    # the smallest source keeps at the full rate
+    small = min(sizes, key=sizes.get)
+    assert {r["keep_ppm"] for r in rows if r["source"] == small} \
+        == {500_000}
+
+    # determinism: membership is a pure function of (id, sizes)
+    again = source_temperature_sample(docs, tau=2, rate_ppm=500_000)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
+
+    # τ=0: expected kept counts equalized — keep_ppm * n_docs within
+    # one rounding step of rate * min_n for every source
+    uni = {(r["source"], r["keep_ppm"], r["n_docs"])
+           for r in source_temperature_sample(docs, tau=0).collect()}
+    for _, ppm, n in uni:
+        assert 0 <= 500_000 * min_n - ppm * n < n
+    # τ=1: natural mix — every source at the base rate
+    nat = source_temperature_sample(docs, tau=1)
+    assert {r["keep_ppm"] for r in nat.collect()} == {500_000}
+
+    with pytest.raises(ValueError, match="tau"):
+        source_temperature_sample(docs, tau=3)
+
+
+def test_exact_isqrt_boundaries(spark):
+    """Perfect squares and their neighbours — exactly where a pure
+    floor(sqrt(double)) can round across the integer boundary."""
+    import math
+
+    from dht11_data_pipeline_spark.operators.curation import _exact_isqrt
+
+    vals = []
+    for k in (1, 2, 3, 10, 1000, 10**6, 10**9):
+        vals += [k * k - 1, k * k, k * k + 1]
+    vals += [0, 10**12, 10**15, 4 * 10**18]
+    df = spark.createDataFrame([(v,) for v in vals], "n bigint")
+    got = {r["n"]: r["s"] for r in
+           df.select("n", _exact_isqrt(F.col("n")).alias("s")).collect()}
+    assert got == {v: math.isqrt(v) for v in vals}

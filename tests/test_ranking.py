@@ -182,3 +182,26 @@ def test_weighted_keep_rejects_degenerate_inputs(spark, bad):
     df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
     with pytest.raises(Exception, match="weighted_keep"):
         weighted_keep(df, F.col("w")).collect()
+
+
+def test_pin_refuses_conflicting_checkpoint_dir(spark, tmp_path):
+    """setCheckpointDir is session-global: _pin may claim it when
+    unset and must no-op on the same dir, but a DIFFERENT dir while
+    one is configured raises instead of silently redirecting other
+    callers' checkpoints (ADVICE r9)."""
+    from dht11_data_pipeline_spark.operators.ranking import _pin
+
+    sc = spark.sparkContext
+    before = sc.getCheckpointDir()
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    try:
+        sc.setCheckpointDir(dir_a)
+        df = spark.range(10)
+        _pin(df, dir_a)  # same dir: allowed
+        with pytest.raises(ValueError, match="session-global"):
+            _pin(df, dir_b)
+        _pin(df, None)  # localCheckpoint path never touches the dir
+        # still dir_a's UUID child — nothing redirected it
+        assert "/a/" in sc.getCheckpointDir()
+    finally:
+        spark._jsc.sc().setCheckpointDir(before)

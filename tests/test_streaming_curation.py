@@ -196,3 +196,104 @@ def test_oov_rate_stream_rejects_empty_vocab(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="vocabulary"):
         oov_rate_stream(df, [])
+
+
+def test_source_temperature_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Fed the batch pass's own per-source rates as the declared mix,
+    the stateless stream gate keeps the identical subset — run once as
+    a true stream over a JSON-lines feed, once as a batch projection."""
+    from pyspark.sql import types as T
+
+    from dht11_data_pipeline_spark.streaming.curation import (
+        source_temperature_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = curation.source_temperature_sample(docs, tau=2,
+                                               rate_ppm=500_000)
+    rates = {r["source"]: r["keep_ppm"] for r in
+             batch.select("source", "keep_ppm").distinct().collect()}
+    want = {(r["doc_id"], r["source"], r["keep_ppm"], r["keep_flag"])
+            for r in batch.select("doc_id", "source", "keep_ppm",
+                                  "keep_flag").collect()}
+    assert any(r["keep_flag"] == "N"
+               for r in batch.collect())  # non-vacuous gate
+
+    rows = [{"doc_id": r["doc_id"], "source": r["source"]}
+            for r in docs.select("doc_id", "source").collect()]
+    src = _write_feed(tmp_path, rows)
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("source", T.StringType())])
+    out_dir = str(tmp_path / "out")
+    gated = source_temperature_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src), rates)
+    q = (gated.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+
+    # unknown source raises; empty / out-of-range maps refuse
+    bad = spark.createDataFrame([(1, "nosuch")], "doc_id long, source string")
+    with pytest.raises(Exception, match="no declared rate"):
+        source_temperature_stream(bad, rates).collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        source_temperature_stream(bad, {})
+    with pytest.raises(ValueError, match="ppm"):
+        source_temperature_stream(bad, {"a": 2_000_000})
+
+
+def test_dsir_keep_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The declared-model DSIR gate == the batch score→keep composition
+    (cur_dsir_resample: textops.dsir_weights ∘ curation.weighted_keep)
+    when fed the batch pass's own bucket table and observed score max —
+    completing stream==batch parity for the full DSIR stage."""
+    from pyspark.sql import types as T
+
+    from dht11_data_pipeline_spark.operators import textops
+    from dht11_data_pipeline_spark.streaming.curation import dsir_keep_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (textops.dsir_weights(docs, target_col="lang", target_value="en")
+         .select("doc_id", "score_ppm"))
+    batch = curation.weighted_keep(w, F.col("score_ppm"), rate_ppm=500_000)
+    want = {tuple(r) for r in batch.collect()}
+    w_max = max(r["weight"] for r in batch.collect())
+
+    ratios = {r["bucket"]: r["ratio_ppm"] for r in
+              textops.dsir_bucket_stats(docs, target_col="lang",
+                                        target_value="en").collect()}
+    rows = [{"doc_id": r["doc_id"], "text": r["text"], "lang": r["lang"]}
+            for r in docs.select("doc_id", "text", "lang").collect()]
+    src = _write_feed(tmp_path, rows)
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType()),
+                           T.StructField("lang", T.StringType())])
+    out_dir = str(tmp_path / "out")
+    gated = dsir_keep_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src),
+        ratios, w_max=w_max, rate_ppm=500_000)
+    q = (gated.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+    assert any(r[-1] == "N" for r in want)  # the gate actually gates
+
+    # precondition guards: ceiling range, ratio range, unseen bucket
+    with pytest.raises(ValueError, match="ceiling"):
+        dsir_keep_stream(docs, ratios, w_max=0)
+    with pytest.raises(ValueError, match="ratios"):
+        dsir_keep_stream(docs, {0: 2_000_000})
+    import hashlib
+
+    lone = spark.createDataFrame([(1, "zq zr")], "doc_id long, text string")
+    b = int(hashlib.sha256("dsir1\x1fzq zr".encode()).hexdigest()[:8],
+            16) % 128
+    with pytest.raises(Exception, match="no declared ratio"):
+        dsir_keep_stream(lone, {(b + 1) % 128: 0}, w_max=10).collect()
