@@ -37,6 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
     "cur_source_temperature",  # NEW: per-source temperature mixing
+    "cur_epoch_plan",        # NEW: data-constrained epoch water-filling
     "cur_weighted_sample",   # empty-corpus raise now fires (isNull arm)
     "cur_dsir_resample",     # dsir_weights refactored onto shared helpers
     "t_rfm_segmentation",    # ranking _pin: checkpoint-dir conflict guard

@@ -276,6 +276,101 @@ def source_temperature_sample(df: DataFrame, group_col: str = "source",
                     .otherwise("N").alias("keep_flag")))
 
 
+def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
+               max_epochs_ppm: int = 4_000_000,
+               group_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Data-constrained epoch planning: how many EPOCHS of each source
+    to train on under a global token budget, when small high-value
+    sources may be repeated but only up to a cap (the "repeat data up
+    to ~4 epochs, then reallocate" recipe from data-constrained LM
+    scaling). The target mix is UNIFORM per source — every source gets
+    an equal slice of the budget — but a source can absorb at most
+    ``max_epochs_ppm`` epochs of itself; surplus from capped (small)
+    sources water-fills into the uncapped (large) ones.
+
+    Exact integer water-filling, so the SQL oracle replays the plan
+    bit-for-bit: with A_g = (max_epochs_ppm · T_g) DIV 1e6 the
+    absorption cap and B = (budget_ppm · ΣT_g) DIV 1e6 the budget,
+    sources sorted by (A_g, g) ascending are capped while
+    A_g · (k − i + 1) ≤ B − cumA_{i−1} (the capped set is provably a
+    prefix of that order); the uncapped then split the remainder
+    exactly — floor share each, +1 token to the first ``rem`` in the
+    same order, so Σ alloc == min(B, ΣA) to the token. epochs_ppm_g =
+    (alloc_g · 1e6) DIV T_g ≤ max_epochs_ppm by construction.
+
+    Scale: ONE shuffle (per-source token sums, map-side partials);
+    everything after runs on the #sources-row frame — the window sorts
+    and prefix sums are over that tiny frame, never the corpus (the
+    global-scalar discipline). Returns one row per source:
+    (group, n_docs, tokens, absorb_cap, alloc_tokens, epochs_ppm,
+    capped_flag).
+    """
+    if budget_ppm < 0:
+        raise ValueError("budget_ppm must be non-negative")
+    if max_epochs_ppm <= 0:
+        raise ValueError("max_epochs_ppm must be positive")
+    from dht11_data_pipeline_spark.functions.text import token_count
+
+    sizes = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("tokens"))
+    sizes = sizes.withColumn(
+        "absorb_cap",
+        F.expr(f"({max_epochs_ppm} * tokens) DIV 1000000"))
+    all_rows = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    order = Window.orderBy("absorb_cap", group_col)
+    prefix = order.rowsBetween(Window.unboundedPreceding, -1)
+    s = (sizes
+         .withColumn("_t_tot", F.sum("tokens").over(all_rows))
+         .withColumn("_k", F.count(F.lit(1)).over(all_rows))
+         .withColumn("_i", F.row_number().over(order))
+         .withColumn("_cum_a",
+                     F.coalesce(F.sum("absorb_cap").over(prefix),
+                                F.lit(0).cast("bigint")))
+         .withColumn("_b", F.expr(f"({budget_ppm} * _t_tot) DIV 1000000"))
+         .withColumn("capped",
+                     F.col("absorb_cap") * (F.col("_k") - F.col("_i") + 1)
+                     <= F.col("_b") - F.col("_cum_a")))
+    # remainder pool: budget minus everything the capped prefix absorbs
+    caps = (s.withColumn("_cap_a",
+                         F.sum(F.when(F.col("capped"), F.col("absorb_cap"))
+                               .otherwise(0)).over(all_rows))
+            .withColumn("_n_cap",
+                        F.sum(F.when(F.col("capped"), 1).otherwise(0))
+                        .over(all_rows)))
+    n_uncap = F.col("_k") - F.col("_n_cap")
+    # Correctness notes (both provable from the sorted order):
+    # (1) the capped set is a PREFIX — if i is uncapped then any j > i
+    #     has A_j ≥ A_i, so A_j·(k−j+1) ≥ A_i·(k−j+1) > remaining
+    #     budget after j−1 and the condition stays false;
+    # (2) for every uncapped source, share + 1 ≤ absorb_cap (the first
+    #     uncapped m has A_m·n_uncap > pool ⇒ share = pool DIV n_uncap
+    #     < A_m, and later uncapped caps only grow) — so the +1
+    #     remainder spread can never overshoot a cap, and
+    #     Σ alloc == min(B, ΣA) holds to the token.
+    share = F.when(n_uncap > 0,
+                   F.expr("(_b - _cap_a) DIV (_k - _n_cap)")) \
+        .otherwise(F.lit(0).cast("bigint"))
+    rem = F.when(n_uncap > 0,
+                 F.expr("(_b - _cap_a) % (_k - _n_cap)")) \
+        .otherwise(F.lit(0).cast("bigint"))
+    # rank among the uncapped, in the same (absorb_cap, group) order
+    uncap_rank = F.sum(F.when(~F.col("capped"), 1).otherwise(0)).over(
+        Window.orderBy("absorb_cap", group_col)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    alloc = F.when(F.col("capped"), F.col("absorb_cap")).otherwise(
+        share + F.when(uncap_rank <= rem, 1).otherwise(0))
+    out = caps.withColumn("alloc_tokens", alloc.cast("bigint"))
+    return out.select(
+        group_col, "n_docs", "tokens", "absorb_cap", "alloc_tokens",
+        F.when(F.col("tokens") > 0,
+               F.expr("(alloc_tokens * 1000000) DIV tokens"))
+        .otherwise(F.lit(0)).cast("bigint").alias("epochs_ppm"),
+        F.when(F.col("capped"), "Y").otherwise("N").alias("capped_flag"))
+
+
 def stratified_quota(df: DataFrame, strata: list[str], k: int,
                      id_col: str = "doc_id",
                      salt: str = "quota1") -> DataFrame:

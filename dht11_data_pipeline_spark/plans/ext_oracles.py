@@ -746,6 +746,63 @@ SELECT doc_id, weight,
 FROM w, mx
 """,
 
+    # data-constrained epoch planning: exact integer water-filling of
+    # a 1.5x-corpus token budget, uniform per source, absorption cap
+    # 4 epochs; capped set is a prefix of (absorb_cap, source) order
+    # (mirrors operators/curation.epoch_plan incl. the remainder +1
+    # spread to the first `rem` uncapped sources in the same order)
+    "cur_epoch_plan": """
+WITH sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+caps AS (
+  SELECT *, (4000000 * tokens) // 1000000 AS absorb_cap FROM sizes),
+st AS (
+  SELECT *,
+         CAST(SUM(tokens) OVER () AS BIGINT) AS t_tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS k,
+         CAST(ROW_NUMBER() OVER (ORDER BY absorb_cap, source)
+              AS BIGINT) AS i,
+         CAST(COALESCE(SUM(absorb_cap) OVER (
+              ORDER BY absorb_cap, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_a
+  FROM caps),
+cp AS (
+  SELECT *,
+         (1500000 * t_tot) // 1000000 AS b,
+         (absorb_cap * (k - i + 1)
+          <= (1500000 * t_tot) // 1000000 - cum_a) AS capped
+  FROM st),
+agg AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN capped THEN absorb_cap ELSE 0 END) OVER ()
+              AS BIGINT) AS cap_a,
+         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+              AS BIGINT) AS n_cap,
+         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER (
+              ORDER BY absorb_cap, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS uncap_rank
+  FROM cp),
+alloc AS (
+  SELECT source, n_docs, tokens, absorb_cap, capped,
+         CASE WHEN capped THEN absorb_cap
+              ELSE (b - cap_a) // (k - n_cap)
+                   + CASE WHEN uncap_rank <= (b - cap_a) % (k - n_cap)
+                          THEN 1 ELSE 0 END
+         END AS alloc_tokens
+  FROM agg)
+SELECT source, n_docs, tokens, absorb_cap,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN tokens > 0
+                 THEN (alloc_tokens * 1000000) // tokens
+                 ELSE 0 END AS BIGINT) AS epochs_ppm,
+       CASE WHEN capped THEN 'Y' ELSE 'N' END AS capped_flag
+FROM alloc
+""",
+
     # per-source τ=2 temperature mixing: keep_ppm_g = (rate ·
     # isqrt(min_n)) // isqrt(n_g), with isqrt the Newton-corrected
     # exact floor sqrt (mirrors curation._exact_isqrt — the double

@@ -1940,6 +1940,19 @@ def cur_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_kept")))
 
 
+def cur_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning (operators/curation.epoch_plan):
+    a 1.5×-corpus token budget split UNIFORMLY per source, each source
+    repeatable up to 4 epochs — capped (small) sources absorb their
+    maximum and the surplus water-fills into the large ones, the
+    repetition schedule a data-constrained training run plans with.
+    Exact integer water-filling over the per-source frame, so the
+    oracle replays the plan to the token — a full hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.epoch_plan(docs, budget_ppm=1_500_000,
+                               max_epochs_ppm=4_000_000)
+
+
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.hard_negative_topk):
     per query vector, the 3 most-similar vectors with a DIFFERENT
@@ -2121,6 +2134,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_epoch_plan": cur_epoch_plan,
     "cur_source_temperature": cur_source_temperature,
     "cur_dsir_resample": cur_dsir_resample,
     "cur_training_order": cur_training_order,

@@ -361,3 +361,91 @@ def test_exact_isqrt_boundaries(spark):
     got = {r["n"]: r["s"] for r in
            df.select("n", _exact_isqrt(F.col("n")).alias("s")).collect()}
     assert got == {v: math.isqrt(v) for v in vals}
+
+
+def _epoch_plan_reference(tokens_by_src, budget_ppm, max_epochs_ppm):
+    """Pure-Python water-filling twin of curation.epoch_plan."""
+    caps = {g: (max_epochs_ppm * t) // 10**6
+            for g, t in tokens_by_src.items()}
+    t_tot = sum(tokens_by_src.values())
+    b = (budget_ppm * t_tot) // 10**6
+    order = sorted(caps, key=lambda g: (caps[g], g))
+    k = len(order)
+    alloc, cum, capped = {}, 0, set()
+    for i, g in enumerate(order, start=1):
+        if caps[g] * (k - i + 1) <= b - cum:
+            capped.add(g)
+        cum += caps[g]
+    cap_a = sum(caps[g] for g in capped)
+    uncapped = [g for g in order if g not in capped]
+    if uncapped:
+        share, rem = divmod(b - cap_a, len(uncapped))
+        for j, g in enumerate(uncapped, start=1):
+            alloc[g] = share + (1 if j <= rem else 0)
+    for g in capped:
+        alloc[g] = caps[g]
+    return {g: (tokens_by_src[g], caps[g], alloc[g],
+                (alloc[g] * 10**6) // tokens_by_src[g]
+                if tokens_by_src[g] else 0,
+                "Y" if g in capped else "N")
+            for g in tokens_by_src}
+
+
+def test_epoch_plan_matches_reference_and_invariants(spark, sf_dir):
+    from dht11_data_pipeline_spark.operators.curation import epoch_plan
+    from dht11_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens_by_src = {r["source"]: r["t"] for r in
+                     docs.groupBy("source")
+                     .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+                     .collect()}
+    for budget_ppm, cap_ppm in ((1_500_000, 4_000_000),
+                                (500_000, 2_000_000),
+                                (10_000_000, 4_000_000),  # all capped
+                                (0, 1_000_000)):
+        got = {r["source"]: (r["tokens"], r["absorb_cap"],
+                             r["alloc_tokens"], r["epochs_ppm"],
+                             r["capped_flag"])
+               for r in epoch_plan(docs, budget_ppm, cap_ppm).collect()}
+        want = _epoch_plan_reference(tokens_by_src, budget_ppm, cap_ppm)
+        assert got == want, (budget_ppm, cap_ppm)
+        # invariants: sum(alloc) == min(budget, sum(caps)); cap respected
+        t_tot = sum(tokens_by_src.values())
+        b = (budget_ppm * t_tot) // 10**6
+        caps_sum = sum(v[1] for v in want.values())
+        assert sum(v[2] for v in got.values()) == min(b, caps_sum)
+        for _, cap, alloc, ep, _fl in got.values():
+            assert alloc <= cap and ep <= cap_ppm
+
+
+def test_epoch_plan_water_filling_property(spark):
+    """Hypothesis sweep over synthetic skewed source mixes: Spark plan
+    == pure-Python reference on every draw, budget exactly exhausted
+    (or all sources capped)."""
+    from hypothesis import given, settings, strategies as st
+
+    from dht11_data_pipeline_spark.operators.curation import epoch_plan
+
+    @given(sizes=st.lists(st.integers(min_value=1, max_value=400),
+                          min_size=1, max_size=8),
+           budget=st.integers(min_value=0, max_value=8_000_000),
+           cap=st.integers(min_value=100_000, max_value=6_000_000))
+    @settings(max_examples=8, deadline=None)
+    def check(sizes, budget, cap):
+        rows = []
+        doc_id = 0
+        for s_i, n_toks in enumerate(sizes):
+            # one doc per source with exactly n_toks tokens
+            rows.append((doc_id, " ".join(["w"] * n_toks), f"s{s_i}"))
+            doc_id += 1
+        df = _docs(spark, rows)
+        got = {r["source"]: (r["tokens"], r["absorb_cap"],
+                             r["alloc_tokens"], r["epochs_ppm"],
+                             r["capped_flag"])
+               for r in epoch_plan(df, budget, cap).collect()}
+        want = _epoch_plan_reference(
+            {f"s{i}": t for i, t in enumerate(sizes)}, budget, cap)
+        assert got == want
+
+    check()
