@@ -227,20 +227,22 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             threshold: float = 0.5) -> DataFrame:
     """Full cascade: LSH candidates → exact-Jaccard verify ≥ threshold.
 
-    The corpus is SKETCHED EXACTLY ONCE: signatures (8 bigints + id
-    per doc — trivially small next to the text) are localCheckpointed
-    before banding, because the band self-join consumes them on both
-    aliases and an unmaterialized plan would run the whole
-    shingle+sha256+groupBy sketch twice (exchange reuse does not
-    rescue two aggregate consumers of one subplan — the standing
-    SCALE.md finding). The verify then re-shingles ONLY documents that
-    appear in a candidate pair, via a semi-join point lookup — the
-    same O(|batch| + candidates) shape as minhash_incremental_pairs;
-    before round 10 it re-shingled the FULL corpus on both join sides
-    (three corpus-wide shingle passes per run, measured ~1.9 s at
-    sf0.1 vs ~1.2 s with this shape)."""
-    sigs = minhash_signature(df, text_col, id_col, n, num_hashes) \
-        .localCheckpoint()
+    The verify re-shingles ONLY documents that appear in a candidate
+    pair, via a semi-join point lookup — the same O(|batch| +
+    candidates) shape as minhash_incremental_pairs; before round 10 it
+    re-shingled the FULL corpus on both join sides.
+
+    Materialization choices (measured round 10): the band self-join's
+    two aliases end in IDENTICAL sketch subplans (same pruning), which
+    AQE's runtime query-stage reuse deduplicates — so `sigs` is NOT
+    checkpointed (an eager pin here serializes an extra job and, in
+    composite queries like mm_cross_modal_audit, blocks overlap with
+    independent branches; measured +1.8 s there). `cands` IS
+    checkpointed: its three consumers prune different column sets, so
+    their exchanges are not identical and stage reuse cannot fire —
+    unmaterialized, the band join re-runs per consumer (the 3×-shuffle
+    measurement in SCALE.md round 1)."""
+    sigs = minhash_signature(df, text_col, id_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, band_size).localCheckpoint()
     touched = (cands.select(F.col("doc_a").alias("cid"))
                .union(cands.select(F.col("doc_b").alias("cid"))).distinct())
