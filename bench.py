@@ -50,7 +50,24 @@ def _run_conditions() -> dict:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = -1.0
-    return {"other_jvms": max(0, n_java), "load1_at_start": load1}
+    return {"other_jvms": max(0, n_java), "load1_at_start": load1,
+            "cpu_probe_ms": _cpu_probe_ms()}
+
+
+def _cpu_probe_ms() -> float:
+    """Repo-independent single-core speed index: wall ms for a fixed
+    200k-iteration sha256 chain. Round 10 found the HOST itself drifts
+    (this probe moved 128 → 163 ms across one session with zero local
+    load — hypervisor contention), which inflates every absolute
+    timing; recording the index with each artifact lets cross-round
+    comparisons normalize mechanically instead of guessing."""
+    import hashlib
+    import time
+    t0 = time.time()
+    h = b"x"
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    return round((time.time() - t0) * 1000, 1)
 
 
 def main() -> None:
