@@ -40,6 +40,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "cur_epoch_plan",        # NEW: data-constrained epoch water-filling
     "cur_weighted_sample",   # empty-corpus raise now fires (isNull arm)
     "cur_dsir_resample",     # dsir_weights refactored onto shared helpers
+    "text_dsir_weight",      # rides the dsir_weights refactor
     "t_rfm_segmentation",    # ranking _pin: checkpoint-dir conflict guard
     "o_revenue_deciles",     # ranking _pin: checkpoint-dir conflict guard
     "o_customer_revenue_rank",  # ranking _pin: checkpoint-dir conflict guard
