@@ -51,7 +51,8 @@ def _run_conditions() -> dict:
     except OSError:
         load1 = -1.0
     return {"other_jvms": max(0, n_java), "load1_at_start": load1,
-            "cpu_probe_ms": _cpu_probe_ms()}
+            "cpu_probe_ms": _cpu_probe_ms(),
+            "cpu_probe32_ms": _cpu_probe32_ms()}
 
 
 def _cpu_probe_ms() -> float:
@@ -68,6 +69,33 @@ def _cpu_probe_ms() -> float:
     for _ in range(200_000):
         h = hashlib.sha256(h).digest()
     return round((time.time() - t0) * 1000, 1)
+
+
+def _cpu_probe32_ms() -> float:
+    """All-cores speed index: MEAN per-process wall ms for the same
+    sha256 chain run on 32 processes at once. Captures hypervisor
+    co-scheduling / SMT dilation that the single-core probe misses —
+    round 10 saw bench totals track THIS number while the single-core
+    probe looked healthy (a 32-vCPU guest can be slow in aggregate
+    with every individual core probing fast). Best-effort: -1 if
+    multiprocessing is unavailable."""
+    try:
+        from multiprocessing import Pool
+        with Pool(32) as p:
+            times = p.map(_probe_child, range(32))
+        return round(sum(times) / len(times) * 1000, 1)
+    except Exception:  # noqa: BLE001 — conditions are best-effort
+        return -1.0
+
+
+def _probe_child(_i: int) -> float:
+    import hashlib
+    import time
+    t0 = time.time()
+    h = b"x"
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    return time.time() - t0
 
 
 def main() -> None:
