@@ -98,6 +98,50 @@ def _probe_child(_i: int) -> float:
     return time.time() - t0
 
 
+def _untouched_vs_prev(timings: dict[str, float], sf: float,
+                       changed: list[str]) -> dict:
+    """Self-normalizing drift index: median per-key ratio of THIS run
+    vs the prior COMMITTED BENCH_LATEST.json (git HEAD), over keys the
+    current round's code did not touch (absent from CHANGED_THIS_ROUND)
+    and that exist in both runs at the same SF. Round 10 showed the
+    host drifts 1.2-1.6× session-to-session with zero local load, so
+    absolute totals can't distinguish host drift from code regressions;
+    untouched keys can ONLY move with the host, making their median
+    ratio the normalizer — recorded here so the comparison is a
+    checkable number in the artifact, not hand-computed prose.
+    Best-effort: nulls (with a reason) when there is no comparable
+    prior run."""
+    out = {"untouched_median_vs_prev": None, "untouched_n_keys": 0}
+    try:
+        import statistics
+        import subprocess
+        repo = os.path.dirname(os.path.abspath(__file__))
+        prior_raw = subprocess.run(
+            ["git", "-C", repo, "show", "HEAD:BENCH_LATEST.json"],
+            capture_output=True, text=True, timeout=30)
+        if prior_raw.returncode != 0:
+            out["untouched_vs_prev_note"] = "no committed BENCH_LATEST"
+            return out
+        prior = json.loads(prior_raw.stdout)
+        if prior.get("sf") != sf:
+            out["untouched_vs_prev_note"] = (
+                f"prior run at sf={prior.get('sf')}, this run at sf={sf}")
+            return out
+        prev_q = prior.get("queries", {})
+        changed_set = set(changed)
+        ratios = [timings[k] / prev_q[k]
+                  for k in timings
+                  if k not in changed_set and prev_q.get(k, 0) > 0]
+        if not ratios:
+            out["untouched_vs_prev_note"] = "no untouched keys in common"
+            return out
+        out["untouched_median_vs_prev"] = round(statistics.median(ratios), 3)
+        out["untouched_n_keys"] = len(ratios)
+    except Exception as exc:  # noqa: BLE001 — conditions are best-effort
+        out["untouched_vs_prev_note"] = f"error: {exc}"
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -149,6 +193,9 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    conditions.update(_untouched_vs_prev(
+        timings, sf, getattr(entrymod, "CHANGED_THIS_ROUND", [])))
 
     result = {
         "metric": "headline_queries_total",

@@ -299,6 +299,13 @@ def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
     same order, so Σ alloc == min(B, ΣA) to the token. epochs_ppm_g =
     (alloc_g · 1e6) DIV T_g ≤ max_epochs_ppm by construction.
 
+    Overflow envelope (enforced, not just documented): every product
+    is ppm × token-count, so the corpus token sum must satisfy
+    ΣT ≤ (2^63−1) / max(budget_ppm, max_epochs_ppm, 1e6) — ≈2.3e12
+    tokens at the defaults. Beyond it the plan raises at runtime
+    instead of wrapping silently under non-ANSI Spark (DuckDB errors
+    on overflow, so the wrap would be exactly oracle-invisible).
+
     Scale: ONE shuffle (per-source token sums, map-side partials);
     everything after runs on the #sources-row frame — the window sorts
     and prefix sums are over that tiny frame, never the corpus (the
@@ -310,14 +317,43 @@ def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
         raise ValueError("budget_ppm must be non-negative")
     if max_epochs_ppm <= 0:
         raise ValueError("max_epochs_ppm must be positive")
+    # int64-overflow envelope, ENFORCED not just documented: every
+    # product in the plan is (ppm factor) × (token count) with the
+    # token count bounded by the corpus sum ΣT — budget_ppm·ΣT for the
+    # budget, max_epochs_ppm·T_g for the caps, alloc·1e6 ≤
+    # max(budget_ppm, max_epochs_ppm)·ΣT for epochs_ppm. Under
+    # non-ANSI Spark these wrap silently (DuckDB would error, so the
+    # drift appears exactly where the oracle can't run); guard ΣT at
+    # runtime via the _b arm below. At defaults (max_epochs_ppm=4e6)
+    # the bound is ΣT ≤ ~2.3e12 tokens — INSIDE the 100 TB envelope,
+    # which is why this is a loud raise and not a docstring note;
+    # callers at that scale should plan per-shard or rescale units.
+    _ppm_factor = max(budget_ppm, max_epochs_ppm, 1_000_000)
+    _safe_token_sum = (2**63 - 1) // _ppm_factor
     from dht11_data_pipeline_spark.functions.text import token_count
+
+    def _guarded(count_col: str, product_sql: str) -> Column:
+        # CaseWhen evaluates branches lazily, so putting the raise in
+        # the when-arm means the otherwise-product only ever runs on
+        # in-bound counts: under ANSI Spark this named error wins over
+        # the generic ARITHMETIC_OVERFLOW, and under non-ANSI it turns
+        # the silent wrap into a loud failure.
+        return (F.when(
+            F.col(count_col) > F.lit(_safe_token_sum),
+            F.raise_error(F.format_string(
+                "epoch_plan: token count %s exceeds the int64-safe "
+                f"bound {_safe_token_sum} for ppm factor {_ppm_factor} "
+                "— the budget/cap/epoch products would overflow; "
+                "rescale token units or lower the ppm parameters",
+                F.col(count_col).cast("string"))).cast("bigint"))
+            .otherwise(F.expr(product_sql)))
 
     sizes = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(token_count(text_col)).cast("bigint").alias("tokens"))
     sizes = sizes.withColumn(
         "absorb_cap",
-        F.expr(f"({max_epochs_ppm} * tokens) DIV 1000000"))
+        _guarded("tokens", f"({max_epochs_ppm} * tokens) DIV 1000000"))
     all_rows = Window.rowsBetween(Window.unboundedPreceding,
                                   Window.unboundedFollowing)
     order = Window.orderBy("absorb_cap", group_col)
@@ -329,7 +365,8 @@ def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
          .withColumn("_cum_a",
                      F.coalesce(F.sum("absorb_cap").over(prefix),
                                 F.lit(0).cast("bigint")))
-         .withColumn("_b", F.expr(f"({budget_ppm} * _t_tot) DIV 1000000"))
+         .withColumn("_b", _guarded(
+             "_t_tot", f"({budget_ppm} * _t_tot) DIV 1000000"))
          .withColumn("capped",
                      F.col("absorb_cap") * (F.col("_k") - F.col("_i") + 1)
                      <= F.col("_b") - F.col("_cum_a")))

@@ -77,17 +77,28 @@ def _pin(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
 def _same_checkpoint_dir(current: str, requested: str) -> bool:
     """getCheckpointDir returns the qualified URI (file:/...) of the
     per-context UUID subdir Spark creates UNDER the configured dir;
-    compare on the path part and accept either the dir itself or its
-    UUID child so passing the same local dir twice is a no-op."""
+    compare (scheme, authority, path) and accept either the dir itself
+    or its UUID child so passing the same local dir twice is a no-op.
+    Path equality alone is NOT enough: 'hdfs://nn/ckpt' and
+    'file:/ckpt' share a path but are different filesystems, and
+    treating them as equal would silently checkpoint to the wrong one
+    — the exact redirect this guard exists to refuse. A requested dir
+    with no scheme is a local path, so it matches only the local
+    'file' scheme (with empty authority)."""
     import posixpath
     from urllib.parse import urlparse
 
-    def _path(d: str) -> str:
+    def _parts(d: str) -> tuple[str, str, str]:
         p = urlparse(d)
-        return (p.path or d).rstrip("/")
+        scheme = p.scheme or "file"
+        path = (p.path or d).rstrip("/")
+        return scheme, p.netloc, path
 
-    cur, req = _path(current), _path(requested)
-    return cur == req or posixpath.dirname(cur) == req
+    cur_s, cur_a, cur_p = _parts(current)
+    req_s, req_a, req_p = _parts(requested)
+    if (cur_s, cur_a) != (req_s, req_a):
+        return False
+    return cur_p == req_p or posixpath.dirname(cur_p) == req_p
 
 
 def _range_indexed(df: DataFrame, order_by: list[Column]) -> DataFrame:

@@ -54,6 +54,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dht11_data_pipeline_spark.operators import txlog
 from dht11_data_pipeline_spark.operators.dedup import (
@@ -112,7 +113,9 @@ def update_signature_store(spark: SparkSession, store_dir: str,
                            text_col: str = "text", id_col: str = "doc_id",
                            n: int = 3, num_hashes: int = 8,
                            band_size: int = 2,
-                           threshold: float = 0.5) -> tuple[int, DataFrame]:
+                           threshold: float = 0.5,
+                           check_duplicate_ids: bool = True)\
+        -> tuple[int, DataFrame]:
     """Probe + append for one ingestion batch.
 
     ``corpus`` must contain the text of every doc the store has seen
@@ -120,7 +123,19 @@ def update_signature_store(spark: SparkSession, store_dir: str,
     a semi-join point lookup, never a full pass). Returns
     ``(committed_version, pairs)``; the pairs DataFrame reads only
     immutable store files, so it stays valid after the commit (and
-    after later commits — txlog files are never rewritten)."""
+    after later commits — txlog files are never rewritten).
+
+    Batch keys must PARTITION doc ids: replay of the SAME batch key is
+    idempotent (its old entry is excluded from the probe and
+    re-pointed), but re-ingesting a doc id under a DIFFERENT key would
+    leave two signatures for that id — read_signature_store never
+    dedupes, so the one-signature-per-doc and pair-completeness
+    invariants would silently break on later updates. That is enforced
+    here: a semi-join of the store's ids against the (broadcast) batch
+    ids REFUSES the update if any overlap, naming an offender. Cost is
+    one store scan with a broadcast probe per batch — no shuffle;
+    callers whose keying discipline already guarantees the partition
+    may pass ``check_duplicate_ids=False`` to skip the scan."""
     m = txlog.read_manifest(store_dir)
     if m.get("kind") != "minhash_sig_store":
         raise ValueError(f"{store_dir} is not a minhash signature store")
@@ -133,6 +148,20 @@ def update_signature_store(spark: SparkSession, store_dir: str,
             f"store instead of mixing them")
     store_sigs = read_signature_store(spark, store_dir,
                                       exclude_batch=batch_key)
+    if check_duplicate_ids:
+        clash = (store_sigs
+                 .join(F.broadcast(new_docs.select(id_col).distinct()
+                                   .withColumnRenamed(id_col, "doc_id")),
+                       "doc_id", "left_semi")
+                 .select("doc_id").limit(1).collect())
+        if clash:
+            raise ValueError(
+                f"update_signature_store: doc_id {clash[0][0]} in batch "
+                f"{batch_key!r} is already committed under a different "
+                f"batch key; batch keys must partition doc ids (replay "
+                f"the ORIGINAL batch key to re-ingest, or rebuild the "
+                f"store) — two signatures per id would silently break "
+                f"the pair-completeness invariant")
     pairs = minhash_incremental_pairs(
         corpus, store_sigs, new_docs, text_col, id_col,
         n=n, num_hashes=num_hashes, band_size=band_size,

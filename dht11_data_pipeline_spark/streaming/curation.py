@@ -212,8 +212,14 @@ def dsir_keep_stream(df: DataFrame, bucket_ratios: dict[int, int],
     if not 0 < int(w_max) <= 1_000_000:
         raise ValueError("dsir_keep_stream: declared score ceiling "
                          "w_max must be in (0, 1e6]")
-    if bucket_ratios and not all(
-            0 <= int(v) <= 1_000_000 for v in bucket_ratios.values()):
+    if not bucket_ratios:
+        # an empty dict would build map_from_arrays over two
+        # zero-element arrays — a NullType map that fails analysis
+        # with an obscure error; refuse cleanly like the other
+        # declared-parameter gates (source_temperature_stream).
+        raise ValueError("dsir_keep_stream: need a non-empty bucket "
+                         "ratio table")
+    if not all(0 <= int(v) <= 1_000_000 for v in bucket_ratios.values()):
         raise ValueError("dsir_keep_stream: ratios must be integer ppm "
                          "in [0, 1e6]")
     ratio_expr = F.map_from_arrays(

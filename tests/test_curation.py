@@ -449,3 +449,19 @@ def test_epoch_plan_water_filling_property(spark):
         assert got == want
 
     check()
+
+def test_epoch_plan_overflow_guard_raises(spark):
+    """The ppm × token-sum products wrap int64 silently under non-ANSI
+    Spark once ΣT exceeds (2^63−1)/max(ppm factors) — and DuckDB errors
+    on overflow, so the wrap would surface exactly where the oracle
+    can't run. The bound is ENFORCED: a corpus past it raises at
+    runtime instead of returning wrapped allocations (ADVICE r10). A
+    huge max_epochs_ppm shrinks the bound to ~1 token so a 4-token
+    corpus trips it without materializing 2.3e12 real tokens."""
+    from dht11_data_pipeline_spark.operators.curation import epoch_plan
+
+    df = _docs(spark, [(1, "a b c d", "s0"), (2, "e f", "s1")])
+    with pytest.raises(Exception, match="int64-safe"):
+        epoch_plan(df, budget_ppm=1_000_000, max_epochs_ppm=2**62).collect()
+    # same corpus, sane knobs: inside the bound, plans fine
+    assert epoch_plan(df, 1_500_000, 4_000_000).count() == 2

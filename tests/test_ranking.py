@@ -205,3 +205,25 @@ def test_pin_refuses_conflicting_checkpoint_dir(spark, tmp_path):
         assert "/a/" in sc.getCheckpointDir()
     finally:
         spark._jsc.sc().setCheckpointDir(before)
+
+
+def test_same_checkpoint_dir_compares_scheme_and_authority():
+    """Path equality alone is not dir equality: 'hdfs://nn/ckpt' and
+    'file:/ckpt' share a path but live on different filesystems, and
+    conflating them would silently checkpoint to the wrong one — the
+    exact redirect _pin's guard exists to refuse (ADVICE r10)."""
+    from dht11_data_pipeline_spark.operators.ranking import (
+        _same_checkpoint_dir)
+
+    # same local dir, any spelling, incl. the UUID child Spark appends
+    assert _same_checkpoint_dir("file:/ckpt", "/ckpt")
+    assert _same_checkpoint_dir("file:///ckpt", "file:/ckpt")
+    assert _same_checkpoint_dir("file:/ckpt/uuid-123", "/ckpt")
+    # same remote dir (and its UUID child)
+    assert _same_checkpoint_dir("hdfs://nn:8020/ckpt", "hdfs://nn:8020/ckpt")
+    assert _same_checkpoint_dir("hdfs://nn:8020/ckpt/u1", "hdfs://nn:8020/ckpt")
+    # different filesystem, same path: NOT the same dir
+    assert not _same_checkpoint_dir("hdfs://nn:8020/ckpt", "/ckpt")
+    assert not _same_checkpoint_dir("file:/ckpt", "hdfs://nn:8020/ckpt")
+    assert not _same_checkpoint_dir("hdfs://nn1/ckpt", "hdfs://nn2/ckpt")
+    assert not _same_checkpoint_dir("s3a://bucket/ckpt", "hdfs://nn/ckpt")

@@ -122,3 +122,31 @@ def test_param_mismatch_refuses(spark, sf_dir, tmp_path):
         sigstore.update_signature_store(
             spark, other, corpus=docs, new_docs=docs.limit(5),
             batch_key="b0")
+
+def test_duplicate_doc_id_across_batch_keys_refuses(spark, sf_dir, tmp_path):
+    """Batch keys must PARTITION doc ids: the same id arriving under a
+    DIFFERENT key would leave two signatures in the store (reads never
+    dedupe) and silently break pair-completeness on later updates — so
+    the update refuses loudly, while a replay under the ORIGINAL key
+    stays allowed (its old entry is excluded from the probe), and the
+    documented opt-out skips the scan (ADVICE r10)."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    overlap = docs.filter(F.col("doc_id") % 4 == 0)  # subset of b0
+
+    store = str(tmp_path / "store")
+    sigstore.init_signature_store(spark, store)
+    sigstore.update_signature_store(
+        spark, store, corpus=b0, new_docs=b0, batch_key="b0")
+
+    with pytest.raises(ValueError, match="already committed"):
+        sigstore.update_signature_store(
+            spark, store, corpus=b0, new_docs=overlap, batch_key="b1")
+    # replaying the original key is the sanctioned re-ingest path
+    v, _ = sigstore.update_signature_store(
+        spark, store, corpus=b0, new_docs=b0, batch_key="b0")
+    assert v >= 3
+    # opt-out for callers whose keying already partitions ids
+    sigstore.update_signature_store(
+        spark, store, corpus=b0, new_docs=overlap, batch_key="b2",
+        check_duplicate_ids=False)

@@ -290,6 +290,10 @@ def test_dsir_keep_stream_matches_batch(spark, tmp_path, sf_dir):
         dsir_keep_stream(docs, ratios, w_max=0)
     with pytest.raises(ValueError, match="ratios"):
         dsir_keep_stream(docs, {0: 2_000_000})
+    # an empty table must refuse cleanly (ValueError), not fall
+    # through to a NullType map_from_arrays analysis error (ADVICE r10)
+    with pytest.raises(ValueError, match="non-empty"):
+        dsir_keep_stream(docs, {})
     import hashlib
 
     lone = spark.createDataFrame([(1, "zq zr")], "doc_id long, text string")
