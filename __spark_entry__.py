@@ -36,20 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list limited to keys whose code or oracle actually changed in
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
-    "cur_source_temperature",  # NEW: per-source temperature mixing
-    "cur_epoch_plan",        # NEW: data-constrained epoch water-filling
-    "cur_weighted_sample",   # empty-corpus raise now fires (isNull arm)
-    "cur_dsir_resample",     # dsir_weights refactored onto shared helpers
-    "text_dsir_weight",      # rides the dsir_weights refactor
-    "t_rfm_segmentation",    # ranking _pin: checkpoint-dir conflict guard
-    "o_revenue_deciles",     # ranking _pin: checkpoint-dir conflict guard
-    "o_customer_revenue_rank",  # ranking _pin: checkpoint-dir conflict guard
-    "dedup_minhash_lsh",     # one-shot verify now re-shingles candidates only
-    "dedup_cascade",         # rides minhash_near_duplicates
-    "dedup_clusters",        # rides minhash_near_duplicates
-    "cur_survivorship",      # rides minhash_near_duplicates
-    "cur_end_to_end",        # rides minhash_near_duplicates
-    "mm_cross_modal_audit",  # rides minhash_near_duplicates
+    "text_quality_classifier",  # NEW: declared-weights quality gate
+    "cur_quality_gate",      # NEW: classifier ∘ weighted_keep stage
+    "text_bpe_vocab",        # NEW: capped-round BPE vocab induction
+    "cur_epoch_plan",        # int64-overflow guard on ppm products
 ]
 
 

@@ -641,3 +641,187 @@ def rake_keywords(df: DataFrame, text_col: str = "text",
                     F.col("n_words").cast("bigint").alias("n_words"),
                     F.col("score_ppm").cast("bigint").alias("score_ppm"),
                     "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Declared-weights linear quality classifier (fastText-style gate)
+# ---------------------------------------------------------------------------
+#
+# The quality-filter stage every production corpus pipeline runs: a tiny
+# linear model over hashed token features scores each document, and a
+# threshold gates it. Sits beside DSIR (importance relative to a TARGET
+# distribution) as quality-ABSOLUTE scoring — the model's weights are a
+# DECLARED parameter (trained elsewhere, shipped with the pipeline), so
+# scoring is a pure per-row projection: no shuffle, no state, and the
+# streaming twin (streaming/curation.quality_gate_stream) is literally
+# the same expression. Reference need: the same classify-then-filter
+# role as the reference's metadata quality gates
+# (CheckInterface_Metadata.py:31-38), applied to document text.
+
+def declared_weight_buckets(word_weights: dict[str, int],
+                            buckets: int = 128,
+                            salt: str = "qcls1") -> dict[int, int]:
+    """Fold a word→weight table into the hashed feature space the
+    classifier scores in (the hashing trick): bucket(word) accumulates
+    the word's weight, colliding words add. Pure Python twin of
+    operators/curation._hash_bucket — same sha256(salt <US> word)
+    first-8-hex-chars arithmetic, asserted equal in tests — so a
+    deployment can declare weights by WORD and ship buckets."""
+    import hashlib
+    out: dict[int, int] = {}
+    for word, wt in word_weights.items():
+        b = int(hashlib.sha256(f"{salt}\x1f{word}".encode())
+                .hexdigest()[:8], 16) % buckets
+        out[b] = out.get(b, 0) + int(wt)
+    return {b: w for b, w in sorted(out.items()) if w != 0}
+
+
+# The driver query's declared model (v1): favors structured analytic
+# prose (the corpus's query/data vocabulary), penalizes the junk
+# markers ("dup" tags the synthetic near-duplicate spam family). Any
+# real deployment swaps this table; the MECHANISM is the operator.
+QUALITY_WORD_WEIGHTS_V1: dict[str, int] = {
+    "the": 150, "a": 100, "data": 120, "query": 80, "table": 60,
+    "join": 40, "fast": 30, "slow": -60, "big": -30, "dup": -800,
+}
+
+
+def quality_classifier_score(df: DataFrame, weights: dict[int, int],
+                             buckets: int = 128,
+                             bias: int = 0,
+                             threshold_milli: int = 0,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             salt: str = "qcls1") -> DataFrame:
+    """Score = bias + Σ_tokens weight[bucket(token)] (missing buckets
+    weigh 0), keep iff the MEAN token weight clears the threshold:
+    1000·score ≥ threshold_milli·n_tokens — a multiply-compare, never
+    a division, because Spark's DIV truncates toward zero while
+    DuckDB's // floors, and classifier scores are legitimately
+    NEGATIVE (the one place the repo's integer-DIV idiom would drift
+    between engines).
+
+    All-integer and deterministic: the verdict for a row depends only
+    on (text, declared weights), never on partitioning, corpus
+    composition, or a seed — so batch replays, stream restarts and
+    backfills keep the identical subset, and the streaming twin is
+    this same projection. Scale: one codegen'd-scan map stage plus an
+    interpreted fold over the token array per row (higher-order
+    functions don't codegen); zero shuffles, zero Python, linear at
+    any corpus size.
+
+    Returns (id, n_tokens, score_sum, keep_flag).
+    """
+    from dht11_data_pipeline_spark.operators.curation import _hash_bucket
+
+    if not weights:
+        raise ValueError("quality_classifier_score: need a non-empty "
+                         "bucket-weight table")
+    if not 1 <= int(buckets) <= 1_000_000:
+        raise ValueError("quality_classifier_score: buckets must be in "
+                         "[1, 1e6]")
+    bad = {b for b in weights if not 0 <= int(b) < int(buckets)}
+    if bad:
+        raise ValueError(f"quality_classifier_score: weight buckets "
+                         f"{sorted(bad)} outside [0, {buckets})")
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(int(b)) for b in sorted(weights)]),
+        F.array(*[F.lit(int(weights[b])).cast("bigint")
+                  for b in sorted(weights)]))
+    tok = tokens(text_col)
+    per_token = F.transform(
+        tok, lambda t: F.coalesce(
+            F.element_at(wmap, _hash_bucket(t, salt, int(buckets))
+                         .cast("int")),
+            F.lit(0).cast("bigint")))
+    score = F.aggregate(per_token, F.lit(int(bias)).cast("bigint"),
+                        lambda acc, x: acc + x)
+    n_tok = F.size(tok).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        score.alias("score_sum"),
+        F.when(score * 1000 >= F.lit(int(threshold_milli)) * n_tok, "Y")
+        .otherwise("N").alias("keep_flag"))
+
+
+# ---------------------------------------------------------------------------
+# Capped-round distributed BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+def bpe_vocab(df: DataFrame, k: int = 6,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Byte-pair-encoding vocabulary induction, capped at ``k`` merge
+    rounds — the tokenizer-side operator between the text statistics
+    and ``curation.chunk_tokens``: each round counts every adjacent
+    symbol pair across the corpus (weighted by word frequency), merges
+    the single most frequent pair everywhere, and records the rule.
+    Deterministic ties: count DESC, then pair lexicographic ASC.
+
+    Exactness/portability design (so a SQL oracle replays the same k
+    merges bit-for-bit):
+
+    - Words live as PADDED SYMBOL STRINGS (``' h e l l o '``), built
+      with ``regexp_replace(word, '(.)', '$1 ')`` — a regex both RE2
+      (DuckDB) and Java regex execute identically (no lookaround).
+    - A merge applies as a literal string replace of ``' l r '`` with
+      ``' lr '``: both engines scan left to right replacing
+      NON-OVERLAPPING occurrences of the original string, so on runs
+      of repeated symbols (``a a a a a``) the result is the shared
+      replace() semantics rather than reference-BPE's greedy
+      resymbolization ([aa, a, aa] here vs HF-BPE's [aa, aa, a]) —
+      a deliberate, documented variant chosen because BOTH engines
+      implement it natively; pair COUNTS still count overlapping
+      occurrences like reference BPE.
+    - Pair extraction reuses ``functions.text.shingles`` (zip_with
+      over pre-sliced arrays — the O(n) idiom, never element_at).
+
+    Scale: the corpus is scanned ONCE (the word-frequency shuffle —
+    map-side partials, vocabulary-sized output); every merge round
+    then runs on the vocabulary frame only: one pair-count shuffle
+    (pair-vocabulary-sized) plus a 1-row collect, with the frame
+    localCheckpointed per round so round r+1 never recomputes rounds
+    1..r from the corpus (the graph_kcore lineage discipline). The
+    driver holds exactly k (merge, count) tuples. Stops early if no
+    pairs remain (every word fully merged).
+
+    Returns one row per merge: (merge_rank, pair, merged, pair_count).
+    """
+    from dht11_data_pipeline_spark.functions.text import shingles
+
+    if not 1 <= int(k) <= 64:
+        raise ValueError(f"bpe_vocab: k must be in [1, 64], got {k} — "
+                         f"each round is a corpus-wide aggregate; cap "
+                         f"the vocabulary, don't loop unbounded")
+    spark = df.sparkSession
+    words = (df.select(F.explode(tokens(text_col)).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    cur = words.select(
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+        .alias("syms"),
+        "freq").localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(k) + 1):
+        arr = F.split(F.trim(F.col("syms")), " ")
+        top = (cur.select(F.explode(shingles(arr, 2)).alias("pair"),
+                          "freq")
+               .groupBy("pair")
+               .agg(F.sum("freq").alias("pair_count"))
+               .orderBy(F.desc("pair_count"), F.asc("pair"))
+               .limit(1).collect())
+        if not top:
+            break
+        pair = top[0]["pair"]
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, int(top[0]["pair_count"])))
+        cur = cur.select(
+            F.replace(F.col("syms"), F.lit(f" {pair} "),
+                      F.lit(f" {merged} ")).alias("syms"),
+            "freq").localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, pair string, merged string, pair_count bigint")

@@ -560,7 +560,115 @@ fp AS (
 """
 
 
+def _quality_weight_values() -> str:
+    """The v1 declared weight table as a VALUES list — generated from
+    the SAME dict the Spark query folds (textops.declared_weight_
+    buckets), so the two sides cannot drift."""
+    from dht11_data_pipeline_spark.operators.textops import (
+        QUALITY_WORD_WEIGHTS_V1, declared_weight_buckets)
+    w = declared_weight_buckets(QUALITY_WORD_WEIGHTS_V1)
+    return ", ".join(f"({b}, {wt})" for b, wt in sorted(w.items()))
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled k-round BPE replay. Every CTE is MATERIALIZED: DuckDB
+    inlines plain CTEs, and w{r} references w{r-1} plus m{r} three
+    times — inlined, the chain re-derives the whole prefix per
+    reference (exponential); materialized, each round is evaluated
+    once, mirroring the Spark side's per-round localCheckpoint."""
+    parts = ["""WITH w0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS syms, freq FROM (
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word))"""]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT tok[i] || ' ' || tok[i + 1] AS pair, SUM(freq) AS cnt
+  FROM (SELECT tok, freq, unnest(range(1, len(tok))) AS i
+        FROM (SELECT string_split(trim(syms), ' ') AS tok, freq
+              FROM w{r - 1})
+        WHERE len(tok) >= 2)
+  GROUP BY pair),
+m{r} AS MATERIALIZED (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+w{r} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM m{r}) = 0 THEN syms
+         ELSE replace(syms, ' ' || (SELECT pair FROM m{r}) || ' ',
+                      ' ' || (SELECT replace(pair, ' ', '') FROM m{r})
+                          || ' ')
+         END AS syms, freq
+  FROM w{r - 1})""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, pair, "
+        f"replace(pair, ' ', '') AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, k + 1))
+    return ",\n".join(parts) + "\n" + unions
+
+
 EXT_ORACLES: dict[str, str] = {
+    # declared-weights linear quality classifier: hashed-unigram
+    # buckets (same sha256 first-8-hex arithmetic as every curation
+    # gate) joined to the generated weight VALUES, summed per doc;
+    # the threshold is a multiply-compare (never a division — scores
+    # are legitimately negative, where Spark DIV and DuckDB // differ)
+    "text_quality_classifier": f"""
+WITH w(bucket, wt) AS (
+  SELECT * FROM (VALUES {_quality_weight_values()}) AS v(bucket, wt)),
+t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256('qcls1' || chr(31) || token), 1, 8))
+              ::BIGINT % 128 AS INTEGER) AS bucket
+  FROM (SELECT doc_id, unnest(tok) AS token FROM t)),
+per AS (
+  SELECT doc_id, SUM(COALESCE(wt, 0)) AS s
+  FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(tok) AS INTEGER) AS n_tokens,
+       CAST(COALESCE(s, 0) AS BIGINT) AS score_sum,
+       CASE WHEN COALESCE(s, 0) * 1000 >= 25 * len(tok)
+            THEN 'Y' ELSE 'N' END AS keep_flag
+FROM t LEFT JOIN per USING (doc_id)
+""",
+
+    # the classifier verdict feeding the weighted_keep gate — same
+    # gate SQL shape as cur_dsir_resample (// == DIV on the Y-flagged
+    # subset, whose scores are positive by the threshold)
+    "cur_quality_gate": f"""
+WITH w(bucket, wt) AS (
+  SELECT * FROM (VALUES {_quality_weight_values()}) AS v(bucket, wt)),
+t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256('qcls1' || chr(31) || token), 1, 8))
+              ::BIGINT % 128 AS INTEGER) AS bucket
+  FROM (SELECT doc_id, unnest(tok) AS token FROM t)),
+per AS (
+  SELECT doc_id, SUM(COALESCE(wt, 0)) AS s
+  FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, CAST(COALESCE(s, 0) AS BIGINT) AS weight
+  FROM t LEFT JOIN per USING (doc_id)
+  WHERE COALESCE(s, 0) * 1000 >= 25 * len(tok)),
+g AS (
+  SELECT doc_id, weight,
+         ('0x' || substr(sha256('wkeep1' || chr(31)
+              || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+           AS bucket
+  FROM kept),
+mx AS (SELECT MAX(weight) AS w_max FROM g)
+SELECT doc_id, weight,
+       CAST(bucket AS INTEGER) AS bucket,
+       CAST(LEAST(1000000, (500000 * weight) // w_max) AS BIGINT)
+         AS keep_ppm,
+       CASE WHEN bucket * w_max < 500000 * weight
+            THEN 'Y' ELSE 'N' END AS keep_flag
+FROM g, mx
+""",
+
+    "text_bpe_vocab": _bpe_oracle_sql(6),
+
     # the Spark side tiles with operators.ranking.global_ntile (a
     # distributed exact NTILE); the plain window here is the semantic
     # twin — identical assignment, single-partition plan the engine

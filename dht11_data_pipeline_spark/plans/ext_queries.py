@@ -2131,9 +2131,52 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(den > 0, F.round(num / den, 4)).alias("acf"))
 
 
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-weights linear quality classifier (fastText-style):
+    hashed-unigram feature buckets score each document against the
+    shipped v1 weight table, and the mean-token-weight threshold
+    (25 milli) gates it. Pure per-row projection — zero shuffles at
+    any corpus size; the streaming twin
+    (streaming/curation.quality_gate_stream) is the same expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = textops.declared_weight_buckets(textops.QUALITY_WORD_WEIGHTS_V1)
+    return textops.quality_classifier_score(docs, w, threshold_milli=25)
+
+
+def cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full quality-filter stage a corpus build runs: the declared
+    -weights classifier verdict (text_quality_classifier) feeding the
+    deterministic importance-sampling gate (curation.weighted_keep) —
+    survivors are sampled with probability ∝ score/score_max at a 50%
+    base rate, so the kept corpus tilts toward the highest-quality
+    documents with zero RNG anywhere. Classifier scores are positive
+    on every Y-flagged doc by construction (1000·score ≥ 25·n_tokens
+    > 0), satisfying weighted_keep's non-negative precondition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = textops.declared_weight_buckets(textops.QUALITY_WORD_WEIGHTS_V1)
+    kept = (textops.quality_classifier_score(docs, w, threshold_milli=25)
+            .filter(F.col("keep_flag") == "Y")
+            .select("doc_id", "score_sum"))
+    return curation.weighted_keep(kept, F.col("score_sum"),
+                                  rate_ppm=500_000)
+
+
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-round distributed BPE vocabulary induction: 6 merge
+    rounds over the corpus word-frequency table, each one pair-count
+    aggregate + a 1-row collect, deterministic ties (count desc, pair
+    lexicographic). The oracle replays the same 6 merges as an
+    unrolled materialized-CTE chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_vocab(docs, k=6)
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "text_quality_classifier": text_quality_classifier,
+    "cur_quality_gate": cur_quality_gate,
+    "text_bpe_vocab": text_bpe_vocab,
     "cur_epoch_plan": cur_epoch_plan,
     "cur_source_temperature": cur_source_temperature,
     "cur_dsir_resample": cur_dsir_resample,

@@ -282,3 +282,31 @@ def start_weighted_keep_stream(spark: SparkSession, source_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quality_gate_stream(df: DataFrame, weights: dict[int, int],
+                        buckets: int = 128, bias: int = 0,
+                        threshold_milli: int = 0,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        salt: str = "qcls1") -> DataFrame:
+    """Streaming form of ``operators/textops.quality_classifier_score``
+    — and deliberately the SAME projection, not a re-implementation:
+    the classifier's weights are a declared parameter and its verdict
+    for a row depends only on (text, weights), so the batch operator
+    is already stateless and stream-safe (no aggregation, no state
+    store, no watermark). This wrapper exists to make the deployment
+    seam explicit and to pin stream==batch parity in
+    tests/test_streaming_curation.py, the same contract as
+    ``weighted_keep_stream`` — a quality model refresh enters through
+    a redeploy of the declared weight table, never through corpus
+    statistics computed in-flight.
+
+    Returns the batch schema: (id, n_tokens, score_sum, keep_flag).
+    """
+    from dht11_data_pipeline_spark.operators.textops import (
+        quality_classifier_score)
+
+    return quality_classifier_score(
+        df, weights, buckets=buckets, bias=bias,
+        threshold_milli=threshold_milli, text_col=text_col,
+        id_col=id_col, salt=salt)

@@ -301,3 +301,46 @@ def test_dsir_keep_stream_matches_batch(spark, tmp_path, sf_dir):
             16) % 128
     with pytest.raises(Exception, match="no declared ratio"):
         dsir_keep_stream(lone, {(b + 1) % 128: 0}, w_max=10).collect()
+
+
+def test_quality_gate_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The declared-weights quality classifier is stateless by design,
+    so the streaming twin IS the batch projection — pin that the two
+    produce the identical verdict set when the corpus arrives as a
+    file stream in batches."""
+    from pyspark.sql import types as T
+
+    from dht11_data_pipeline_spark.operators import textops
+    from dht11_data_pipeline_spark.streaming.curation import (
+        quality_gate_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = textops.declared_weight_buckets(textops.QUALITY_WORD_WEIGHTS_V1)
+    want = {tuple(r) for r in textops.quality_classifier_score(
+        docs, w, threshold_milli=25).collect()}
+    assert any(r[-1] == "Y" for r in want)   # the gate keeps some
+    assert any(r[-1] == "N" for r in want)   # ... and rejects some
+
+    rows = [{"doc_id": r["doc_id"], "text": r["text"]}
+            for r in docs.select("doc_id", "text").collect()]
+    src = _write_feed(tmp_path, rows)
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    out_dir = str(tmp_path / "out")
+    gated = quality_gate_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src),
+        w, threshold_milli=25)
+    q = (gated.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+
+    # precondition guards shared with the batch operator
+    with pytest.raises(ValueError, match="non-empty"):
+        quality_gate_stream(docs, {})
+    with pytest.raises(ValueError, match="outside"):
+        quality_gate_stream(docs, {999: 5}, buckets=128)
