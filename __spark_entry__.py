@@ -12,6 +12,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,28 +80,67 @@ def _driver_green_keys(dirpath: str | None = None) -> set[str]:
     return {k for k, ok in latest.items() if ok}
 
 
-def verify_window(registered: list[str], size: int = 50) -> list[str]:
+def _latest_round_per_key(dirpath: str | None = None) -> dict[str, int]:
+    """Round number of each key's most recent driver CORRECTNESS row
+    (green or red) — the staleness signal the window rotation sorts
+    stable keys by.  Keys never checked are absent."""
+    here = dirpath or os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key in rows:
+            seen[key] = max(rnd, seen.get(key, 0))
+    return seen
+
+
+def verify_window(registered: list[str], size: int = 50,
+                  last_seen: dict[str, int] | None = None,
+                  green: set[str] | None = None) -> list[str]:
     """Compute the first-``size`` verify window mechanically.
 
     The external harness diff-checks only the first ``size`` keys of
     ``queries()`` per round.  Ordering: (1) keys whose latest driver
     CORRECTNESS row is missing or red, in registration order; (2) keys
     listed in ``CHANGED_THIS_ROUND`` (restricted to registered keys, so
-    a stale/renamed entry cannot crash ``queries()``); (3) stable keys,
-    registration order, to pad the window.  A stable key can only
-    occupy a window slot when no unverified key is left outside it
-    (pinned by pytest).
+    a stale/renamed entry cannot crash ``queries()``); (3) stable keys
+    padding the window OLDEST DRIVER EVIDENCE FIRST (then registration
+    order as the tie-break).  (3) is what makes the window a ROTATION:
+    with a fixed registration-order pad, the same ~45 stable keys were
+    re-verified every round and the long tail never was (round-10
+    verdict found keys whose only driver row was round 1) — sorting by
+    the last round each key was checked guarantees every stable key
+    re-enters the window within ceil(n_keys/size)+1 rounds (pinned by
+    tests/test_verify_window.py::test_rotation_bounds_staleness).  A
+    stable key can only occupy a window slot when no unverified key is
+    left outside it (also pinned).
+
+    ``last_seen``/``green`` are injection seams for the rotation
+    simulation test; the driver path always reads the committed
+    CORRECTNESS files.
     """
-    green = _driver_green_keys()
+    if green is None:
+        green = _driver_green_keys()
+    if last_seen is None:
+        last_seen = _latest_round_per_key()
     reg = set(registered)
     never = [k for k in registered if k not in green]
     changed = [k for k in CHANGED_THIS_ROUND
                if k in reg and k in green and k not in never]
     ordered = never + changed
-    for k in registered:
-        if k not in ordered:
-            ordered.append(k)
-    return ordered[:size]
+    pos = {k: i for i, k in enumerate(registered)}
+    stable = sorted((k for k in registered if k not in ordered),
+                    key=lambda k: (last_seen.get(k, 0), pos[k]))
+    return (ordered + stable)[:size]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

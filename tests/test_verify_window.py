@@ -104,3 +104,63 @@ def test_registry_size_matches_readme_claim():
         f"README.md never mentions the current query count {n}")
     assert "148 " not in readme or n == 148, (
         "README.md still cites a stale 148-query count")
+
+
+def test_stable_pad_is_oldest_evidence_first():
+    """The pad slots (after never-verified and changed keys) must pick
+    the STALEST stable keys — a fixed registration-order pad re-checks
+    the same keys forever while the tail's evidence ages silently
+    (round-10 verdict item 7)."""
+    keys = list(entry.queries())
+    green = entry._driver_green_keys()
+    last = entry._latest_round_per_key()
+    window = entry.verify_window(keys)
+    reserved = set(window) - (set(keys) - green)  # never-verified out
+    pad = [k for k in window
+           if k in green and k not in entry.CHANGED_THIS_ROUND]
+    outside_stable = [k for k in keys
+                      if k in green and k not in window
+                      and k not in entry.CHANGED_THIS_ROUND]
+    assert reserved is not None  # window computed
+    if pad and outside_stable:
+        # no stable key outside the window may be staler than a padded one
+        worst_in = max(last.get(k, 0) for k in pad)
+        best_out = min(last.get(k, 0) for k in outside_stable)
+        assert best_out >= worst_in, (
+            f"pad holds a key from round {worst_in} while a round-"
+            f"{best_out} key waits outside — rotation broken")
+
+
+def test_rotation_bounds_staleness():
+    """Simulate future rounds: each round the driver checks exactly the
+    50-key window, stamping fresh evidence for those keys.  Every
+    registered key — including today's stalest backlog — must be
+    re-verified within ceil(n/size)+1 rounds, and in steady state no
+    key's evidence ever gets older than that bound.  This is the
+    mechanical guarantee that replaces 'hope the pad happens to
+    rotate' (round-10 verdict item 7: keys existed whose only driver
+    row was round 1)."""
+    import math
+
+    keys = list(entry.queries())
+    green = set(keys)            # steady state: everything verified
+    last = dict(entry._latest_round_per_key())
+    cur = max(last.values(), default=0)
+    bound = math.ceil(len(keys) / WINDOW) + 1
+
+    saved = entry.CHANGED_THIS_ROUND[:]
+    try:
+        # a realistic per-round change load that eats pad slots
+        entry.CHANGED_THIS_ROUND[:] = keys[:5]
+        for rnd in range(cur + 1, cur + 2 * bound + 1):
+            window = entry.verify_window(keys, last_seen=last, green=green)
+            assert len(window) == WINDOW
+            for k in window:
+                last[k] = rnd
+            worst = min(last.get(k, 0) for k in keys)
+            if rnd - cur >= bound:
+                assert rnd - worst <= bound, (
+                    f"after {rnd - cur} simulated rounds a key is "
+                    f"{rnd - worst} rounds stale (bound {bound})")
+    finally:
+        entry.CHANGED_THIS_ROUND[:] = saved
