@@ -41,6 +41,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "cur_quality_gate",      # NEW: classifier ∘ weighted_keep stage
     "text_bpe_vocab",        # NEW: capped-round BPE vocab induction
     "cur_epoch_plan",        # int64-overflow guard on ppm products
+    "mm_cross_modal_audit",  # text/image branches materialize concurrently
 ]
 
 
