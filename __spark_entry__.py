@@ -40,6 +40,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "text_quality_classifier",  # NEW: declared-weights quality gate
     "cur_quality_gate",      # NEW: classifier ∘ weighted_keep stage
     "text_bpe_vocab",        # NEW: capped-round BPE vocab induction
+    "text_bpe_encode",       # NEW: apply learned merges, per-doc stats
     "cur_epoch_plan",        # int64-overflow guard on ppm products
     "mm_cross_modal_audit",  # text/image branches materialize concurrently
 ]

@@ -825,3 +825,50 @@ def bpe_vocab(df: DataFrame, k: int = 6,
     return spark.createDataFrame(
         merges,
         "merge_rank int, pair string, merged string, pair_count bigint")
+
+
+def bpe_encode(df: DataFrame, k: int = 6,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The encode half of the tokenizer pair: learn ``k`` BPE merges
+    (``bpe_vocab``) and apply them to the corpus, reporting per-doc
+    symbol statistics — the pass a training pipeline runs to budget
+    sequence lengths under a learned vocabulary.
+
+    Merge application happens ONCE PER DISTINCT WORD, never per token
+    occurrence: the k learned rules chain as literal string replaces
+    (codegen'd; the same non-overlapping scan semantics ``bpe_vocab``
+    documents) over the vocabulary frame, which then broadcast-joins
+    onto the exploded token stream. Scale: the merge chain is
+    vocabulary-sized work; the corpus is touched by one explode +
+    per-doc aggregate (one shuffle). A vocabulary too large to
+    broadcast (~>100M words) would swap the broadcast for a shuffle
+    join on ``word`` — semantics identical.
+
+    Returns (id, n_tokens, n_chars, n_symbols, compression_ppm) with
+    compression_ppm = n_symbols·1e6 DIV n_chars (integer; 1e6 when the
+    doc has no characters).
+    """
+    rules = [(r["pair"], r["merged"])
+             for r in bpe_vocab(df, k, text_col, id_col)
+             .orderBy("merge_rank").collect()]
+    vocab = (df.select(F.explode(tokens(text_col)).alias("word"))
+             .filter(F.col("word") != "").distinct())
+    syms = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    for pair, merged in rules:
+        syms = F.replace(syms, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    wtab = vocab.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_chars_w"),
+        F.size(F.split(F.trim(syms), " ")).cast("bigint").alias("n_syms_w"))
+    tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+           .filter(F.col("word") != ""))
+    return (tok.join(F.broadcast(wtab), "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                 F.sum("n_chars_w").cast("bigint").alias("n_chars"),
+                 F.sum("n_syms_w").cast("bigint").alias("n_symbols"))
+            .select(
+                id_col, "n_tokens", "n_chars", "n_symbols",
+                F.when(F.col("n_chars") == 0, F.lit(1_000_000))
+                .otherwise(F.expr("n_symbols * 1000000 DIV n_chars"))
+                .cast("bigint").alias("compression_ppm")))

@@ -570,14 +570,18 @@ def _quality_weight_values() -> str:
     return ", ".join(f"({b}, {wt})" for b, wt in sorted(w.items()))
 
 
-def _bpe_oracle_sql(k: int) -> str:
-    """Unrolled k-round BPE replay. Every CTE is MATERIALIZED: DuckDB
-    inlines plain CTEs, and w{r} references w{r-1} plus m{r} three
-    times — inlined, the chain re-derives the whole prefix per
-    reference (exponential); materialized, each round is evaluated
-    once, mirroring the Spark side's per-round localCheckpoint."""
+def _bpe_chain(k: int) -> str:
+    """Unrolled k-round BPE merge chain (shared by the vocab and
+    encode oracles). Every CTE is MATERIALIZED: DuckDB inlines plain
+    CTEs, and w{r} references w{r-1} plus m{r} three times — inlined,
+    the chain re-derives the whole prefix per reference (exponential);
+    materialized, each round is evaluated once, mirroring the Spark
+    side's per-round localCheckpoint. ``word`` is carried through so
+    the encode oracle can map the final symbolization back onto the
+    corpus."""
     parts = ["""WITH w0 AS MATERIALIZED (
-  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS syms, freq FROM (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS syms,
+         freq FROM (
     SELECT word, COUNT(*) AS freq FROM (
       SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     WHERE word <> '' GROUP BY word))"""]
@@ -592,18 +596,43 @@ def _bpe_oracle_sql(k: int) -> str:
 m{r} AS MATERIALIZED (
   SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 w{r} AS MATERIALIZED (
-  SELECT CASE WHEN (SELECT COUNT(*) FROM m{r}) = 0 THEN syms
+  SELECT word,
+         CASE WHEN (SELECT COUNT(*) FROM m{r}) = 0 THEN syms
          ELSE replace(syms, ' ' || (SELECT pair FROM m{r}) || ' ',
                       ' ' || (SELECT replace(pair, ' ', '') FROM m{r})
                           || ' ')
          END AS syms, freq
   FROM w{r - 1})""")
+    return ",\n".join(parts)
+
+
+def _bpe_oracle_sql(k: int) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_rank, pair, "
         f"replace(pair, ' ', '') AS merged, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, k + 1))
-    return ",\n".join(parts) + "\n" + unions
+    return _bpe_chain(k) + "\n" + unions
+
+
+def _bpe_encode_oracle_sql(k: int) -> str:
+    return _bpe_chain(k) + f""",
+enc AS (
+  SELECT word, length(word) AS n_chars_w,
+         len(string_split(trim(syms), ' ')) AS n_syms_w
+  FROM w{k}),
+tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+       CAST(SUM(n_syms_w) AS BIGINT) AS n_symbols,
+       CAST(CASE WHEN SUM(n_chars_w) = 0 THEN 1000000
+                 ELSE SUM(n_syms_w) * 1000000 // SUM(n_chars_w)
+            END AS BIGINT) AS compression_ppm
+FROM tk JOIN enc USING (word)
+WHERE word <> ''
+GROUP BY doc_id"""
 
 
 EXT_ORACLES: dict[str, str] = {
@@ -668,6 +697,7 @@ FROM g, mx
 """,
 
     "text_bpe_vocab": _bpe_oracle_sql(6),
+    "text_bpe_encode": _bpe_encode_oracle_sql(6),
 
     # the Spark side tiles with operators.ranking.global_ntile (a
     # distributed exact NTILE); the plain window here is the semantic

@@ -2192,12 +2192,23 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_vocab(docs, k=6)
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode half of the tokenizer pair: apply the 6 learned BPE
+    merges to the corpus and report per-doc symbol statistics
+    (n_tokens, n_chars, n_symbols, integer compression_ppm) — merge
+    application is vocabulary-sized work broadcast onto one exploded
+    corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_encode(docs, k=6)
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
     "text_quality_classifier": text_quality_classifier,
     "cur_quality_gate": cur_quality_gate,
     "text_bpe_vocab": text_bpe_vocab,
+    "text_bpe_encode": text_bpe_encode,
     "cur_epoch_plan": cur_epoch_plan,
     "cur_source_temperature": cur_source_temperature,
     "cur_dsir_resample": cur_dsir_resample,

@@ -159,3 +159,34 @@ def test_bpe_vocab_weighted_by_word_frequency(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     top = textops.bpe_vocab(df, k=1).collect()[0]
     assert (top["pair"], top["pair_count"]) == ("x y", 10)
+
+
+def test_bpe_encode_statistics_exact(spark):
+    """Encode stats replay the learned merges exactly: hand-computed
+    symbol counts on a corpus whose 2 merges are forced."""
+    df = spark.createDataFrame(
+        [(1, "banana banana"), (2, "ana nab")],
+        "doc_id long, text string")
+    # merges on this corpus (count desc, pair asc):
+    #   r1: 'a n' (banana 2x2 + ana 1 + nab 1 = 6) -> an
+    #   r2: 'an a' (banana: [b,an,an,a] -> (an,a)x1 each? compute below)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_chars"], r["n_symbols"],
+                         r["compression_ppm"])
+           for r in textops.bpe_encode(df, k=2).collect()}
+    merges = [(r["pair"], r["merged"]) for r in
+              textops.bpe_vocab(df, k=2).orderBy("merge_rank").collect()]
+
+    def encode(word):
+        s = " " + " ".join(word) + " "
+        for pair, merged in merges:
+            s = s.replace(f" {pair} ", f" {merged} ")
+        return len(s.split())
+
+    for doc_id, text in [(1, "banana banana"), (2, "ana nab")]:
+        words = text.split()
+        n_chars = sum(len(w) for w in words)
+        n_syms = sum(encode(w) for w in words)
+        assert got[doc_id] == (len(words), n_chars, n_syms,
+                               n_syms * 1_000_000 // n_chars), doc_id
+    # merging strictly compresses this corpus
+    assert all(v[3] < 1_000_000 for v in got.values())
