@@ -43,6 +43,8 @@ CHANGED_THIS_ROUND: list[str] = [
     "text_bpe_encode",       # NEW: apply learned merges, per-doc stats
     "cur_epoch_plan",        # int64-overflow guard on ppm products
     "mm_cross_modal_audit",  # text/image branches materialize concurrently
+    "text_source_divergence",   # NEW: per-source TV drift monitor
+    "cur_contamination_matrix",  # NEW: cross-source shared-gram matrix
 ]
 
 

@@ -872,3 +872,109 @@ def bpe_encode(df: DataFrame, k: int = 6,
                 F.when(F.col("n_chars") == 0, F.lit(1_000_000))
                 .otherwise(F.expr("n_symbols * 1000000 DIV n_chars"))
                 .cast("bigint").alias("compression_ppm")))
+
+
+def source_divergence(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Per-source distribution drift: the total-variation distance (in
+    integer ppm) between each source's unigram distribution and the
+    whole corpus's — the "which source is off-distribution" monitor a
+    mix builder runs before trusting per-source quality stats. TV
+    rather than KL because it needs no log: with p_w = source ppm and
+    q_w = corpus ppm (both integer floors), TV·2e6 = Σ_w |p_w − q_w|,
+    exactly replayable in SQL.
+
+    The absent-word tail is closed WITHOUT a source×vocab grid: words
+    the source never emits contribute q_w each, so their sum is
+    Q_tot − Σ_{w∈source} q_w with Q_tot = Σ_all q_w a global scalar —
+    per-source work stays proportional to the source's OWN vocabulary.
+
+    Scale: one corpus shuffle to (group, word) counts; corpus word
+    totals derive from that frame (vocab-sized, never a second corpus
+    pass); Q_tot is a window over the vocab frame (the global-scalar
+    discipline). Returns (group, n_tokens, vocab_size, tv_ppm) with
+    tv_ppm = (Σ|p−q| + absent tail) DIV 2, in [0, 1e6].
+    """
+    from pyspark.sql.window import Window
+
+    sw = (df.select(F.col(group_col),
+                    F.explode(tokens(text_col)).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy(group_col, "word")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw")))
+    all_rows = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    w_tot = (sw.groupBy("word")
+             .agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+             .withColumn("_n_tot", F.sum("c_w").over(all_rows))
+             .select("word",
+                     F.expr("c_w * 1000000 DIV _n_tot").alias("q_ppm"))
+             .withColumn("_q_tot", F.sum("q_ppm").over(all_rows)))
+    per = (sw
+           .withColumn("_n_s",
+                       F.sum("c_sw").over(
+                           Window.partitionBy(group_col)
+                           .rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing)))
+           .withColumn("p_ppm", F.expr("c_sw * 1000000 DIV _n_s"))
+           .join(w_tot, "word"))
+    return (per.groupBy(group_col)
+            .agg(F.sum("c_sw").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+                 F.sum(F.abs(F.col("p_ppm") - F.col("q_ppm")))
+                 .alias("_present"),
+                 F.first("_q_tot").alias("_q_tot"),
+                 F.sum("q_ppm").alias("_q_present"))
+            .select(group_col, "n_tokens", "vocab_size",
+                    F.expr("(_present + _q_tot - _q_present) DIV 2")
+                    .cast("bigint").alias("tv_ppm")))
+
+
+# Grams shared by more sources than this are boilerplate, not
+# contamination — and each one costs O(s²) pair rows in the matrix.
+# Capped like graph.MAX_CENTER_DEGREE; mirrored in the SQL oracle.
+MAX_SOURCES_PER_GRAM = 50
+
+
+def contamination_matrix(df: DataFrame, n: int = 7,
+                         group_col: str = "source",
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         max_sources_per_gram: int = MAX_SOURCES_PER_GRAM,
+                         ) -> DataFrame:
+    """Cross-source leakage forensics: for every source pair, how many
+    DISTINCT word n-grams they share — the matrix a corpus audit reads
+    to find which sources copy from which (mirror sites, scraped
+    re-posts, benchmark text leaking into a training slice) before
+    per-source stats can be trusted. Span-level shingles (default 7,
+    the ``dedup_common_spans`` width) rather than whole docs, so
+    partial copies still light up.
+
+    Shape: one corpus shingle pass to DISTINCT (source, gram) — the
+    dedup inverted-index discipline — then a gram self-join producing
+    each unordered pair once (source_a < source_b). Cost is
+    Σ_gram s_g² with s_g = #sources sharing the gram, bounded by the
+    ``max_sources_per_gram`` hub cap (a gram in more sources than the
+    cap is boilerplate and is dropped, loudly countable by comparing
+    vocab sizes); output is at most #sources² rows. Returns
+    (source_a, source_b, shared_grams).
+    """
+    from pyspark.sql.window import Window
+
+    from dht11_data_pipeline_spark.functions.text import shingles
+
+    if n < 2:
+        raise ValueError("contamination_matrix: gram width n must be >= 2")
+    sg = (df.select(F.col(group_col).alias("src"),
+                    F.explode(shingles(tokens(text_col), n)).alias("gram"))
+          .distinct())
+    hub = Window.partitionBy("gram")
+    sg = (sg.withColumn("_n_src", F.count(F.lit(1)).over(hub))
+          .filter(F.col("_n_src").between(2, max_sources_per_gram))
+          .drop("_n_src"))
+    a = sg.select(F.col("src").alias("source_a"), "gram")
+    b = sg.select(F.col("src").alias("source_b"), "gram")
+    return (a.join(b, "gram")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams")))

@@ -699,6 +699,52 @@ FROM g, mx
     "text_bpe_vocab": _bpe_oracle_sql(6),
     "text_bpe_encode": _bpe_encode_oracle_sql(6),
 
+    # per-source total-variation drift: integer ppm floors both sides,
+    # absent-word tail closed as Q_tot − Σ_present q (never a
+    # source×vocab grid)
+    "text_source_divergence": """
+WITH sw AS (
+  SELECT source, word, COUNT(*) AS c_sw FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY source, word),
+wt AS (SELECT word, SUM(c_sw) AS c_w FROM sw GROUP BY word),
+q AS (
+  SELECT word, c_w * 1000000 // (SELECT SUM(c_w) FROM wt) AS q_ppm
+  FROM wt),
+qtot AS (SELECT SUM(q_ppm) AS q_tot FROM q),
+p AS (
+  SELECT source, word, c_sw,
+         c_sw * 1000000 // SUM(c_sw) OVER (PARTITION BY source) AS p_ppm
+  FROM sw)
+SELECT source,
+       CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST((SUM(ABS(p_ppm - q_ppm)) + MIN(q_tot) - SUM(q_ppm)) // 2
+            AS BIGINT) AS tv_ppm
+FROM p JOIN q USING (word), qtot
+GROUP BY source
+""",
+
+    # cross-source shared-7-gram matrix: distinct (source, gram)
+    # inverted index, hub cap 2..50 sources per gram (mirrors
+    # textops.MAX_SOURCES_PER_GRAM), unordered pairs once
+    "cur_contamination_matrix": """
+WITH t AS (SELECT source, string_split(text, ' ') AS tok FROM documents),
+g AS (
+  SELECT DISTINCT source AS src, array_to_string(tok[i : i + 6], ' ') AS gram
+  FROM (SELECT source, tok, unnest(range(1, len(tok) - 5)) AS i
+        FROM t WHERE len(tok) >= 7)),
+capped AS (
+  SELECT src, gram FROM (
+    SELECT src, gram, COUNT(*) OVER (PARTITION BY gram) AS n_src FROM g)
+  WHERE n_src BETWEEN 2 AND 50)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM capped a JOIN capped b USING (gram)
+WHERE a.src < b.src
+GROUP BY a.src, b.src
+""",
+
     # the Spark side tiles with operators.ranking.global_ntile (a
     # distributed exact NTILE); the plain window here is the semantic
     # twin — identical assignment, single-partition plan the engine

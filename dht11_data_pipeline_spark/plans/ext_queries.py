@@ -2192,6 +2192,23 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_vocab(docs, k=6)
 
 
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram distribution drift vs the whole corpus:
+    integer-ppm total-variation distance (no log, no float), absent
+    words closed via the global-scalar tail — one corpus shuffle,
+    everything after on the vocab frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.source_divergence(docs)
+
+
+def cur_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix: distinct shared 7-gram counts per
+    source pair (hub-capped inverted-index self-join) — which sources
+    copy from which, before per-source stats are trusted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.contamination_matrix(docs)
+
+
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The encode half of the tokenizer pair: apply the 6 learned BPE
     merges to the corpus and report per-doc symbol statistics
@@ -2209,6 +2226,8 @@ EXT_QUERIES = {
     "cur_quality_gate": cur_quality_gate,
     "text_bpe_vocab": text_bpe_vocab,
     "text_bpe_encode": text_bpe_encode,
+    "text_source_divergence": text_source_divergence,
+    "cur_contamination_matrix": cur_contamination_matrix,
     "cur_epoch_plan": cur_epoch_plan,
     "cur_source_temperature": cur_source_temperature,
     "cur_dsir_resample": cur_dsir_resample,

@@ -190,3 +190,61 @@ def test_bpe_encode_statistics_exact(spark):
                                n_syms * 1_000_000 // n_chars), doc_id
     # merging strictly compresses this corpus
     assert all(v[3] < 1_000_000 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# corpus forensics: source divergence + contamination matrix
+# ---------------------------------------------------------------------------
+
+def test_source_divergence_exact_and_bounds(spark):
+    """Hand-computed TV on a two-source corpus, plus the invariants:
+    a source identical to the corpus mix scores 0-ish (floor noise
+    only), and tv_ppm is always in [0, 1e6]."""
+    df = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a b b b", "s2")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_tokens"], r["vocab_size"], r["tv_ppm"])
+           for r in textops.source_divergence(df).collect()}
+    # corpus: a=3/7, b=4/7 -> q_a=428571, q_b=571428 (floors)
+    # s1: p_a=666666, p_b=333333 -> |d|a=238095, |d|b=238095
+    # tv = (238095+238095) DIV 2 = 238095; same for s2 by symmetry:
+    # s2: p_a=250000, p_b=750000 -> 178571 + 178572 = 357143 DIV 2
+    assert got["s1"] == (3, 2, (abs(666666-428571)+abs(333333-571428))//2)
+    assert got["s2"] == (4, 2, (abs(250000-428571)+abs(750000-571428))//2)
+
+    one = spark.createDataFrame([(1, "x y z", "only")],
+                                "doc_id long, text string, source string")
+    sole = textops.source_divergence(one).collect()[0]
+    assert sole["tv_ppm"] == 0  # the sole source IS the corpus
+
+    # absent-word tail: a source missing a corpus word pays its q mass
+    df2 = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s2")],
+        "doc_id long, text string, source string")
+    got2 = {r["source"]: r["tv_ppm"]
+            for r in textops.source_divergence(df2).collect()}
+    # q_a=q_b=500000; s1: p_a=1e6 -> |d|=500000 present + 500000 absent
+    assert got2 == {"s1": 500_000, "s2": 500_000}
+
+
+def test_contamination_matrix_exact_and_hub_cap(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7"          # exactly one 7-gram
+    df = spark.createDataFrame(
+        [(1, shared + " xa", "sA"), (2, shared + " xb", "sB"),
+         (3, "u1 u2 u3 u4 u5 u6 u7 u8", "sC")],
+        "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["shared_grams"]
+           for r in textops.contamination_matrix(df).collect()}
+    assert got == {("sA", "sB"): 1}  # sC shares nothing
+
+    # hub cap: a gram in MORE sources than the cap is boilerplate and
+    # produces no pairs
+    rows = [(i, shared, f"s{i:02d}") for i in range(5)]
+    df_hub = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    assert textops.contamination_matrix(
+        df_hub, max_sources_per_gram=4).count() == 0
+    assert textops.contamination_matrix(
+        df_hub, max_sources_per_gram=5).count() == 10  # C(5,2)
+    with pytest.raises(ValueError, match="gram width"):
+        textops.contamination_matrix(df, n=1)
