@@ -892,8 +892,13 @@ def source_divergence(df: DataFrame, group_col: str = "source",
     Scale: one corpus shuffle to (group, word) counts; corpus word
     totals derive from that frame (vocab-sized, never a second corpus
     pass); Q_tot is a window over the vocab frame (the global-scalar
-    discipline). Returns (group, n_tokens, vocab_size, tv_ppm) with
-    tv_ppm = (Σ|p−q| + absent tail) DIV 2, in [0, 1e6].
+    discipline). The (group, word) frame feeds TWO aggregate consumers
+    (the corpus totals and the per-source side), and exchange reuse
+    does not rescue two aggregate consumers of one subplan — verified
+    on the executed plan (0 ReusedExchange, 2 corpus scans unpinned) —
+    so it is localCheckpointed: at 100 TB the second corpus pass is
+    the whole cost. Returns (group, n_tokens, vocab_size, tv_ppm)
+    with tv_ppm = (Σ|p−q| + absent tail) DIV 2, in [0, 1e6].
     """
     from pyspark.sql.window import Window
 
@@ -901,7 +906,8 @@ def source_divergence(df: DataFrame, group_col: str = "source",
                     F.explode(tokens(text_col)).alias("word"))
           .filter(F.col("word") != "")
           .groupBy(group_col, "word")
-          .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw")))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw"))
+          .localCheckpoint())
     all_rows = Window.rowsBetween(Window.unboundedPreceding,
                                   Window.unboundedFollowing)
     w_tot = (sw.groupBy("word")
@@ -969,9 +975,14 @@ def contamination_matrix(df: DataFrame, n: int = 7,
                     F.explode(shingles(tokens(text_col), n)).alias("gram"))
           .distinct())
     hub = Window.partitionBy("gram")
+    # localCheckpoint: the capped index feeds BOTH self-join sides and
+    # exchange reuse does not fire for it (verified: 0 ReusedExchange,
+    # 2 corpus scans unpinned) — pinning makes the corpus shingle pass
+    # run once, the whole cost at scale
     sg = (sg.withColumn("_n_src", F.count(F.lit(1)).over(hub))
           .filter(F.col("_n_src").between(2, max_sources_per_gram))
-          .drop("_n_src"))
+          .drop("_n_src")
+          .localCheckpoint())
     a = sg.select(F.col("src").alias("source_a"), "gram")
     b = sg.select(F.col("src").alias("source_b"), "gram")
     return (a.join(b, "gram")
