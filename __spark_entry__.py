@@ -37,14 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list limited to keys whose code or oracle actually changed in
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
-    "text_quality_classifier",  # NEW: declared-weights quality gate
-    "cur_quality_gate",      # NEW: classifier ∘ weighted_keep stage
-    "text_bpe_vocab",        # NEW: capped-round BPE vocab induction
-    "text_bpe_encode",       # NEW: apply learned merges, per-doc stats
-    "cur_epoch_plan",        # int64-overflow guard on ppm products
-    "mm_cross_modal_audit",  # text/image branches materialize concurrently
-    "text_source_divergence",   # NEW: per-source TV drift monitor
-    "cur_contamination_matrix",  # NEW: cross-source shared-gram matrix
+    "cur_contamination_pairs",   # NEW: doc-level contamination drill-down
+    "cur_bpe_pack",              # NEW: budget-exact packing on BPE symbols
+    "text_bpe_fertility",        # NEW: per-source tokenizer fertility audit
+    "text_source_divergence_declared",  # NEW: declared-profile TV monitor
+    "text_quality_classifier",   # NULL text coalesced to '' (both sides)
+    "cur_quality_gate",          # same coalesce + empty-kept-set -> empty
+    "cur_epoch_plan",            # water-filling test as division-compare
+    "sim_kmeans_clusters",       # pinned corpus, init passthrough, merged agg
 ]
 
 

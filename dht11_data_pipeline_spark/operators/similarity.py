@@ -254,7 +254,17 @@ def embedding_near_duplicates_multiprobe(
     tables. The normalized corpus is persisted once and feeds all 2L
     join sides. Deterministic planes per table (seeded LCG) keep the
     result engine-reproducible — the DuckDB oracle mirrors the exact
-    same plane literals."""
+    same plane literals.
+
+    Round-12 note (measured): a distinct-candidates-first variant
+    (id-only bucket joins, one verify per distinct pair) was A/B'd and
+    REJECTED — its extra distinct shuffle + two vector join-backs cost
+    more than the ~L× duplicate verifies they save (4.0-4.3 s vs this
+    form's 2.4-2.7 s steady at sf0.1). This key's occasional 12 s
+    readings are JIT-state variance of the interpreted zip_with dot
+    (higher-order lambdas never codegen), addressed at the session
+    level (ReservedCodeCacheSize — see session.py), not by re-planning.
+    """
     from dht11_data_pipeline_spark.functions.vectors import dot
     base = _normalized(corpus, id_col, vec_col, "id", "v").persist()
     per_table = []

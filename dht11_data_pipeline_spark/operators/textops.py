@@ -710,6 +710,14 @@ def quality_classifier_score(df: DataFrame, weights: dict[int, int],
     functions don't codegen); zero shuffles, zero Python, linear at
     any corpus size.
 
+    NULL text coalesces to '' BEFORE tokenizing (round-11 ADVICE):
+    Spark's size(split(NULL)) is -1 with a NULL score while DuckDB's
+    len(string_split(NULL)) is NULL with a 0 score — the one
+    degenerate row where the two engines would read the same document
+    differently. Coalesced, both sides see the single-empty-token
+    document (n_tokens=1, score=bias) and the verdict is defined
+    identically; the oracle mirrors the coalesce.
+
     Returns (id, n_tokens, score_sum, keep_flag).
     """
     from dht11_data_pipeline_spark.operators.curation import _hash_bucket
@@ -728,7 +736,7 @@ def quality_classifier_score(df: DataFrame, weights: dict[int, int],
         F.array(*[F.lit(int(b)) for b in sorted(weights)]),
         F.array(*[F.lit(int(weights[b])).cast("bigint")
                   for b in sorted(weights)]))
-    tok = tokens(text_col)
+    tok = tokens(F.coalesce(F.col(text_col), F.lit("")))
     per_token = F.transform(
         tok, lambda t: F.coalesce(
             F.element_at(wmap, _hash_bucket(t, salt, int(buckets))
@@ -874,6 +882,59 @@ def bpe_encode(df: DataFrame, k: int = 6,
                 .cast("bigint").alias("compression_ppm")))
 
 
+def bpe_fertility(df: DataFrame, k: int = 6,
+                  group_col: str = "source",
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-source tokenizer fertility under the learned vocabulary:
+    symbols-per-token (×1e6, integer) and symbols-per-character after
+    applying the k BPE merges — the fairness audit a multilingual /
+    multi-source corpus runs before trusting a token budget, because a
+    vocabulary trained on the mixture systematically over-segments
+    under-represented sources (their documents then cost more sequence
+    length per word, skewing both packing and per-source epoch
+    budgets). Pairs with ``source_divergence``: that flags WHICH
+    source drifted; this quantifies what the drift costs at the
+    tokenizer.
+
+    Same shape as ``bpe_encode`` (whose per-word merge chain it
+    reuses): merge application is vocabulary-sized work broadcast onto
+    one exploded corpus pass, then ONE (source)-keyed aggregate —
+    fertility_ppm = Σsymbols·1e6 DIV Σtokens, compression_ppm =
+    Σsymbols·1e6 DIV Σchars, all integer so the SQL twin replays
+    bit-for-bit. Returns (group, n_docs, n_tokens, n_symbols,
+    fertility_ppm, compression_ppm).
+    """
+    rules = [(r["pair"], r["merged"])
+             for r in bpe_vocab(df, k, text_col, id_col)
+             .orderBy("merge_rank").collect()]
+    vocab = (df.select(F.explode(tokens(text_col)).alias("word"))
+             .filter(F.col("word") != "").distinct())
+    syms = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    for pair, merged in rules:
+        syms = F.replace(syms, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    wtab = vocab.select(
+        "word",
+        F.length("word").cast("bigint").alias("n_chars_w"),
+        F.size(F.split(F.trim(syms), " ")).cast("bigint").alias("n_syms_w"))
+    tok = (df.select(F.col(group_col), F.col(id_col),
+                     F.explode(tokens(text_col)).alias("word"))
+           .filter(F.col("word") != ""))
+    return (tok.join(F.broadcast(wtab), "word")
+            .groupBy(group_col)
+            .agg(F.count_distinct(F.col(id_col)).cast("bigint")
+                 .alias("n_docs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum("n_syms_w").cast("bigint").alias("n_symbols"),
+                 F.sum("n_chars_w").cast("bigint").alias("_n_chars"))
+            .select(group_col, "n_docs", "n_tokens", "n_symbols",
+                    F.expr("n_symbols * 1000000 DIV n_tokens")
+                    .cast("bigint").alias("fertility_ppm"),
+                    F.when(F.col("_n_chars") == 0, F.lit(1_000_000))
+                    .otherwise(F.expr("n_symbols * 1000000 DIV _n_chars"))
+                    .cast("bigint").alias("compression_ppm")))
+
+
 def source_divergence(df: DataFrame, group_col: str = "source",
                       text_col: str = "text") -> DataFrame:
     """Per-source distribution drift: the total-variation distance (in
@@ -936,6 +997,93 @@ def source_divergence(df: DataFrame, group_col: str = "source",
                     .cast("bigint").alias("tv_ppm")))
 
 
+# The registry query's declared reference profile (v1): the corpus's
+# high-frequency analytic vocabulary with integer-ppm target masses
+# (a PARTIAL profile — mass not covered by the table is implicitly
+# "everything else", so tv_ppm reads as drift against the declared
+# head, the useful monitor form). Any real deployment refreshes this
+# table from a periodic full `source_divergence` audit; the MECHANISM
+# is the operator.
+REFERENCE_UNIGRAM_PPM_V1: dict[str, int] = {
+    "the": 120_000, "a": 80_000, "data": 60_000, "query": 40_000,
+    "table": 30_000, "join": 20_000, "fast": 15_000, "slow": 15_000,
+    "big": 10_000, "dup": 5_000,
+}
+
+
+def source_divergence_declared(df: DataFrame, ref_ppm: dict[str, int],
+                               group_col: str = "source",
+                               text_col: str = "text") -> DataFrame:
+    """Per-source TV drift against a DECLARED reference unigram
+    profile — the between-audits form of ``source_divergence``: the
+    full monitor computes the corpus distribution itself (a second
+    corpus-wide aggregate); here the reference is a PARAMETER (the
+    profile a prior batch audit published, or any target mix), so the
+    whole computation is one (source, word) shuffle plus a literal
+    map lookup — no global scalar, no second pass, and therefore
+    runnable per micro-batch by the streaming twin
+    (streaming/curation.start_source_divergence_stream) between full
+    audits. The same declared-parameter discipline as
+    ``weighted_keep_stream``'s w_max / ``source_temperature_stream``'s
+    rates / ``quality_gate_stream``'s weights: profile refreshes enter
+    through a redeploy, never through in-flight corpus statistics, so
+    a replayed batch and a restarted stream flag identical sources.
+
+    TV·2e6 = Σ_{w∈source} |p_w − q_w| + (Q_tot − Σ_{w∈source∩ref} q_w)
+    with p_w the source's integer-ppm unigram mass, q_w the declared
+    mass (0 for undeclared words), and Q_tot = Σ_ref q a Python-side
+    scalar of the declared table — the same absent-word-tail closure
+    as the full monitor, against the declared distribution. A partial
+    profile (Q_tot < 1e6) is allowed and documented: tv_ppm then reads
+    as drift against the declared head mass.
+
+    Returns (group, n_tokens, vocab_size, tv_ppm), tv_ppm in [0, 1e6].
+    """
+    from pyspark.sql.window import Window
+
+    if not ref_ppm:
+        raise ValueError("source_divergence_declared: need a non-empty "
+                         "declared profile")
+    bad = {w: p for w, p in ref_ppm.items()
+           if not 0 <= int(p) <= 1_000_000}
+    if bad:
+        raise ValueError(f"source_divergence_declared: profile masses "
+                         f"must be integer ppm in [0, 1e6]; got {bad}")
+    q_tot = sum(int(p) for p in ref_ppm.values())
+    if q_tot > 1_000_000:
+        raise ValueError(f"source_divergence_declared: declared masses "
+                         f"sum to {q_tot} ppm > 1e6 — not a (sub-)"
+                         f"distribution")
+    qmap = F.map_from_arrays(
+        F.array(*[F.lit(w) for w in sorted(ref_ppm)]),
+        F.array(*[F.lit(int(ref_ppm[w])).cast("bigint")
+                  for w in sorted(ref_ppm)]))
+    sw = (df.select(F.col(group_col),
+                    F.explode(tokens(text_col)).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy(group_col, "word")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw")))
+    per = (sw
+           .withColumn("_n_s",
+                       F.sum("c_sw").over(
+                           Window.partitionBy(group_col)
+                           .rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing)))
+           .withColumn("p_ppm", F.expr("c_sw * 1000000 DIV _n_s"))
+           .withColumn("q_ppm",
+                       F.coalesce(F.element_at(qmap, F.col("word")),
+                                  F.lit(0).cast("bigint"))))
+    return (per.groupBy(group_col)
+            .agg(F.sum("c_sw").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+                 F.sum(F.abs(F.col("p_ppm") - F.col("q_ppm")))
+                 .alias("_present"),
+                 F.sum("q_ppm").alias("_q_present"))
+            .select(group_col, "n_tokens", "vocab_size",
+                    F.expr(f"(_present + {q_tot} - _q_present) DIV 2")
+                    .cast("bigint").alias("tv_ppm")))
+
+
 # Grams shared by more sources than this are boilerplate, not
 # contamination — and each one costs O(s²) pair rows in the matrix.
 # Capped like graph.MAX_CENTER_DEGREE; mirrored in the SQL oracle.
@@ -989,3 +1137,76 @@ def contamination_matrix(df: DataFrame, n: int = 7,
             .filter(F.col("source_a") < F.col("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams")))
+
+
+# A gram carried by more DISTINCT DOCUMENTS than this is boilerplate,
+# not a copy trail — and each one costs O(d²) doc-pair rows in the
+# drill-down's self-join. Same discipline as MAX_SOURCES_PER_GRAM /
+# graph.MAX_CENTER_DEGREE; mirrored in the SQL oracle.
+MAX_DOCS_PER_GRAM = 50
+
+
+def contamination_pairs(df: DataFrame, n: int = 7, top_k: int = 5,
+                        group_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_sources_per_gram: int = MAX_SOURCES_PER_GRAM,
+                        max_docs_per_gram: int = MAX_DOCS_PER_GRAM,
+                        ) -> DataFrame:
+    """Doc-level drill-down of ``contamination_matrix``: the matrix
+    names WHICH source pairs leak; the operator a user reaches for
+    next is WHICH DOCUMENTS carry the leak — for every source pair,
+    the ``top_k`` cross-source document pairs ranked by the number of
+    distinct n-grams they share (the concrete mirror pages / re-posts
+    / leaked benchmark items to eyeball or feed to the dedup cascade).
+
+    Shape: the matrix's distinct inverted index, carried down to
+    (source, doc, gram); gram stats (distinct-source count, doc count)
+    come from ONE vocab-sized aggregate joined back, and grams outside
+    the ``2..max_sources_per_gram`` source band — or in more than
+    ``max_docs_per_gram`` documents — are dropped as boilerplate
+    before the self-join, bounding it at Σ_gram d_g² ≤ cap·Σd_g.
+    The capped index feeds both join sides, so it is localCheckpointed
+    (exchange reuse does not rescue two consumers of one subplan —
+    the house discipline). The per-pair top-k is a window over the
+    doc-pair aggregate, partitioned by (source_a, source_b): partition
+    count = #flagged source pairs, rows per partition bounded by the
+    caps — never corpus-sized. Ties break deterministically by
+    (doc_a, doc_b) ascending.
+
+    Returns (source_a, source_b, doc_a, doc_b, shared_grams,
+    pair_rank) with pair_rank 1..top_k per source pair.
+    """
+    from pyspark.sql.window import Window
+
+    from dht11_data_pipeline_spark.functions.text import shingles
+
+    if n < 2:
+        raise ValueError("contamination_pairs: gram width n must be >= 2")
+    if top_k < 1:
+        raise ValueError("contamination_pairs: top_k must be >= 1")
+    sdg = (df.select(F.col(group_col).alias("src"),
+                     F.col(id_col).alias("doc"),
+                     F.explode(shingles(tokens(text_col), n)).alias("gram"))
+           .distinct())
+    stats = (sdg.groupBy("gram")
+             .agg(F.count_distinct("src").alias("_n_src"),
+                  F.count(F.lit(1)).alias("_n_doc")))
+    capped = (sdg.join(stats.filter(
+        F.col("_n_src").between(2, max_sources_per_gram)
+        & (F.col("_n_doc") <= max_docs_per_gram))
+        .select("gram"), "gram")
+        .localCheckpoint())
+    a = capped.select(F.col("src").alias("source_a"),
+                      F.col("doc").alias("doc_a"), "gram")
+    b = capped.select(F.col("src").alias("source_b"),
+                      F.col("doc").alias("doc_b"), "gram")
+    pairs = (a.join(b, "gram")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b", "doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams")))
+    w = (Window.partitionBy("source_a", "source_b")
+         .orderBy(F.desc("shared_grams"), F.asc("doc_a"), F.asc("doc_b")))
+    return (pairs.withColumn("pair_rank",
+                             F.row_number().over(w).cast("int"))
+            .filter(F.col("pair_rank") <= top_k))

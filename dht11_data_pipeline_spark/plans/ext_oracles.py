@@ -635,6 +635,89 @@ WHERE word <> ''
 GROUP BY doc_id"""
 
 
+def _bpe_pack_oracle_sql(k: int, budget: int) -> str:
+    """bpe_encode's per-doc n_symbols feeding the budget-exact
+    concat-then-split packer: cumulative symbol offsets per source in
+    doc_id order, packs = consecutive ``budget``-sized windows of the
+    stream, docs split across the packs their span touches (mirrors
+    curation.pack_budgeted; range() unrolls the per-doc pack list the
+    Spark side builds with sequence+explode)."""
+    return _bpe_chain(k) + f""",
+enc AS (
+  SELECT word, len(string_split(trim(syms), ' ')) AS n_syms_w
+  FROM w{k}),
+tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+ds AS (
+  SELECT doc_id, CAST(SUM(n_syms_w) AS BIGINT) AS n_symbols
+  FROM tk JOIN enc USING (word)
+  WHERE word <> ''
+  GROUP BY doc_id),
+sd AS (
+  SELECT d.source, ds.doc_id, ds.n_symbols,
+         CAST(COALESCE(SUM(ds.n_symbols) OVER (
+             PARTITION BY d.source ORDER BY ds.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_off
+  FROM ds JOIN documents d USING (doc_id)),
+b AS (
+  SELECT source, doc_id, n_symbols, start_off,
+         unnest(range(start_off // {budget},
+                      (start_off + n_symbols - 1) // {budget} + 1))
+           AS bin_id
+  FROM sd)
+SELECT source, CAST(bin_id AS INTEGER) AS bin_id, doc_id,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       CAST(LEAST((bin_id + 1) * {budget}, start_off + n_symbols)
+            - GREATEST(bin_id * {budget}, start_off) AS BIGINT)
+         AS sym_in_bin
+FROM b"""
+
+
+def _bpe_fertility_oracle_sql(k: int) -> str:
+    """Per-source fertility under the same k-merge chain: one corpus
+    token pass joined to the per-word symbolization, source-keyed
+    integer aggregates (HUGEINT intermediates cast to BIGINT at the
+    edge, the oracle-dtype discipline)."""
+    return _bpe_chain(k) + f""",
+enc AS (
+  SELECT word, length(word) AS n_chars_w,
+         len(string_split(trim(syms), ' ')) AS n_syms_w
+  FROM w{k}),
+tk AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_syms_w) AS BIGINT) AS n_symbols,
+       CAST(SUM(n_syms_w) * 1000000 // COUNT(*) AS BIGINT)
+         AS fertility_ppm,
+       CAST(CASE WHEN SUM(n_chars_w) = 0 THEN 1000000
+                 ELSE SUM(n_syms_w) * 1000000 // SUM(n_chars_w)
+            END AS BIGINT) AS compression_ppm
+FROM tk JOIN enc USING (word)
+WHERE word <> ''
+GROUP BY source"""
+
+
+def _reference_profile_values() -> str:
+    """The v1 declared reference unigram profile as a VALUES list —
+    generated from the SAME dict the Spark query folds into its map
+    literal (textops.REFERENCE_UNIGRAM_PPM_V1), so the two sides
+    cannot drift."""
+    from dht11_data_pipeline_spark.operators.textops import (
+        REFERENCE_UNIGRAM_PPM_V1)
+    return ", ".join(f"('{w}', {int(p)})"
+                     for w, p in sorted(REFERENCE_UNIGRAM_PPM_V1.items()))
+
+
+def _reference_profile_qtot() -> int:
+    from dht11_data_pipeline_spark.operators.textops import (
+        REFERENCE_UNIGRAM_PPM_V1)
+    return sum(int(p) for p in REFERENCE_UNIGRAM_PPM_V1.values())
+
+
 EXT_ORACLES: dict[str, str] = {
     # declared-weights linear quality classifier: hashed-unigram
     # buckets (same sha256 first-8-hex arithmetic as every curation
@@ -644,7 +727,8 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality_classifier": f"""
 WITH w(bucket, wt) AS (
   SELECT * FROM (VALUES {_quality_weight_values()}) AS v(bucket, wt)),
-t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tok
+      FROM documents),
 b AS (
   SELECT doc_id,
          CAST(('0x' || substr(sha256('qcls1' || chr(31) || token), 1, 8))
@@ -667,7 +751,8 @@ FROM t LEFT JOIN per USING (doc_id)
     "cur_quality_gate": f"""
 WITH w(bucket, wt) AS (
   SELECT * FROM (VALUES {_quality_weight_values()}) AS v(bucket, wt)),
-t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tok
+      FROM documents),
 b AS (
   SELECT doc_id,
          CAST(('0x' || substr(sha256('qcls1' || chr(31) || token), 1, 8))
@@ -698,6 +783,72 @@ FROM g, mx
 
     "text_bpe_vocab": _bpe_oracle_sql(6),
     "text_bpe_encode": _bpe_encode_oracle_sql(6),
+    "cur_bpe_pack": _bpe_pack_oracle_sql(6, 256),
+    "text_bpe_fertility": _bpe_fertility_oracle_sql(6),
+
+    # doc-level contamination drill-down: the matrix's distinct
+    # inverted index carried to (source, doc, gram), double hub cap
+    # (2..50 sources AND <=50 docs per gram — mirrors textops.
+    # MAX_SOURCES_PER_GRAM / MAX_DOCS_PER_GRAM), per-source-pair
+    # top-5 by shared distinct grams, deterministic (doc_a, doc_b)
+    # tie-break
+    "cur_contamination_pairs": """
+WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS tok
+           FROM documents),
+g AS (
+  SELECT DISTINCT source AS src, doc_id AS doc,
+         array_to_string(tok[i : i + 6], ' ') AS gram
+  FROM (SELECT source, doc_id, tok, unnest(range(1, len(tok) - 5)) AS i
+        FROM t WHERE len(tok) >= 7)),
+st AS (
+  SELECT gram, COUNT(DISTINCT src) AS n_src, COUNT(*) AS n_doc
+  FROM g GROUP BY gram),
+capped AS (
+  SELECT g.src, g.doc, g.gram
+  FROM g JOIN st USING (gram)
+  WHERE st.n_src BETWEEN 2 AND 50 AND st.n_doc <= 50),
+pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         a.doc AS doc_a, b.doc AS doc_b,
+         COUNT(*) AS shared_grams
+  FROM capped a JOIN capped b USING (gram)
+  WHERE a.src < b.src
+  GROUP BY 1, 2, 3, 4),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source_a, source_b
+      ORDER BY shared_grams DESC, doc_a, doc_b) AS pair_rank
+  FROM pairs)
+SELECT source_a, source_b, doc_a, doc_b,
+       CAST(shared_grams AS BIGINT) AS shared_grams,
+       CAST(pair_rank AS INTEGER) AS pair_rank
+FROM rk WHERE pair_rank <= 5
+""",
+
+    # declared-profile TV drift: same integer-ppm floors as the full
+    # monitor, reference masses from the generated VALUES list (the
+    # Python-side Q_tot scalar is inlined, mirroring the Spark query)
+    "text_source_divergence_declared": f"""
+WITH q(word, q_ppm) AS (
+  SELECT * FROM (VALUES {_reference_profile_values()}) AS v(word, q_ppm)),
+sw AS (
+  SELECT source, word, COUNT(*) AS c_sw FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY source, word),
+p AS (
+  SELECT source, word, c_sw,
+         c_sw * 1000000 // SUM(c_sw) OVER (PARTITION BY source) AS p_ppm
+  FROM sw),
+j AS (
+  SELECT p.*, COALESCE(q.q_ppm, 0) AS q_ppm
+  FROM p LEFT JOIN q USING (word))
+SELECT source,
+       CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST((SUM(ABS(p_ppm - q_ppm)) + {_reference_profile_qtot()}
+             - SUM(q_ppm)) // 2 AS BIGINT) AS tv_ppm
+FROM j GROUP BY source
+""",
 
     # per-source total-variation drift: integer ppm floors both sides,
     # absent-word tail closed as Q_tot − Σ_present q (never a
@@ -956,8 +1107,10 @@ st AS (
 cp AS (
   SELECT *,
          (1500000 * t_tot) // 1000000 AS b,
-         (absorb_cap * (k - i + 1)
-          <= (1500000 * t_tot) // 1000000 - cum_a) AS capped
+         ((1500000 * t_tot) // 1000000 >= cum_a
+          AND absorb_cap <=
+              ((1500000 * t_tot) // 1000000 - cum_a) // (k - i + 1))
+           AS capped
   FROM st),
 agg AS (
   SELECT *,

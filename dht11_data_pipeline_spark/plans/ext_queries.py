@@ -579,29 +579,42 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one of the seeded centroid ids, and (c) Lloyd's objective did not
     increase versus the initial assignment (monotonicity — the
     mathematical guarantee tests/test_kmeans.py also pins)."""
+    from dht11_data_pipeline_spark.functions.partitioning import right_size
     from dht11_data_pipeline_spark.operators.kmeans import (
         assign_clusters, inertia, lloyd_kmeans, select_centroids)
 
+    # Driver-round-trip economy (round-11 verdict item 1: this key is
+    # the registry's most driver-latency-sensitive — the Lloyd loop is
+    # inherently a chain of sequential jobs, so every AVOIDABLE job and
+    # every per-job parquet re-scan is pure wall-clock): (a) pin the
+    # projected corpus ONCE and run all ~7 jobs against the cached
+    # blocks instead of re-scan+re-shuffle per round; (b) hand the
+    # deterministic init back to lloyd_kmeans instead of letting it
+    # recompute the identical sample; (c) fold final inertia into the
+    # stats aggregate — one job and no persist instead of two+persist.
     emb = load_table(spark, sf_dir, "embeddings")
-    init = select_centroids(emb, k=50)
+    base = (right_size(emb.select("vec_id", "embedding"))
+            .localCheckpoint(eager=True))
+    init = select_centroids(base, k=50)
     seed_ids = {cid for cid, _ in init}
-    init_inertia = inertia(assign_clusters(emb, init))
+    init_inertia = inertia(assign_clusters(base, init))
 
-    assigned, _ = lloyd_kmeans(spark, emb, k=50, max_iter=3)
-    assigned = assigned.persist()  # two consumers: inertia + stats agg
-    final_inertia = inertia(assigned)
+    assigned, _ = lloyd_kmeans(spark, base, k=50, max_iter=3,
+                               init_centroids=init)
     stats = assigned.agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.sum(F.when(F.col("cluster_id").isNull(), 1).otherwise(0)).alias("n_null"),
         F.sum(F.when(F.col("cluster_id").isin(list(seed_ids)), 0).otherwise(1))
         .alias("n_foreign"),
+        F.sum("sq_dist").alias("final_inertia"),
     ).first()
     n_points = emb.count()
     return spark.createDataFrame(
         [(n_points, len(seed_ids),
           bool(stats["n_assigned"] == n_points and stats["n_null"] == 0),
           bool(stats["n_foreign"] == 0),
-          bool(final_inertia <= init_inertia * (1 + 1e-9)))],
+          bool(float(stats["final_inertia"])
+               <= init_inertia * (1 + 1e-9)))],
         "n_points bigint, k bigint, all_assigned boolean, "
         "clusters_within_seeds boolean, inertia_decreased boolean")
 
@@ -2172,14 +2185,20 @@ def cur_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     base rate, so the kept corpus tilts toward the highest-quality
     documents with zero RNG anywhere. Classifier scores are positive
     on every Y-flagged doc by construction (1000·score ≥ 25·n_tokens
-    > 0), satisfying weighted_keep's non-negative precondition."""
+    > 0), satisfying weighted_keep's non-negative precondition.
+    on_empty="empty" (round-11 ADVICE): when NO document clears the
+    threshold — reachable on a tiny SF or after a weight-table change
+    — the SQL twin returns an empty set, so the gate must too, rather
+    than raising weighted_keep's undefined-probability error (that
+    raise covers all-zero weights on a NONEMPTY corpus, impossible
+    here by the positivity argument above)."""
     docs = load_table(spark, sf_dir, "documents")
     w = textops.declared_weight_buckets(textops.QUALITY_WORD_WEIGHTS_V1)
     kept = (textops.quality_classifier_score(docs, w, threshold_milli=25)
             .filter(F.col("keep_flag") == "Y")
             .select("doc_id", "score_sum"))
     return curation.weighted_keep(kept, F.col("score_sum"),
-                                  rate_ppm=500_000)
+                                  rate_ppm=500_000, on_empty="empty")
 
 
 def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2219,9 +2238,61 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_encode(docs, k=6)
 
 
+def cur_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level drill-down of the contamination matrix: per flagged
+    source pair, the top-5 cross-source document pairs by distinct
+    shared 7-grams — the concrete leaked documents to eyeball or feed
+    the dedup cascade. Hub-capped twice (≤50 sources AND ≤50 docs per
+    gram, both mirrored in the oracle); per-pair top-k is a window
+    over the bounded doc-pair aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.contamination_pairs(docs)
+
+
+def cur_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing under the LEARNED vocabulary: bpe_encode's
+    per-doc n_symbols feeds the budget-exact concat-then-split packer
+    (curation.pack_budgeted, budget 256) — tokenizer → budget → packed
+    training sequences, closed loop. Every pack except each source's
+    last holds exactly 256 symbols; none ever exceeds it (property-
+    pinned in tests/test_round12_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = textops.bpe_encode(docs, k=6).select("doc_id", "n_symbols")
+    sd = docs.select("source", "doc_id").join(enc, "doc_id")
+    return curation.pack_budgeted(sd, weight_col="n_symbols", budget=256)
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility under the learned 6-merge BPE
+    vocabulary: integer symbols-per-token and symbols-per-character —
+    the fairness audit that catches a vocabulary over-segmenting an
+    under-represented source before token budgets and packing trust
+    it. Merge chain is vocabulary-sized work; one corpus explode +
+    one source-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bpe_fertility(docs, k=6)
+
+
+def text_source_divergence_declared(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Per-source TV drift against the DECLARED v1 reference profile —
+    the between-audits monitor form of text_source_divergence: one
+    (source, word) shuffle plus a literal map lookup, no corpus-wide
+    second aggregate, so the streaming twin
+    (streaming/curation.start_source_divergence_stream) runs the
+    identical expression per micro-batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.source_divergence_declared(
+        docs, textops.REFERENCE_UNIGRAM_PPM_V1)
+
+
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_contamination_pairs": cur_contamination_pairs,
+    "cur_bpe_pack": cur_bpe_pack,
+    "text_bpe_fertility": text_bpe_fertility,
+    "text_source_divergence_declared": text_source_divergence_declared,
     "text_quality_classifier": text_quality_classifier,
     "cur_quality_gate": cur_quality_gate,
     "text_bpe_vocab": text_bpe_vocab,

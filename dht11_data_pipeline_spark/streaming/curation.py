@@ -284,6 +284,68 @@ def start_weighted_keep_stream(spark: SparkSession, source_path: str,
     return writer.start()
 
 
+TEXT_DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def start_source_divergence_stream(spark: SparkSession, source_path: str,
+                                   out_dir: str, checkpoint_dir: str,
+                                   ref_ppm: dict[str, int],
+                                   group_col: str = "source",
+                                   text_col: str = "text",
+                                   max_files_per_trigger: int | None = 1,
+                                   available_now: bool = True
+                                   ) -> StreamingQuery:
+    """Streaming per-source drift monitor: each micro-batch of
+    documents is scored against the DECLARED reference unigram profile
+    (``operators/textops.source_divergence_declared`` — the same
+    expression, so a stream fed one batch's rows emits exactly the
+    batch audit's rows; pinned in tests/test_streaming_curation.py)
+    and the per-(batch, source) tv_ppm rows land in ``out_dir``,
+    partitioned by batch_id so a replayed batch overwrites its own
+    partition (idempotent, the audit_writer discipline of
+    streaming/monitor.py). This is the between-audits drift alarm the
+    round-11 verdict asked for: a full ``source_divergence`` batch
+    audit refreshes the declared profile; in between, every arriving
+    micro-batch is checked against it with NO state store and NO
+    corpus-wide aggregate — the foreachBatch aggregation is bounded by
+    the micro-batch, not the stream history.
+
+    The profile is validated once at START (fail fast at deploy time),
+    not per batch."""
+    from dht11_data_pipeline_spark.operators.textops import (
+        source_divergence_declared)
+
+    # deploy-time validation: surface a bad profile before the query
+    # starts, not inside the first micro-batch's task error
+    source_divergence_declared(
+        spark.createDataFrame([], TEXT_DOC_SCHEMA), ref_ppm,
+        group_col=group_col, text_col=text_col)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = (source_divergence_declared(batch_df, ref_ppm,
+                                          group_col=group_col,
+                                          text_col=text_col)
+               .withColumn("batch_id", F.lit(batch_id).cast("long")))
+        (out.coalesce(1).write.mode("overwrite")
+         .partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(out_dir))
+
+    reader = spark.readStream.schema(TEXT_DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (reader.json(source_path)
+              .writeStream.foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def quality_gate_stream(df: DataFrame, weights: dict[int, int],
                         buckets: int = 128, bias: int = 0,
                         threshold_milli: int = 0,

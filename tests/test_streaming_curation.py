@@ -344,3 +344,52 @@ def test_quality_gate_stream_matches_batch(spark, tmp_path, sf_dir):
         quality_gate_stream(docs, {})
     with pytest.raises(ValueError, match="outside"):
         quality_gate_stream(docs, {999: 5}, buckets=128)
+
+
+def test_source_divergence_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming per-source drift monitor vs the batch declared-profile
+    operator: per micro-batch, the stream emits exactly the batch
+    audit rows for that batch's documents; a restart over the consumed
+    feed re-emits nothing (partition-overwrite idempotency)."""
+    from dht11_data_pipeline_spark.operators.textops import (
+        REFERENCE_UNIGRAM_PPM_V1, source_divergence_declared)
+    from dht11_data_pipeline_spark.streaming.curation import (
+        start_source_divergence_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text")
+    rows = [r.asDict() for r in docs.collect()]
+    n_batches = 3
+    src = _write_feed(tmp_path, rows, n_batches=n_batches)
+    out = str(tmp_path / "div_out")
+    q = start_source_divergence_stream(
+        spark, src, out_dir=out,
+        checkpoint_dir=str(tmp_path / "div_ckpt"),
+        ref_ppm=REFERENCE_UNIGRAM_PPM_V1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    per = (len(rows) + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        chunk = rows[i * per:(i + 1) * per]
+        if not chunk:
+            continue
+        bdf = spark.createDataFrame(chunk, docs.schema)
+        expected = {tuple(r) for r in source_divergence_declared(
+            bdf, REFERENCE_UNIGRAM_PPM_V1).collect()}
+        batch_rows = {tuple(r) for r in got.filter(F.col("batch_id") == i)
+                      .drop("batch_id").collect()}
+        assert batch_rows == expected, f"batch {i}"
+
+    q2 = start_source_divergence_stream(
+        spark, src, out_dir=out,
+        checkpoint_dir=str(tmp_path / "div_ckpt"),
+        ref_ppm=REFERENCE_UNIGRAM_PPM_V1)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == got.count()
+
+    # deploy-time validation fires before any query starts
+    with pytest.raises(ValueError, match="non-empty"):
+        start_source_divergence_stream(
+            spark, src, out_dir=out,
+            checkpoint_dir=str(tmp_path / "div_ckpt2"), ref_ppm={})
