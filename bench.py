@@ -33,12 +33,8 @@ HEADLINE = [
 ]
 
 
-def _run_conditions() -> dict:
-    """Record whether the box was quiet: timings on this 32-core host
-    move ±20-50% when another Spark JVM runs concurrently, and three
-    rounds of 'regressions' on unchanged code traced back to exactly
-    that. other_jvms counts java processes besides our own session's;
-    load1 is the 1-minute loadavg BEFORE warm-up."""
+def _load_sample() -> tuple[int, float]:
+    """(other java processes, 1-minute loadavg) — best-effort."""
     try:
         import subprocess
         pids = subprocess.run(["pgrep", "-c", "java"], capture_output=True,
@@ -50,7 +46,20 @@ def _run_conditions() -> dict:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = -1.0
-    return {"other_jvms": max(0, n_java), "load1_at_start": load1,
+    return max(0, n_java), load1
+
+
+def _run_conditions() -> dict:
+    """Record whether the box was quiet: timings on this 32-core host
+    move ±20-50% when another Spark JVM runs concurrently, and three
+    rounds of 'regressions' on unchanged code traced back to exactly
+    that. other_jvms counts java processes besides our own session's;
+    load1 is the 1-minute loadavg BEFORE warm-up. The *_at_end twins
+    are sampled after the timed runs (round-11 verdict item 2: a rep
+    that STARTED quiet shipped with 3-9x per-key spikes — load that
+    arrives mid-run is invisible to a start-only sample)."""
+    n_java, load1 = _load_sample()
+    return {"other_jvms": n_java, "load1_at_start": load1,
             "cpu_probe_ms": _cpu_probe_ms(),
             "cpu_probe32_ms": _cpu_probe32_ms()}
 
@@ -194,8 +203,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    jvms_end, load_end = _load_sample()
+    # the start sample runs before our own JVM exists; at end it is
+    # alive and pgrep counts it — subtract it so the field means the
+    # same thing at both sample points (OTHER JVMs)
+    conditions["other_jvms_at_end"] = max(0, jvms_end - 1)
+    conditions["load1_at_end"] = load_end
     conditions.update(_untouched_vs_prev(
         timings, sf, getattr(entrymod, "CHANGED_THIS_ROUND", [])))
+    # drift gate (round-11 verdict item 2): a rep whose untouched keys
+    # run >1.3x the prior committed artifact is measuring the HOST,
+    # not the code — mark it in the artifact itself so a spiked rep
+    # cannot ship as the round's evidence without a named addendum in
+    # BENCH_NOTES (tests/test_bench_artifact.py enforces the pairing)
+    ratio = conditions.get("untouched_median_vs_prev")
+    if ratio is not None and ratio > 1.3:
+        conditions["drift_exceeds_gate"] = True
+        print(f"WARNING bench.py: untouched-median ratio {ratio} > 1.3 "
+              f"vs the prior committed BENCH_LATEST — this rep is "
+              f"drift-contaminated; re-run quiet or name the cause in "
+              f"BENCH_NOTES before committing it", file=sys.stderr)
 
     result = {
         "metric": "headline_queries_total",

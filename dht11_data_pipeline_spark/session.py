@@ -43,6 +43,21 @@ def get_spark(app_name: str = "dht11_data_pipeline_spark",
         # at 100 TB this prunes shuffle input for selective dim filters
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # JIT code cache: one long-lived JVM running the whole 190+
+        # query registry (bench, diffcheck, the driver harness)
+        # generates thousands of whole-stage-codegen classes; at the
+        # JDK-17 default (240 MB) the cache starts sweeping mid-run and
+        # hot interpreted-HOF call sites deopt — measured as a 2-5x
+        # slowdown cluster on late-running keys (sim_*, t_*, mm_*)
+        # while early keys sit at their floors (round-12 decomposition;
+        # the round-11 'spiked rep' shows the same signature). 512 MB
+        # holds the full registry's generated code; this is the
+        # standard Spark tuning-guide setting for codegen-heavy
+        # many-query JVMs and is equally right on a real cluster.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -43,3 +43,37 @@ def test_bench_latest_carries_cpu_probes():
     for field in ("cpu_probe_ms", "cpu_probe32_ms",
                   "other_jvms", "load1_at_start"):
         assert field in cond, field
+
+
+def test_bench_latest_end_of_run_load_sampled():
+    """Round-11 verdict item 2: the shipped end-of-round artifact was a
+    spiked rep whose start-sampled conditions looked quiet — load that
+    arrives mid-run is invisible to a start-only sample, so bench.py
+    now samples load/other-JVMs AFTER the timed runs too. Older
+    committed artifacts predate the fields; once an artifact carries
+    either end field it must carry both."""
+    cond = _latest().get("conditions", {})
+    has_any = ("load1_at_end" in cond) or ("other_jvms_at_end" in cond)
+    if has_any:
+        assert "load1_at_end" in cond and "other_jvms_at_end" in cond
+
+
+def test_bench_latest_drift_gate_requires_notes_addendum():
+    """A committed rep whose untouched-median ratio exceeds the 1.3
+    drift gate must be NAMED in the round's bench notes — the
+    round-11 failure was exactly a spiked rep shipping silently. The
+    pairing is: bench.py marks the artifact (drift_exceeds_gate), and
+    the newest BENCH_NOTES_r*.md must mention the gate."""
+    import glob
+    cond = _latest().get("conditions", {})
+    if not cond.get("drift_exceeds_gate"):
+        return
+    notes = sorted(glob.glob(os.path.join(HERE, "BENCH_NOTES_r*.md")))
+    assert notes, "drift-flagged artifact with no bench notes at all"
+    with open(notes[-1]) as fh:
+        text = fh.read()
+    assert "drift_exceeds_gate" in text or "drift gate" in text, (
+        "committed BENCH_LATEST.json is drift-flagged "
+        f"(untouched_median_vs_prev={cond.get('untouched_median_vs_prev')}"
+        ") but the newest bench notes never mention the drift gate — "
+        "re-run quiet or write the addendum")
