@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
     "cur_contamination_pairs",   # NEW: doc-level contamination drill-down
+    "cur_contamination_spans",   # NEW: leaked-gram extraction per doc pair
     "cur_bpe_pack",              # NEW: budget-exact packing on BPE symbols
     "text_bpe_fertility",        # NEW: per-source tokenizer fertility audit
     "text_source_divergence_declared",  # NEW: declared-profile TV monitor

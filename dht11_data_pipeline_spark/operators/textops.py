@@ -1210,3 +1210,81 @@ def contamination_pairs(df: DataFrame, n: int = 7, top_k: int = 5,
     return (pairs.withColumn("pair_rank",
                              F.row_number().over(w).cast("int"))
             .filter(F.col("pair_rank") <= top_k))
+
+
+def contamination_spans(df: DataFrame, n: int = 7, top_k: int = 5,
+                        grams_per_pair: int = 10,
+                        group_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_sources_per_gram: int = MAX_SOURCES_PER_GRAM,
+                        max_docs_per_gram: int = MAX_DOCS_PER_GRAM,
+                        ) -> DataFrame:
+    """The last level of the contamination drill-down (matrix → pairs
+    → SPANS): for each flagged doc pair (``contamination_pairs``'s
+    per-source-pair top-``top_k``), the first ``grams_per_pair``
+    shared n-grams in lexicographic order — the literal leaked text a
+    reviewer reads (or a span-dedup pass consumes) to adjudicate the
+    leak. Lexicographic rather than positional order because the
+    inverted index is DISTINCT (source, doc, gram): positions were
+    deliberately dropped at the first shuffle, and re-deriving them
+    would re-scan the corpus; adjacent grams of a copied span are
+    lexicographically clustered enough for eyeballing.
+
+    Shape: ``contamination_pairs``'s capped index builds once and
+    feeds BOTH the pair ranking and the gram extraction (pinned by
+    that operator's localCheckpoint); the spans join touches only the
+    flagged pairs (≤ #source-pairs × top_k rows) against the capped
+    index — never the corpus. Per-pair gram cap keeps the output
+    human-sized and is mirrored in the oracle. Returns (source_a,
+    source_b, doc_a, doc_b, pair_rank, gram_rank, gram).
+    """
+    from pyspark.sql.window import Window
+
+    from dht11_data_pipeline_spark.functions.text import shingles
+
+    if grams_per_pair < 1:
+        raise ValueError("contamination_spans: grams_per_pair must "
+                         "be >= 1")
+    # rebuild the same capped index the pair ranking used — one
+    # distinct corpus pass (the localCheckpoint inside
+    # contamination_pairs pins its copy; this operator is a separate
+    # entry point, so it builds its own and shares it between the
+    # ranking and the span extraction below)
+    if n < 2:
+        raise ValueError("contamination_spans: gram width n must be >= 2")
+    sdg = (df.select(F.col(group_col).alias("src"),
+                     F.col(id_col).alias("doc"),
+                     F.explode(shingles(tokens(text_col), n)).alias("gram"))
+           .distinct())
+    stats = (sdg.groupBy("gram")
+             .agg(F.count_distinct("src").alias("_n_src"),
+                  F.count(F.lit(1)).alias("_n_doc")))
+    capped = (sdg.join(stats.filter(
+        F.col("_n_src").between(2, max_sources_per_gram)
+        & (F.col("_n_doc") <= max_docs_per_gram))
+        .select("gram"), "gram")
+        .localCheckpoint())
+    a = capped.select(F.col("src").alias("source_a"),
+                      F.col("doc").alias("doc_a"), "gram")
+    b = capped.select(F.col("src").alias("source_b"),
+                      F.col("doc").alias("doc_b"), "gram")
+    shared = (a.join(b, "gram")
+              .filter(F.col("source_a") < F.col("source_b")))
+    pw = (Window.partitionBy("source_a", "source_b")
+          .orderBy(F.desc("shared_grams"), F.asc("doc_a"), F.asc("doc_b")))
+    flagged = (shared
+               .groupBy("source_a", "source_b", "doc_a", "doc_b")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+               .withColumn("pair_rank", F.row_number().over(pw).cast("int"))
+               .filter(F.col("pair_rank") <= top_k)
+               .select("source_a", "source_b", "doc_a", "doc_b",
+                       "pair_rank"))
+    gw = (Window.partitionBy("source_a", "source_b", "doc_a", "doc_b")
+          .orderBy(F.asc("gram")))
+    return (shared.join(flagged,
+                        ["source_a", "source_b", "doc_a", "doc_b"])
+            .withColumn("gram_rank", F.row_number().over(gw).cast("int"))
+            .filter(F.col("gram_rank") <= grams_per_pair)
+            .select("source_a", "source_b", "doc_a", "doc_b",
+                    "pair_rank", "gram_rank", "gram"))

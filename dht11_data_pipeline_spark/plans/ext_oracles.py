@@ -825,6 +825,50 @@ SELECT source_a, source_b, doc_a, doc_b,
 FROM rk WHERE pair_rank <= 5
 """,
 
+    # span extraction for the flagged doc pairs: same capped index,
+    # pair ranking re-derived, then the first 10 shared grams
+    # lexicographically per flagged pair
+    "cur_contamination_spans": """
+WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS tok
+           FROM documents),
+g AS (
+  SELECT DISTINCT source AS src, doc_id AS doc,
+         array_to_string(tok[i : i + 6], ' ') AS gram
+  FROM (SELECT source, doc_id, tok, unnest(range(1, len(tok) - 5)) AS i
+        FROM t WHERE len(tok) >= 7)),
+st AS (
+  SELECT gram, COUNT(DISTINCT src) AS n_src, COUNT(*) AS n_doc
+  FROM g GROUP BY gram),
+capped AS (
+  SELECT g.src, g.doc, g.gram
+  FROM g JOIN st USING (gram)
+  WHERE st.n_src BETWEEN 2 AND 50 AND st.n_doc <= 50),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         a.doc AS doc_a, b.doc AS doc_b, gram
+  FROM capped a JOIN capped b USING (gram)
+  WHERE a.src < b.src),
+flagged AS (
+  SELECT source_a, source_b, doc_a, doc_b, pair_rank FROM (
+    SELECT source_a, source_b, doc_a, doc_b,
+           ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+             ORDER BY COUNT(*) DESC, doc_a, doc_b) AS pair_rank
+    FROM shared GROUP BY source_a, source_b, doc_a, doc_b)
+  WHERE pair_rank <= 5),
+rk AS (
+  SELECT s.source_a, s.source_b, s.doc_a, s.doc_b, f.pair_rank, s.gram,
+         ROW_NUMBER() OVER (
+             PARTITION BY s.source_a, s.source_b, s.doc_a, s.doc_b
+             ORDER BY s.gram) AS gram_rank
+  FROM shared s
+  JOIN flagged f USING (source_a, source_b, doc_a, doc_b))
+SELECT source_a, source_b, doc_a, doc_b,
+       CAST(pair_rank AS INTEGER) AS pair_rank,
+       CAST(gram_rank AS INTEGER) AS gram_rank,
+       gram
+FROM rk WHERE gram_rank <= 10
+""",
+
     # declared-profile TV drift: same integer-ppm floors as the full
     # monitor, reference masses from the generated VALUES list (the
     # Python-side Q_tot scalar is inlined, mirroring the Spark query)

@@ -2249,6 +2249,16 @@ def cur_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.contamination_pairs(docs)
 
 
+def cur_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last drill-down level (matrix -> pairs -> spans): for each
+    flagged doc pair, the first 10 shared 7-grams lexicographically —
+    the literal leaked text a reviewer adjudicates. Same double
+    hub-capped inverted index as cur_contamination_pairs; the span
+    join touches only the flagged pairs, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.contamination_spans(docs)
+
+
 def cur_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing under the LEARNED vocabulary: bpe_encode's
     per-doc n_symbols feeds the budget-exact concat-then-split packer
@@ -2290,6 +2300,7 @@ EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
     "cur_contamination_pairs": cur_contamination_pairs,
+    "cur_contamination_spans": cur_contamination_spans,
     "cur_bpe_pack": cur_bpe_pack,
     "text_bpe_fertility": text_bpe_fertility,
     "text_source_divergence_declared": text_source_divergence_declared,

@@ -281,3 +281,24 @@ def test_bpe_fertility_consistent_with_encode(spark):
         assert fr["fertility_ppm"] == ns * 1_000_000 // nt, s
         assert fr["compression_ppm"] == ns * 1_000_000 // nc, s
     assert fert["s1"]["n_docs"] == 2 and fert["s2"]["n_docs"] == 1
+
+
+def test_contamination_spans_exact(spark):
+    """Span extraction names the literal shared grams, lexicographic,
+    only for flagged pairs, capped per pair."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s1"),
+         (2, "alpha beta gamma zeta", "s2"),
+         (3, "iota kappa mu nu", "s3")],
+        "doc_id long, text string, source string")
+    got = textops.contamination_spans(df, n=2, top_k=3,
+                                      grams_per_pair=10).collect()
+    rows = sorted((r["source_a"], r["source_b"], r["doc_a"], r["doc_b"],
+                   r["pair_rank"], r["gram_rank"], r["gram"]) for r in got)
+    assert rows == [("s1", "s2", 1, 2, 1, 1, "alpha beta"),
+                    ("s1", "s2", 1, 2, 1, 2, "beta gamma")]
+    # per-pair gram cap
+    capped = textops.contamination_spans(df, n=2, grams_per_pair=1)
+    assert [r["gram"] for r in capped.collect()] == ["alpha beta"]
+    with pytest.raises(ValueError, match="grams_per_pair"):
+        textops.contamination_spans(df, grams_per_pair=0)
