@@ -393,3 +393,24 @@ def test_source_divergence_stream_matches_batch(spark, tmp_path, sf_dir):
         start_source_divergence_stream(
             spark, src, out_dir=out,
             checkpoint_dir=str(tmp_path / "div_ckpt2"), ref_ppm={})
+
+
+def test_bpe_encode_stream_matches_batch(spark, sf_dir):
+    """Fed the batch pass's own learned merges as the declared
+    artifact, the stream-form encoder reproduces bpe_encode row for
+    row — the frozen-tokenizer deployment loop is closed."""
+    from dht11_data_pipeline_spark.operators.textops import (
+        bpe_encode, bpe_vocab)
+    from dht11_data_pipeline_spark.streaming.textops import (
+        bpe_encode_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rules = [(r["pair"], r["merged"])
+             for r in bpe_vocab(docs, k=6).orderBy("merge_rank").collect()]
+    batch = {tuple(r) for r in bpe_encode(docs, k=6).collect()}
+    stream_form = {tuple(r) for r in bpe_encode_stream(
+        docs.select("doc_id", "text"), rules).collect()}
+    assert stream_form == batch
+
+    with pytest.raises(ValueError, match="merge-rule"):
+        bpe_encode_stream(docs, [])
