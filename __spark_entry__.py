@@ -37,15 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list limited to keys whose code or oracle actually changed in
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
-    "cur_contamination_pairs",   # NEW: doc-level contamination drill-down
-    "cur_contamination_spans",   # NEW: leaked-gram extraction per doc pair
-    "cur_bpe_pack",              # NEW: budget-exact packing on BPE symbols
-    "text_bpe_fertility",        # NEW: per-source tokenizer fertility audit
-    "text_source_divergence_declared",  # NEW: declared-profile TV monitor
-    "text_quality_classifier",   # NULL text coalesced to '' (both sides)
-    "cur_quality_gate",          # same coalesce + empty-kept-set -> empty
-    "cur_epoch_plan",            # water-filling test as division-compare
-    "sim_kmeans_clusters",       # pinned corpus, init passthrough, merged agg
+    "cur_contamination_pos_spans",  # NEW: token-offset runs per flagged pair
+    "cur_contamination_pairs",   # one-pass contamination_index refactor
+    "cur_contamination_spans",   # same refactor (hash-stable by design)
+    "cur_contamination_matrix",  # accepts the shared index (optional arg)
 ]
 
 

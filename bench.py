@@ -36,10 +36,7 @@ HEADLINE = [
 def _load_sample() -> tuple[int, float]:
     """(other java processes, 1-minute loadavg) — best-effort."""
     try:
-        import subprocess
-        pids = subprocess.run(["pgrep", "-c", "java"], capture_output=True,
-                              text=True, timeout=10)
-        n_java = int(pids.stdout.strip() or 0)
+        n_java = len(_java_pids())
     except Exception:  # noqa: BLE001 — conditions are best-effort
         n_java = -1
     try:
@@ -47,6 +44,74 @@ def _load_sample() -> tuple[int, float]:
     except OSError:
         load1 = -1.0
     return max(0, n_java), load1
+
+
+def _java_pids() -> set[int]:
+    """All live java PIDs on the box (empty set on pgrep failure)."""
+    import subprocess
+    out = subprocess.run(["pgrep", "java"], capture_output=True,
+                         text=True, timeout=10)
+    return {int(p) for p in out.stdout.split()}
+
+
+def _own_java_pids() -> set[int]:
+    """Java PIDs belonging to THIS bench session: those whose /proc
+    parent chain reaches this python process. Round-12 ADVICE item 5:
+    the old end-of-run sample subtracted a constant 1 on the
+    assumption that exactly one java process was ours — wrong both
+    when our JVM had already exited at sample time and when it spawned
+    helpers, so start/end fields measured different populations.
+    Walking PPid chains attributes each PID explicitly."""
+    me = os.getpid()
+    own: set[int] = set()
+    for pid in _java_pids():
+        p = pid
+        for _ in range(16):  # bounded ancestor walk
+            try:
+                with open(f"/proc/{p}/status") as fh:
+                    ppid = next((int(line.split()[1]) for line in fh
+                                 if line.startswith("PPid:")), 0)
+            except OSError:
+                break
+            if ppid == me:
+                own.add(pid)
+                break
+            if ppid <= 1:
+                break
+            p = ppid
+    return own
+
+
+def _jvm_code_cache(spark) -> dict:
+    """Live-JVM JIT code-cache diagnostics, sampled AFTER the timed
+    runs — the direct evidence the round-12 verdict asked for on the
+    driver rep's late-key spike cluster: (a) did session.py's
+    ReservedCodeCacheSize flag actually reach this process (a conf
+    string reads back as set even when getOrCreate() reused a JVM that
+    never saw it), and (b) how full each code heap ran at end of the
+    full registry (saturation ⇒ the sweeper was evicting hot methods
+    mid-run, the r9-r12 deopt mechanism). Best-effort."""
+    out: dict = {}
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        args = [str(a) for a in mf.getRuntimeMXBean().getInputArguments()]
+        flags = [a for a in args if "ReservedCodeCacheSize" in a]
+        out["code_cache_flag"] = flags[-1] if flags else None
+        heaps: dict = {}
+        it = mf.getMemoryPoolMXBeans().iterator()
+        while it.hasNext():
+            pool = it.next()
+            name = str(pool.getName())
+            if "CodeHeap" in name or "CodeCache" in name:
+                usage = pool.getUsage()
+                heaps[name] = {
+                    "used_mb": round(usage.getUsed() / 1048576, 1),
+                    "max_mb": round(usage.getMax() / 1048576, 1),
+                }
+        out["code_heaps_mb"] = heaps
+    except Exception as exc:  # noqa: BLE001 — conditions are best-effort
+        out["code_cache_note"] = f"error: {exc}"
+    return out
 
 
 def _run_conditions() -> dict:
@@ -203,12 +268,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    jvms_end, load_end = _load_sample()
-    # the start sample runs before our own JVM exists; at end it is
-    # alive and pgrep counts it — subtract it so the field means the
-    # same thing at both sample points (OTHER JVMs)
-    conditions["other_jvms_at_end"] = max(0, jvms_end - 1)
+    _, load_end = _load_sample()
+    # the start sample runs before our own JVM exists, so every java
+    # PID it sees is foreign; at end our session's JVM (plus any
+    # helpers) is alive — attribute PIDs by /proc parent chain so the
+    # field means OTHER JVMs at both sample points (ADVICE r12 item 5:
+    # the old constant-1 subtraction under- or over-counted whenever
+    # the assumption of exactly one own java process broke)
+    try:
+        foreign_end = _java_pids() - _own_java_pids()
+        conditions["other_jvms_at_end"] = len(foreign_end)
+    except Exception:  # noqa: BLE001 — conditions are best-effort
+        conditions["other_jvms_at_end"] = -1
     conditions["load1_at_end"] = load_end
+    conditions.update(_jvm_code_cache(spark))
     conditions.update(_untouched_vs_prev(
         timings, sf, getattr(entrymod, "CHANGED_THIS_ROUND", [])))
     # drift gate (round-11 verdict item 2): a rep whose untouched keys

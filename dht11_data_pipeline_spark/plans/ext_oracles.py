@@ -869,6 +869,76 @@ SELECT source_a, source_b, doc_a, doc_b,
 FROM rk WHERE gram_rank <= 10
 """,
 
+    # positional span extraction: same capped index and pair ranking
+    # as cur_contamination_pairs, then the flagged docs' grams are
+    # re-generated WITH positions (restricted to the flagged-doc set,
+    # mirroring the Spark side's broadcast semi-join) and maximal
+    # shared runs come from gaps-and-islands on the diagonal
+    # start_a - start_b; a run of L shared 7-grams covers L+6 tokens
+    "cur_contamination_pos_spans": """
+WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS tok
+           FROM documents),
+g AS (
+  SELECT DISTINCT source AS src, doc_id AS doc,
+         array_to_string(tok[i : i + 6], ' ') AS gram
+  FROM (SELECT source, doc_id, tok, unnest(range(1, len(tok) - 5)) AS i
+        FROM t WHERE len(tok) >= 7)),
+st AS (
+  SELECT gram, COUNT(DISTINCT src) AS n_src, COUNT(*) AS n_doc
+  FROM g GROUP BY gram),
+capped AS (
+  SELECT g.src, g.doc, g.gram
+  FROM g JOIN st USING (gram)
+  WHERE st.n_src BETWEEN 2 AND 50 AND st.n_doc <= 50),
+flagged AS (
+  SELECT source_a, source_b, doc_a, doc_b, pair_rank FROM (
+    SELECT a.src AS source_a, b.src AS source_b,
+           a.doc AS doc_a, b.doc AS doc_b,
+           ROW_NUMBER() OVER (PARTITION BY a.src, b.src
+             ORDER BY COUNT(*) DESC, a.doc, b.doc) AS pair_rank
+    FROM capped a JOIN capped b USING (gram)
+    WHERE a.src < b.src
+    GROUP BY a.src, b.src, a.doc, b.doc)
+  WHERE pair_rank <= 5),
+pg AS (
+  SELECT doc_id AS doc, CAST(i AS INTEGER) AS pos,
+         array_to_string(tok[i : i + 6], ' ') AS gram
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - 5)) AS i
+        FROM t WHERE len(tok) >= 7)
+  WHERE doc_id IN (SELECT doc_a FROM flagged
+                   UNION SELECT doc_b FROM flagged)),
+m AS (
+  SELECT f.source_a, f.source_b, f.doc_a, f.doc_b, f.pair_rank,
+         a.pos AS start_a, b.pos AS start_b,
+         a.pos - b.pos AS diag
+  FROM flagged f
+  JOIN pg a ON a.doc = f.doc_a
+  JOIN pg b ON b.doc = f.doc_b AND b.gram = a.gram),
+isl AS (
+  SELECT *, start_a - ROW_NUMBER() OVER (
+      PARTITION BY source_a, source_b, doc_a, doc_b, diag
+      ORDER BY start_a) AS island
+  FROM m),
+runs AS (
+  SELECT source_a, source_b, doc_a, doc_b, pair_rank,
+         MIN(start_a) AS s_a, MIN(start_b) AS s_b,
+         COUNT(*) + 6 AS run_tokens
+  FROM isl
+  GROUP BY source_a, source_b, doc_a, doc_b, pair_rank, diag, island),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source_a, source_b, doc_a, doc_b
+      ORDER BY run_tokens DESC, s_a, s_b) AS run_rank
+  FROM runs)
+SELECT source_a, source_b, doc_a, doc_b,
+       CAST(pair_rank AS INTEGER) AS pair_rank,
+       CAST(s_a AS INTEGER) AS start_a,
+       CAST(s_b AS INTEGER) AS start_b,
+       CAST(run_tokens AS BIGINT) AS run_tokens,
+       CAST(run_rank AS INTEGER) AS run_rank
+FROM rk WHERE run_rank <= 10
+""",
+
     # declared-profile TV drift: same integer-ppm floors as the full
     # monitor, reference masses from the generated VALUES list (the
     # Python-side Q_tot scalar is inlined, mirroring the Spark query)

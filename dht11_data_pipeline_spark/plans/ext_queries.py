@@ -2272,6 +2272,22 @@ def cur_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_budgeted(sd, weight_col="n_symbols", budget=256)
 
 
+def cur_contamination_pos_spans(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """POSITIONAL contamination spans (operators/textops.
+    contamination_pos_spans): for each doc pair the pair ranking
+    flags, the maximal runs of consecutively shared 7-grams with
+    1-based token offsets in BOTH documents — (start_a, start_b,
+    run_tokens) is the literal copied span, the reviewer-facing form
+    the lexicographic gram list (cur_contamination_spans)
+    approximates. Positions are recovered by broadcast-semi-joining
+    the tiny flagged-doc set back to the corpus (a scan with a
+    broadcast filter, never a second corpus shuffle) and runs fall
+    out of gaps-and-islands on the diagonal start_a − start_b."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.contamination_pos_spans(docs)
+
+
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility under the learned 6-merge BPE
     vocabulary: integer symbols-per-token and symbols-per-character —
@@ -2299,6 +2315,7 @@ def text_source_divergence_declared(spark: SparkSession,
 EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
+    "cur_contamination_pos_spans": cur_contamination_pos_spans,
     "cur_contamination_pairs": cur_contamination_pairs,
     "cur_contamination_spans": cur_contamination_spans,
     "cur_bpe_pack": cur_bpe_pack,

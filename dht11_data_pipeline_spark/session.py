@@ -54,10 +54,18 @@ def get_spark(app_name: str = "dht11_data_pipeline_spark",
         # holds the full registry's generated code; this is the
         # standard Spark tuning-guide setting for codegen-heavy
         # many-query JVMs and is equally right on a real cluster.
+        # SPARK_GRAFT_CODE_CACHE exists for A/B-ing the size against
+        # the live registry (round-13 item 1); the setting only takes
+        # effect on a FRESH JVM — getOrCreate() against a running
+        # session silently ignores extraJavaOptions, which is why
+        # tests/test_session_config.py asserts the LIVE JVM's input
+        # arguments, not the conf string.
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=512m")
+                "-XX:ReservedCodeCacheSize="
+                + os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m"))
         .config("spark.executor.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=512m")
+                "-XX:ReservedCodeCacheSize="
+                + os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

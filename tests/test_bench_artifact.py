@@ -65,10 +65,17 @@ def test_bench_latest_drift_gate_requires_notes_addendum():
     pairing is: bench.py marks the artifact (drift_exceeds_gate), and
     the newest BENCH_NOTES_r*.md must mention the gate."""
     import glob
+    import re
     cond = _latest().get("conditions", {})
     if not cond.get("drift_exceeds_gate"):
         return
-    notes = sorted(glob.glob(os.path.join(HERE, "BENCH_NOTES_r*.md")))
+    # newest by PARSED round number, not string order — lexicographic
+    # sort only works while every round is zero-padded to two digits
+    # (r9.md or r100.md would make sorted()[-1] read stale notes;
+    # round-12 ADVICE item 4)
+    notes = sorted(
+        glob.glob(os.path.join(HERE, "BENCH_NOTES_r*.md")),
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)))
     assert notes, "drift-flagged artifact with no bench notes at all"
     with open(notes[-1]) as fh:
         text = fh.read()

@@ -1,0 +1,135 @@
+"""Round-13 additions: the one-pass contamination drill-down
+(shared ``contamination_index``), positional span extraction, and the
+supporting invariants the round-12 verdict asked to pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dht11_data_pipeline_spark.operators import textops
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    """Optimized logical plan as text — parquet sources show up as
+    `Relation ... parquet`, a localCheckpointed frame as LogicalRDD,
+    so counting 'parquet' counts corpus scans."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# one-pass drill-down (round-12 verdict item 4)
+# ---------------------------------------------------------------------------
+
+def test_drilldown_shares_one_corpus_scan(spark):
+    """A user running the natural matrix→pairs→spans sequence used to
+    pay three corpus shingle scans; with a pre-built index the ONLY
+    corpus scan is the index build — each consumer's plan must read
+    the pinned index (LogicalRDD), never the parquet source."""
+    docs = _docs(spark)
+    index = textops.contamination_index(docs)
+    # the index build itself is the one corpus scan (already executed
+    # by its localCheckpoint); every consumer plan below is parquet-free
+    for consumer in (
+            textops.contamination_matrix(docs, index=index),
+            textops.contamination_pairs(docs, index=index),
+            textops.contamination_spans(docs, index=index)):
+        assert "parquet" not in _plan(consumer).lower(), (
+            "drill-down consumer re-scanned the corpus despite being "
+            "handed the shared index")
+
+
+def test_pos_spans_rescan_is_flagged_docs_only(spark):
+    """contamination_pos_spans is the documented exception: positions
+    were dropped at the index's first shuffle, so it re-reads the
+    corpus once — but that re-read is broadcast-filtered to the
+    flagged docs and PINNED (it feeds both match-join sides), so the
+    returned plan must consume only checkpointed frames: zero parquet
+    scans left downstream."""
+    docs = _docs(spark)
+    index = textops.contamination_index(docs)
+    out = textops.contamination_pos_spans(docs, index=index)
+    plan = _plan(out).lower()
+    assert plan.count("parquet") == 0, (
+        f"unpinned corpus re-read leaked into the final plan:\n{plan}")
+
+
+def test_index_and_standalone_paths_agree(spark):
+    """Handing the shared index to each level must not change a single
+    row vs the standalone path (the refactor's hash-stability claim,
+    checked at the row level here and by the 3-SF diffcheck mirrors)."""
+    docs = _docs(spark)
+    index = textops.contamination_index(docs)
+    for with_idx, solo in (
+            (textops.contamination_matrix(docs, index=index),
+             textops.contamination_matrix(docs)),
+            (textops.contamination_pairs(docs, index=index),
+             textops.contamination_pairs(docs)),
+            (textops.contamination_spans(docs, index=index),
+             textops.contamination_spans(docs))):
+        a = {tuple(r) for r in with_idx.collect()}
+        b = {tuple(r) for r in solo.collect()}
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
+# positional span extraction (round-12 verdict item 3)
+# ---------------------------------------------------------------------------
+
+def test_pos_spans_extracts_known_copied_run(spark):
+    """A planted 8-token copy between two sources must come back as
+    one maximal run with exact 1-based offsets: 8 tokens = 2
+    consecutive 7-grams, starting at token 3 of doc 1 and token 2 of
+    doc 2."""
+    copy = "c1 c2 c3 c4 c5 c6 c7 c8"
+    df = spark.createDataFrame(
+        [(1, "A", f"x1 x2 {copy} y1"),
+         (2, "B", f"z1 {copy} w1 w2")],
+        "doc_id long, source string, text string")
+    rows = textops.contamination_pos_spans(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b, r.doc_a, r.doc_b) == ("A", "B", 1, 2)
+    assert (r.start_a, r.start_b) == (3, 2)
+    assert r.run_tokens == 8
+    assert (r.pair_rank, r.run_rank) == (1, 1)
+
+
+def test_pos_spans_splits_runs_at_gaps(spark):
+    """Two copied stretches separated by divergent text must surface
+    as two runs, ranked longest-first."""
+    long_copy = "a1 a2 a3 a4 a5 a6 a7 a8 a9"   # 9 tokens → 3 grams
+    short_copy = "b1 b2 b3 b4 b5 b6 b7"        # 7 tokens → 1 gram
+    df = spark.createDataFrame(
+        [(1, "A", f"{long_copy} gapA {short_copy}"),
+         (2, "B", f"{long_copy} gapB {short_copy} tail")],
+        "doc_id long, source string, text string")
+    rows = {r.run_rank: r for r in
+            textops.contamination_pos_spans(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].run_tokens == 9 and rows[1].start_a == 1
+    assert rows[2].run_tokens == 7 and rows[2].start_a == 11
+    assert rows[2].start_b == 11
+
+
+def test_pos_spans_uses_raw_grams_for_runs(spark):
+    """Run extraction deliberately ignores the doc cap once a pair is
+    flagged: a gram shared by MANY docs (boilerplate inside the copied
+    span) must not split the run. Here the middle gram also appears in
+    60 other single-source docs — over MAX_DOCS_PER_GRAM — yet the
+    run comes back whole."""
+    copy = "c1 c2 c3 c4 c5 c6 c7 c8 c9"  # 3 grams; middle = c2..c8
+    filler = [(100 + i, "C", "c2 c3 c4 c5 c6 c7 c8")
+              for i in range(60)]
+    df = spark.createDataFrame(
+        [(1, "A", copy), (2, "B", copy)] + filler,
+        "doc_id long, source string, text string")
+    rows = textops.contamination_pos_spans(df).collect()
+    ab = [r for r in rows if r.source_a == "A" and r.source_b == "B"]
+    assert len(ab) == 1
+    assert ab[0].run_tokens == 9
