@@ -38,6 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
     "cur_contamination_pos_spans",  # NEW: token-offset runs per flagged pair
+    "cur_contamination_gate",    # NEW: audit-time gate off the shared index
     "cur_contamination_pairs",   # one-pass contamination_index refactor
     "cur_contamination_spans",   # same refactor (hash-stable by design)
     "cur_contamination_matrix",  # accepts the shared index (optional arg)

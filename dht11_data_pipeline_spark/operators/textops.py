@@ -1439,3 +1439,102 @@ def contamination_pos_spans(df: DataFrame, n: int = 7, top_k: int = 5,
             .select("source_a", "source_b", "doc_a", "doc_b",
                     "pair_rank", "start_a", "start_b", "run_tokens",
                     "run_rank"))
+
+
+def contamination_gate(df: DataFrame, n: int = 7, min_hits: int = 1,
+                       group_col: str = "source",
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_sources_per_gram: int = MAX_SOURCES_PER_GRAM,
+                       index: DataFrame | None = None,
+                       ) -> DataFrame:
+    """Audit-time contamination gate: every document flagged by how
+    many cross-source-band grams it carries (the grams the drill-down
+    index witnesses in 2..``max_sources_per_gram`` sources — the same
+    flagged set the matrix/pairs/spans levels analyze), with verdict
+    QUARANTINE when ``flagged_hits >= min_hits`` else PASS. This is
+    the enforcement half of the audit: the matrix tells you WHICH
+    sources leak, the pairs/spans WHAT leaked, the gate WHO gets held
+    back — flag-don't-drop, so survivorship stays a caller decision
+    (the curation-house rule).
+
+    Shape: per-doc hits are read STRAIGHT off the shared index
+    (rows-per-doc = distinct band grams the doc carries — no second
+    shingle pass), left-joined onto a column-pruned (id, source)
+    projection of the corpus so zero-hit docs appear with 0. Cost
+    beyond the index build: one pruned corpus scan + one doc-keyed
+    aggregate of the index.
+
+    Between audits, arriving docs are gated against the PUBLISHED
+    flagged-gram artifact instead — ``contamination_gate_declared``
+    (a pure projection, stream-safe) and its streaming twin
+    ``streaming/curation.contamination_gate_stream``.
+
+    Returns (id, group, flagged_hits, gate_flag).
+    """
+    if min_hits < 1:
+        raise ValueError("contamination_gate: min_hits must be >= 1")
+    if index is None:
+        index = contamination_index(
+            df, n=n, group_col=group_col, text_col=text_col,
+            id_col=id_col, max_sources_per_gram=max_sources_per_gram)
+    hits = (index.groupBy(F.col("doc").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_hits")))
+    return (df.select(id_col, group_col)
+            .join(hits, id_col, "left")
+            .select(id_col, group_col,
+                    F.coalesce(F.col("_hits"), F.lit(0).cast("bigint"))
+                    .alias("flagged_hits"),
+                    F.when(F.coalesce(F.col("_hits"), F.lit(0))
+                           >= min_hits, "QUARANTINE")
+                    .otherwise("PASS").alias("gate_flag")))
+
+
+def contamination_gate_declared(df: DataFrame, flagged_grams: list[str],
+                                n: int = 7, min_hits: int = 1,
+                                group_col: str = "source",
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                ) -> DataFrame:
+    """Between-audits contamination gate: arriving documents checked
+    against a DECLARED flagged-gram artifact (the set a periodic
+    ``contamination_gate``/``contamination_index`` audit published) —
+    the same declared-parameter discipline as
+    ``source_divergence_declared``'s profile and the quality gate's
+    weights: artifact refreshes enter through a redeploy, never
+    through corpus statistics computed in-flight, so a replayed batch
+    and a restarted stream quarantine identical docs.
+
+    Pure per-row projection — ``array_intersect`` of the doc's
+    distinct shingles with the literal artifact array: no shuffle, no
+    state, no join, which is what makes the streaming twin a plain
+    append-mode stream (and at 100 TB a map-only pass). The artifact
+    is validated at build time: non-empty, every gram exactly ``n``
+    space-separated tokens (a wrong-width gram can never match — a
+    silent dead artifact is a deploy bug, so it raises loudly).
+
+    Returns (id, group, flagged_hits, gate_flag) — the audit gate's
+    schema, so downstream consumers cannot tell which form ran.
+    """
+    if min_hits < 1:
+        raise ValueError("contamination_gate_declared: min_hits must "
+                         "be >= 1")
+    if not flagged_grams:
+        raise ValueError("contamination_gate_declared: need a "
+                         "non-empty flagged-gram artifact")
+    bad = [g for g in flagged_grams
+           if not isinstance(g, str) or len(g.split(" ")) != n]
+    if bad:
+        raise ValueError(
+            f"contamination_gate_declared: artifact grams must be "
+            f"exactly {n} space-separated tokens; got {bad[:3]}")
+    from dht11_data_pipeline_spark.functions.text import shingles
+
+    arr = F.array(*[F.lit(g) for g in sorted(set(flagged_grams))])
+    hits = F.size(F.array_intersect(
+        F.array_distinct(shingles(tokens(text_col), n)), arr)) \
+        .cast("bigint")
+    return df.select(
+        id_col, group_col, hits.alias("flagged_hits"),
+        F.when(hits >= min_hits, "QUARANTINE")
+        .otherwise("PASS").alias("gate_flag"))

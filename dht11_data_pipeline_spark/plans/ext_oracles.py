@@ -869,6 +869,33 @@ SELECT source_a, source_b, doc_a, doc_b,
 FROM rk WHERE gram_rank <= 10
 """,
 
+    # audit-time contamination gate: per-doc count of distinct
+    # cross-source-band grams (the drill-down index's flagged set —
+    # source band 2..50, no doc cap), QUARANTINE at >= 1 hit;
+    # zero-hit docs surface via the left join
+    "cur_contamination_gate": """
+WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS tok
+           FROM documents),
+g AS (
+  SELECT DISTINCT source AS src, doc_id AS doc,
+         array_to_string(tok[i : i + 6], ' ') AS gram
+  FROM (SELECT source, doc_id, tok, unnest(range(1, len(tok) - 5)) AS i
+        FROM t WHERE len(tok) >= 7)),
+st AS (
+  SELECT gram, COUNT(DISTINCT src) AS n_src
+  FROM g GROUP BY gram),
+hits AS (
+  SELECT g.doc, COUNT(*) AS flagged_hits
+  FROM g JOIN st USING (gram)
+  WHERE st.n_src BETWEEN 2 AND 50
+  GROUP BY g.doc)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(h.flagged_hits, 0) AS BIGINT) AS flagged_hits,
+       CASE WHEN COALESCE(h.flagged_hits, 0) >= 1
+            THEN 'QUARANTINE' ELSE 'PASS' END AS gate_flag
+FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id
+""",
+
     # positional span extraction: same capped index and pair ranking
     # as cur_contamination_pairs, then the flagged docs' grams are
     # re-generated WITH positions (restricted to the flagged-doc set,

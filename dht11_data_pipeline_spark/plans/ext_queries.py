@@ -2288,6 +2288,19 @@ def cur_contamination_pos_spans(spark: SparkSession,
     return textops.contamination_pos_spans(docs)
 
 
+def cur_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-time contamination gate (operators/textops.
+    contamination_gate): every document flagged by how many
+    cross-source-band 7-grams it carries (the drill-down index's
+    flagged set), QUARANTINE at >= 1 hit else PASS — the enforcement
+    half of the contamination audit, flag-don't-drop. Per-doc hits
+    read straight off the shared index (no second shingle pass),
+    left-joined onto a column-pruned (doc_id, source) corpus
+    projection so clean docs appear with 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.contamination_gate(docs)
+
+
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility under the learned 6-merge BPE
     vocabulary: integer symbols-per-token and symbols-per-character —
@@ -2316,6 +2329,7 @@ EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
     "cur_contamination_pos_spans": cur_contamination_pos_spans,
+    "cur_contamination_gate": cur_contamination_gate,
     "cur_contamination_pairs": cur_contamination_pairs,
     "cur_contamination_spans": cur_contamination_spans,
     "cur_bpe_pack": cur_bpe_pack,

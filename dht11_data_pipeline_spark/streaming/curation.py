@@ -346,6 +346,38 @@ def start_source_divergence_stream(spark: SparkSession, source_path: str,
     return writer.start()
 
 
+def contamination_gate_stream(df: DataFrame, flagged_grams: list[str],
+                              n: int = 7, min_hits: int = 1,
+                              group_col: str = "source",
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Streaming form of ``operators/textops.
+    contamination_gate_declared`` — and deliberately the SAME
+    projection, not a re-implementation: the flagged-gram artifact is
+    a declared parameter and a row's verdict depends only on (text,
+    artifact), so the batch operator is already stateless and
+    stream-safe (array_intersect against a literal array — no
+    aggregation, no state store, no watermark, plain append mode).
+    This wrapper makes the deployment seam explicit and pins
+    stream==batch parity in tests/test_streaming_curation.py, the
+    ``quality_gate_stream`` contract: a periodic batch audit
+    (``contamination_gate`` over the full corpus) publishes the
+    flagged-gram set; between audits every arriving doc is checked
+    against that artifact, and refreshes enter through a redeploy,
+    never through in-flight corpus statistics — so a replayed batch
+    and a restarted stream quarantine identical docs (round-12
+    verdict item 5).
+
+    Returns the batch schema: (id, group, flagged_hits, gate_flag).
+    """
+    from dht11_data_pipeline_spark.operators.textops import (
+        contamination_gate_declared)
+
+    return contamination_gate_declared(
+        df, flagged_grams, n=n, min_hits=min_hits,
+        group_col=group_col, text_col=text_col, id_col=id_col)
+
+
 def quality_gate_stream(df: DataFrame, weights: dict[int, int],
                         buckets: int = 128, bias: int = 0,
                         threshold_milli: int = 0,

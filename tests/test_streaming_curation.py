@@ -414,3 +414,69 @@ def test_bpe_encode_stream_matches_batch(spark, sf_dir):
 
     with pytest.raises(ValueError, match="merge-rule"):
         bpe_encode_stream(docs, [])
+
+
+def test_contamination_gate_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The declared-artifact contamination gate is a pure projection
+    (array_intersect against the published flagged-gram set), so the
+    streaming twin IS the batch operator — pin that a file-streamed
+    corpus produces the identical verdict set, and that the artifact
+    is validated at the deployment seam."""
+    from pyspark.sql import types as T
+
+    from dht11_data_pipeline_spark.operators import textops
+    from dht11_data_pipeline_spark.streaming.curation import (
+        contamination_gate_stream)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the audit publishes the artifact: every cross-source-band gram
+    flagged = sorted({r["gram"] for r in
+                      textops.contamination_index(docs)
+                      .select("gram").distinct().collect()})
+    assert flagged, "sf0.001 corpus must witness cross-source grams"
+    feed_cols = docs.select("doc_id", "source", "text")
+    want = {tuple(r) for r in textops.contamination_gate_declared(
+        feed_cols, flagged).collect()}
+    assert any(r[-1] == "QUARANTINE" for r in want)
+    assert any(r[-1] == "PASS" for r in want)
+
+    rows = [r.asDict() for r in feed_cols.collect()]
+    src = _write_feed(tmp_path, rows)
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("source", T.StringType()),
+                           T.StructField("text", T.StringType())])
+    out_dir = str(tmp_path / "gate_out")
+    gated = contamination_gate_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src), flagged)
+    q = (gated.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got == want
+
+    # deploy-time artifact validation, shared with the batch operator
+    with pytest.raises(ValueError, match="non-empty"):
+        contamination_gate_stream(docs, [])
+    with pytest.raises(ValueError, match="space-separated"):
+        contamination_gate_stream(docs, ["too short"])
+
+
+def test_contamination_gate_declared_matches_audit_form(spark, sf_dir):
+    """Fed the audit's own flagged-gram set as the declared artifact,
+    the projection gate reproduces the audit gate row for row — the
+    publish→gate deployment loop is closed (the bpe_encode_stream
+    contract, round-12 verdict item 5)."""
+    from dht11_data_pipeline_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = textops.contamination_index(docs)
+    flagged = sorted({r["gram"] for r in
+                      index.select("gram").distinct().collect()})
+    audit = {tuple(r) for r in
+             textops.contamination_gate(docs, index=index).collect()}
+    declared = {tuple(r) for r in textops.contamination_gate_declared(
+        docs, flagged).collect()}
+    assert declared == audit
