@@ -42,6 +42,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "cur_contamination_pairs",   # one-pass contamination_index refactor
     "cur_contamination_spans",   # same refactor (hash-stable by design)
     "cur_contamination_matrix",  # accepts the shared index (optional arg)
+    "text_source_divergence",    # vocab totals: broadcast scalars, not windows
 ]
 
 

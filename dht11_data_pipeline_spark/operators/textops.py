@@ -952,14 +952,21 @@ def source_divergence(df: DataFrame, group_col: str = "source",
 
     Scale: one corpus shuffle to (group, word) counts; corpus word
     totals derive from that frame (vocab-sized, never a second corpus
-    pass); Q_tot is a window over the vocab frame (the global-scalar
-    discipline). The (group, word) frame feeds TWO aggregate consumers
-    (the corpus totals and the per-source side), and exchange reuse
-    does not rescue two aggregate consumers of one subplan — verified
-    on the executed plan (0 ReusedExchange, 2 corpus scans unpinned) —
-    so it is localCheckpointed: at 100 TB the second corpus pass is
-    the whole cost. Returns (group, n_tokens, vocab_size, tv_ppm)
-    with tv_ppm = (Σ|p−q| + absent tail) DIV 2, in [0, 1e6].
+    pass); the two global scalars (N_tot token count, Q_tot floored
+    ppm mass) are 1-row aggregates crossJoin-broadcast back onto the
+    vocab frame — the same semantics as a whole-frame window but with
+    NO single-partition stage: an unpartitioned window funnels the
+    entire vocabulary through one task, which at a 1e8-word vocabulary
+    is a real serialization point (round-12 verdict item 6; the plan
+    is asserted window-free in tests/test_round13_ops.py). The
+    (group, word) frame feeds TWO aggregate consumers (the corpus
+    totals and the per-source side), and exchange reuse does not
+    rescue two aggregate consumers of one subplan — verified on the
+    executed plan (0 ReusedExchange, 2 corpus scans unpinned) — so it
+    is localCheckpointed: at 100 TB the second corpus pass is the
+    whole cost; the scalar-agg re-reads below run on the pinned frame.
+    Returns (group, n_tokens, vocab_size, tv_ppm) with
+    tv_ppm = (Σ|p−q| + absent tail) DIV 2, in [0, 1e6].
     """
     from pyspark.sql.window import Window
 
@@ -969,14 +976,14 @@ def source_divergence(df: DataFrame, group_col: str = "source",
           .groupBy(group_col, "word")
           .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw"))
           .localCheckpoint())
-    all_rows = Window.rowsBetween(Window.unboundedPreceding,
-                                  Window.unboundedFollowing)
-    w_tot = (sw.groupBy("word")
-             .agg(F.sum("c_sw").cast("bigint").alias("c_w"))
-             .withColumn("_n_tot", F.sum("c_w").over(all_rows))
-             .select("word",
-                     F.expr("c_w * 1000000 DIV _n_tot").alias("q_ppm"))
-             .withColumn("_q_tot", F.sum("q_ppm").over(all_rows)))
+    w_cnt = (sw.groupBy("word")
+             .agg(F.sum("c_sw").cast("bigint").alias("c_w")))
+    n_tot = w_cnt.agg(F.sum("c_w").cast("bigint").alias("_n_tot"))
+    w_q = (w_cnt.crossJoin(F.broadcast(n_tot))
+           .select("word",
+                   F.expr("c_w * 1000000 DIV _n_tot").alias("q_ppm")))
+    q_tot = w_q.agg(F.sum("q_ppm").cast("bigint").alias("_q_tot"))
+    w_tot = w_q.crossJoin(F.broadcast(q_tot))
     per = (sw
            .withColumn("_n_s",
                        F.sum("c_sw").over(
