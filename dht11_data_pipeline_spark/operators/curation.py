@@ -343,6 +343,40 @@ def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
     global-scalar discipline). Returns one row per source:
     (group, n_docs, tokens, absorb_cap, alloc_tokens, epochs_ppm,
     capped_flag).
+
+    The budget unit here is whitespace TOKENS (the corpus aggregate
+    this operator computes itself). To plan in any other cost unit —
+    e.g. tokenizer SYMBOLS corrected by per-source fertility, the
+    round-13 fertility→budget closure — aggregate the per-source
+    sizes yourself and call ``epoch_plan_from_sizes``, the
+    unit-agnostic core this function delegates to.
+    """
+    from dht11_data_pipeline_spark.functions.text import token_count
+
+    sizes = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("tokens"))
+    return epoch_plan_from_sizes(sizes, budget_ppm=budget_ppm,
+                                 max_epochs_ppm=max_epochs_ppm,
+                                 group_col=group_col)
+
+
+def epoch_plan_from_sizes(sizes: DataFrame,
+                          budget_ppm: int = 1_500_000,
+                          max_epochs_ppm: int = 4_000_000,
+                          group_col: str = "source") -> DataFrame:
+    """Unit-agnostic core of ``epoch_plan``: exact integer
+    water-filling over a pre-aggregated per-source sizes frame
+    (``group_col``, n_docs, tokens) where ``tokens`` is ANY
+    non-negative integer cost unit — whitespace tokens (what
+    ``epoch_plan`` feeds it), tokenizer symbols (the fertility-aware
+    plan: ``bpe_fertility``'s n_symbols makes the budget respect that
+    an over-segmented source costs more symbols per word), bytes,
+    compute estimates. All semantics, the overflow envelope and the
+    conservation invariant Σ alloc == min(B, ΣA) are documented on
+    ``epoch_plan``; they hold per unit since nothing below ever mixes
+    units. The frame is #sources-sized — every window below is over
+    that tiny frame, never a corpus.
     """
     if budget_ppm < 0:
         raise ValueError("budget_ppm must be non-negative")
@@ -361,7 +395,6 @@ def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
     # callers at that scale should plan per-shard or rescale units.
     _ppm_factor = max(budget_ppm, max_epochs_ppm, 1_000_000)
     _safe_token_sum = (2**63 - 1) // _ppm_factor
-    from dht11_data_pipeline_spark.functions.text import token_count
 
     def _guarded(count_col: str, product_sql: str) -> Column:
         # CaseWhen evaluates branches lazily, so putting the raise in
@@ -379,9 +412,6 @@ def epoch_plan(df: DataFrame, budget_ppm: int = 1_500_000,
                 F.col(count_col).cast("string"))).cast("bigint"))
             .otherwise(F.expr(product_sql)))
 
-    sizes = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(token_count(text_col)).cast("bigint").alias("tokens"))
     sizes = sizes.withColumn(
         "absorb_cap",
         _guarded("tokens", f"({max_epochs_ppm} * tokens) DIV 1000000"))

@@ -701,6 +701,75 @@ WHERE word <> ''
 GROUP BY source"""
 
 
+def _epoch_plan_fertility_oracle_sql(k: int, budget_ppm: int = 1_500_000,
+                                     max_epochs_ppm: int = 4_000_000) -> str:
+    """Fertility-aware epoch plan: per-source sizes are SYMBOL counts
+    under the k-merge chain (the fertility oracle's aggregate), fed
+    through the same integer water-filling SQL as cur_epoch_plan —
+    only the sizes CTE and the output column names differ, so the two
+    oracles cannot drift in plan semantics."""
+    return _bpe_chain(k) + f""",
+enc AS (
+  SELECT word, len(string_split(trim(syms), ' ')) AS n_syms_w
+  FROM w{k}),
+tk AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+sizes AS (
+  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(SUM(n_syms_w) AS BIGINT) AS tokens
+  FROM tk JOIN enc USING (word)
+  WHERE word <> '' GROUP BY source),
+caps AS (
+  SELECT *, ({max_epochs_ppm} * tokens) // 1000000 AS absorb_cap
+  FROM sizes),
+st AS (
+  SELECT *,
+         CAST(SUM(tokens) OVER () AS BIGINT) AS t_tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS k,
+         CAST(ROW_NUMBER() OVER (ORDER BY absorb_cap, source)
+              AS BIGINT) AS i,
+         CAST(COALESCE(SUM(absorb_cap) OVER (
+              ORDER BY absorb_cap, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_a
+  FROM caps),
+cp AS (
+  SELECT *,
+         ({budget_ppm} * t_tot) // 1000000 AS b,
+         (({budget_ppm} * t_tot) // 1000000 >= cum_a
+          AND absorb_cap <=
+              (({budget_ppm} * t_tot) // 1000000 - cum_a) // (k - i + 1))
+           AS capped
+  FROM st),
+agg AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN capped THEN absorb_cap ELSE 0 END) OVER ()
+              AS BIGINT) AS cap_a,
+         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+              AS BIGINT) AS n_cap,
+         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER (
+              ORDER BY absorb_cap, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS uncap_rank
+  FROM cp),
+alloc AS (
+  SELECT source, n_docs, tokens, absorb_cap, capped,
+         CASE WHEN capped THEN absorb_cap
+              ELSE (b - cap_a) // (k - n_cap)
+                   + CASE WHEN uncap_rank <= (b - cap_a) % (k - n_cap)
+                          THEN 1 ELSE 0 END
+         END AS alloc_tokens
+  FROM agg)
+SELECT source, n_docs, tokens AS n_symbols, absorb_cap,
+       CAST(alloc_tokens AS BIGINT) AS alloc_symbols,
+       CAST(CASE WHEN tokens > 0
+                 THEN (alloc_tokens * 1000000) // tokens
+                 ELSE 0 END AS BIGINT) AS epochs_ppm,
+       CASE WHEN capped THEN 'Y' ELSE 'N' END AS capped_flag
+FROM alloc"""
+
+
 def _reference_profile_values() -> str:
     """The v1 declared reference unigram profile as a VALUES list —
     generated from the SAME dict the Spark query folds into its map
@@ -785,6 +854,7 @@ FROM g, mx
     "text_bpe_encode": _bpe_encode_oracle_sql(6),
     "cur_bpe_pack": _bpe_pack_oracle_sql(6, 256),
     "text_bpe_fertility": _bpe_fertility_oracle_sql(6),
+    "cur_epoch_plan_fertility": _epoch_plan_fertility_oracle_sql(6),
 
     # doc-level contamination drill-down: the matrix's distinct
     # inverted index carried to (source, doc, gram), double hub cap

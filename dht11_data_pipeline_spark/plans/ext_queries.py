@@ -2288,6 +2288,30 @@ def cur_contamination_pos_spans(spark: SparkSession,
     return textops.contamination_pos_spans(docs)
 
 
+def cur_epoch_plan_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility-aware epoch planning: the budget unit is tokenizer
+    SYMBOLS, not words — per-source costs come from text_bpe_fertility
+    (the learned 6-merge vocabulary's per-source n_symbols), so a
+    source the tokenizer over-segments is charged what it actually
+    costs in sequence length; the water-filling itself is the same
+    unit-agnostic integer core as cur_epoch_plan
+    (curation.epoch_plan_from_sizes — conservation Σ alloc ==
+    min(B, ΣA) holds per unit, property-pinned in
+    tests/test_round13_ops.py). Closes fertility → budget the way
+    round 12 closed tokenizer → packing (round-12 verdict item 7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (textops.bpe_fertility(docs, k=6)
+             .select("source", "n_docs",
+                     F.col("n_symbols").alias("tokens")))
+    plan = curation.epoch_plan_from_sizes(sizes, budget_ppm=1_500_000,
+                                          max_epochs_ppm=4_000_000)
+    return plan.select("source", "n_docs",
+                       F.col("tokens").alias("n_symbols"),
+                       "absorb_cap",
+                       F.col("alloc_tokens").alias("alloc_symbols"),
+                       "epochs_ppm", "capped_flag")
+
+
 def cur_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit-time contamination gate (operators/textops.
     contamination_gate): every document flagged by how many
@@ -2330,6 +2354,7 @@ EXT_QUERIES = {
     # declaration order and has a bounded per-round budget
     "cur_contamination_pos_spans": cur_contamination_pos_spans,
     "cur_contamination_gate": cur_contamination_gate,
+    "cur_epoch_plan_fertility": cur_epoch_plan_fertility,
     "cur_contamination_pairs": cur_contamination_pairs,
     "cur_contamination_spans": cur_contamination_spans,
     "cur_bpe_pack": cur_bpe_pack,

@@ -160,3 +160,54 @@ def test_source_divergence_has_no_unpartitioned_window(spark):
     # windowed form it replaced (the 3-SF diffcheck mirrors pin the
     # oracle equivalence; this pins self-consistency on live data)
     assert len(got) > 1
+
+
+# ---------------------------------------------------------------------------
+# fertility-aware epoch planning (round-12 verdict item 7)
+# ---------------------------------------------------------------------------
+
+def test_epoch_plan_from_sizes_conserves_symbol_budget(spark):
+    """The unit-agnostic water-filling core must conserve the budget
+    to the unit: Σ alloc == min(B, ΣA) with B = budget_ppm·ΣT DIV 1e6
+    and A_g = max_epochs_ppm·T_g DIV 1e6 — checked in SYMBOL units on
+    a skewed synthetic sizes frame (tiny sources capped, surplus
+    water-filled) and per-source alloc never exceeding its cap."""
+    from dht11_data_pipeline_spark.operators import curation
+
+    sizes = spark.createDataFrame(
+        [("tiny", 3, 40), ("small", 9, 700), ("mid", 50, 9_000),
+         ("big", 400, 250_000), ("huge", 2_000, 4_000_000)],
+        "source string, n_docs long, tokens long")
+    budget_ppm, cap_ppm = 1_500_000, 4_000_000
+    rows = curation.epoch_plan_from_sizes(
+        sizes, budget_ppm=budget_ppm, max_epochs_ppm=cap_ppm).collect()
+    t_sum = sum(r.tokens for r in rows)
+    b = budget_ppm * t_sum // 1_000_000
+    a_sum = sum(cap_ppm * r.tokens // 1_000_000 for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == min(b, a_sum)
+    for r in rows:
+        assert r.alloc_tokens <= cap_ppm * r.tokens // 1_000_000
+        assert r.epochs_ppm <= cap_ppm
+    assert any(r.capped_flag == "Y" for r in rows)
+    assert any(r.capped_flag == "N" for r in rows)
+
+
+def test_fertility_plan_budget_conserved_on_corpus(spark):
+    """End-to-end fertility→budget closure on real data: the registry
+    composition (bpe_fertility sizes → epoch_plan_from_sizes) must
+    conserve the SYMBOL budget exactly, and its symbol totals must be
+    bpe_fertility's own."""
+    from dht11_data_pipeline_spark.operators import curation
+
+    docs = _docs(spark)
+    fert = {r.source: r.n_symbols
+            for r in textops.bpe_fertility(docs, k=6).collect()}
+    sizes = (textops.bpe_fertility(docs, k=6)
+             .select("source", "n_docs",
+                     F.col("n_symbols").alias("tokens")))
+    rows = curation.epoch_plan_from_sizes(sizes).collect()
+    assert {r.source: r.tokens for r in rows} == fert
+    t_sum = sum(fert.values())
+    b = 1_500_000 * t_sum // 1_000_000
+    a_sum = sum(4_000_000 * t // 1_000_000 for t in fert.values())
+    assert sum(r.alloc_tokens for r in rows) == min(b, a_sum)
