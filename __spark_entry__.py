@@ -45,6 +45,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "cur_contamination_spans",   # same refactor (hash-stable by design)
     "cur_contamination_matrix",  # accepts the shared index (optional arg)
     "text_source_divergence",    # vocab totals: broadcast scalars, not windows
+    "cur_bpe_pack",              # duplicate-(group,id) guard in pack_budgeted
 ]
 
 

@@ -607,10 +607,16 @@ def pack_budgeted(df: DataFrame, weight_col: str = "n_symbols",
     window), then a NARROW per-row explode of the ceil(w/budget)+1
     packs each doc can touch; zero joins, zero collects. Boundaries
     are deterministic in (group, id) alone, so replays and backfills
-    cut identical packs. Weights must be >= 1 (a zero-weight doc has
-    no span to place) — enforced with an engine-side raise, since a
-    negative weight would silently corrupt every later boundary in
-    its group.
+    cut identical packs — which makes unique (group, id) a hard
+    PRECONDITION: with duplicate ids the cum-sum order among the
+    duplicates is engine-nondeterministic and pack boundaries could
+    silently differ between runs (round-12 ADVICE item 2). Enforced
+    with an engine-side raise: a lag over the same sort detects
+    adjacent equal ids at zero extra shuffle (duplicates are adjacent
+    in the window order by construction). Weights must be >= 1 (a
+    zero-weight doc has no span to place) — enforced with an
+    engine-side raise, since a negative weight would silently corrupt
+    every later boundary in its group.
 
     Returns one row per (pack, document-slice):
     (group, bin_id, id, <weight_col>, sym_in_bin) where sym_in_bin is
@@ -629,10 +635,26 @@ def pack_budgeted(df: DataFrame, weight_col: str = "n_symbols",
           .otherwise(F.col(weight_col).cast("bigint")))
     win = (Window.partitionBy(group_col).orderBy(id_col)
            .rowsBetween(Window.unboundedPreceding, -1))
+    # duplicate-(group, id) guard: lag over the SAME partition+order
+    # (one sort serves both window functions), equal adjacent ids ⇒
+    # raise. Folded into _start (+0 on the clean path) so column
+    # pruning can never drop the check; NULL lag (first row) compares
+    # to null → otherwise-branch → 0.
+    ordw = Window.partitionBy(group_col).orderBy(id_col)
+    dup_guard = (F.when(
+        F.lag(F.col(id_col)).over(ordw) == F.col(id_col),
+        F.raise_error(F.format_string(
+            "pack_budgeted: duplicate id %s in group %s — pack "
+            "boundaries would be nondeterministic; deduplicate or "
+            "re-key the input",
+            F.col(id_col).cast("string"),
+            F.col(group_col).cast("string"))).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint")))
     staged = (df.select(group_col, id_col, wt.alias("_w"))
               .withColumn("_start",
                           F.coalesce(F.sum("_w").over(win),
-                                     F.lit(0).cast("bigint"))))
+                                     F.lit(0).cast("bigint"))
+                          + dup_guard))
     bins = F.sequence(F.expr(f"_start DIV {int(budget)}"),
                       F.expr(f"(_start + _w - 1) DIV {int(budget)}"))
     b = F.col("bin_id")

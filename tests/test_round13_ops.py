@@ -211,3 +211,23 @@ def test_fertility_plan_budget_conserved_on_corpus(spark):
     b = 1_500_000 * t_sum // 1_000_000
     a_sum = sum(4_000_000 * t // 1_000_000 for t in fert.values())
     assert sum(r.alloc_tokens for r in rows) == min(b, a_sum)
+
+
+def test_pack_budgeted_rejects_duplicate_ids(spark):
+    """Duplicate (group, id) makes pack boundaries engine-
+    nondeterministic (the cum-sum order among duplicates is
+    unspecified) — round-12 ADVICE: the precondition is now enforced,
+    not documented-only. Clean inputs still pack identically."""
+    import pytest
+    from dht11_data_pipeline_spark.operators import curation
+
+    dup = spark.createDataFrame(
+        [("s", 1, 10), ("s", 1, 20), ("s", 2, 30)],
+        "source string, doc_id long, n_symbols long")
+    with pytest.raises(Exception, match="duplicate id"):
+        curation.pack_budgeted(dup, budget=16).collect()
+    clean = spark.createDataFrame(
+        [("s", 1, 10), ("s", 2, 20), ("t", 1, 30)],
+        "source string, doc_id long, n_symbols long")
+    rows = curation.pack_budgeted(clean, budget=16).collect()
+    assert sum(r.sym_in_bin for r in rows) == 60
