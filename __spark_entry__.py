@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 CHANGED_THIS_ROUND: list[str] = [
     "cur_contamination_pos_spans",  # NEW: token-offset runs per flagged pair
     "cur_contamination_gate",    # NEW: audit-time gate off the shared index
+    "cur_contamination_cut",     # NEW: surgical span removal (cleaned corpus)
     "cur_epoch_plan_fertility",  # NEW: symbol-unit water-filling plan
     "cur_epoch_plan",            # delegates to epoch_plan_from_sizes (hash-stable)
     "cur_contamination_pairs",   # one-pass contamination_index refactor

@@ -1448,6 +1448,107 @@ def contamination_pos_spans(df: DataFrame, n: int = 7, top_k: int = 5,
                     "run_rank"))
 
 
+def contamination_cut(df: DataFrame, n: int = 7, top_k: int = 5,
+                      runs_per_pair: int = 10,
+                      group_col: str = "source",
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_sources_per_gram: int = MAX_SOURCES_PER_GRAM,
+                      max_docs_per_gram: int = MAX_DOCS_PER_GRAM,
+                      protected: list[str] | None = None,
+                      index: DataFrame | None = None,
+                      ) -> DataFrame:
+    """The SURGICAL end of the contamination drill-down (matrix →
+    pairs → spans → gate → CUT): rather than quarantining whole
+    documents (``contamination_gate``), remove exactly the copied
+    token runs ``contamination_pos_spans`` located and keep the rest —
+    the decontamination a data steward actually wants when a training
+    doc embeds a benchmark item inside otherwise-good text.
+
+    Victim policy, deterministic and mirrored in the oracle: for each
+    flagged run, the cut falls on the doc whose source is NOT in
+    ``protected`` (the benchmark/eval sources a deployment declares —
+    the declared-parameter discipline); when only the b-side is
+    protected the a-side pays, when NEITHER is protected the
+    lexicographically LATER source pays (source_b — the ranking
+    already orders source_a < source_b), and when BOTH are protected
+    the run is kept (cutting a benchmark to protect a benchmark is a
+    config error worth surfacing by count, not silent mutilation).
+
+    Shape: the flagged runs are tiny (≤ runs_per_pair × top_k ×
+    #source-pairs) and pinned; affected docs are broadcast-semi-
+    joined out of the corpus ONCE and pinned (tiny); token positions
+    are dropped by an anti-join against the cut ranges; text rebuilds
+    with an ordered array_join. Untouched docs pass through with
+    their original text from one column-pruned corpus scan — no
+    corpus-sized shuffle anywhere. Returns the FULL cleaned corpus:
+    (id, group, n_tokens, n_removed, clean_text), n_removed = 0 for
+    untouched docs, clean_text = '' for a fully-cut doc.
+    """
+    if protected is not None and not all(
+            isinstance(s, str) for s in protected):
+        raise ValueError("contamination_cut: protected must be a list "
+                         "of source names")
+    runs = contamination_pos_spans(
+        df, n=n, top_k=top_k, runs_per_pair=runs_per_pair,
+        group_col=group_col, text_col=text_col, id_col=id_col,
+        max_sources_per_gram=max_sources_per_gram,
+        max_docs_per_gram=max_docs_per_gram, index=index)
+    prot = [s for s in (protected or [])]
+    pa = F.col("source_a").isin(prot) if prot else F.lit(False)
+    pb = F.col("source_b").isin(prot) if prot else F.lit(False)
+    cuts = (runs
+            .filter(~(pa & pb))
+            .withColumn("_cut_b", ~pb)
+            .select(F.when(F.col("_cut_b"), F.col("doc_b"))
+                    .otherwise(F.col("doc_a")).alias("_cid"),
+                    F.when(F.col("_cut_b"), F.col("start_b"))
+                    .otherwise(F.col("start_a")).alias("_s"),
+                    F.col("run_tokens").alias("_l"))
+            # tiny; consumed three times below (affected ids, the
+            # anti-join, nothing corpus-sized) — pin it
+            .localCheckpoint())
+    affected = cuts.select(F.col("_cid").alias(id_col)).distinct()
+    # ONE broadcast-filtered corpus read serves both the token explode
+    # and the affected-doc stats (two consumers ⇒ pin; tiny frame)
+    aff = (df.join(F.broadcast(affected), id_col)
+           .select(id_col, group_col, text_col)
+           .localCheckpoint())
+    toks = (aff.select(id_col, group_col,
+                       F.posexplode(tokens(text_col))
+                       .alias("_pos", "_tok"))
+            .withColumn("_pos", (F.col("_pos") + 1).cast("int")))
+    kept = toks.join(
+        F.broadcast(cuts),
+        (F.col(id_col) == F.col("_cid"))
+        & (F.col("_pos") >= F.col("_s"))
+        & (F.col("_pos") < F.col("_s") + F.col("_l")),
+        "left_anti")
+    clean = (kept.groupBy(id_col, group_col)
+             .agg(F.count(F.lit(1)).cast("int").alias("_n_kept"),
+                  F.array_sort(F.collect_list(
+                      F.struct("_pos", "_tok"))).alias("_arr"))
+             .select(id_col, group_col, "_n_kept",
+                     F.expr("array_join(transform(_arr, x -> x._tok), "
+                            "' ')").alias("_clean")))
+    n_tok = F.size(tokens(text_col)).cast("int")
+    out_aff = (aff.withColumn("_n_tokens", n_tok)
+               .join(clean, [id_col, group_col], "left")
+               .select(id_col, group_col,
+                       F.col("_n_tokens").alias("n_tokens"),
+                       (F.col("_n_tokens")
+                        - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                       .cast("int").alias("n_removed"),
+                       F.coalesce(F.col("_clean"), F.lit(""))
+                       .alias("clean_text")))
+    untouched = (df.join(F.broadcast(affected), id_col, "left_anti")
+                 .select(id_col, group_col,
+                         n_tok.alias("n_tokens"),
+                         F.lit(0).cast("int").alias("n_removed"),
+                         F.col(text_col).alias("clean_text")))
+    return untouched.unionByName(out_aff)
+
+
 def contamination_gate(df: DataFrame, n: int = 7, min_hits: int = 1,
                        group_col: str = "source",
                        text_col: str = "text",

@@ -1036,6 +1036,99 @@ SELECT source_a, source_b, doc_a, doc_b,
 FROM rk WHERE run_rank <= 10
 """,
 
+    # surgical span cut: the positional-runs chain, cut ranges taken
+    # on the b side (default policy: no protected sources, the later
+    # source pays), token positions dropped by NOT EXISTS against the
+    # ranges, text rebuilt with an ordered string_agg; untouched docs
+    # pass through verbatim
+    "cur_contamination_cut": """
+WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS tok
+           FROM documents),
+g AS (
+  SELECT DISTINCT source AS src, doc_id AS doc,
+         array_to_string(tok[i : i + 6], ' ') AS gram
+  FROM (SELECT source, doc_id, tok, unnest(range(1, len(tok) - 5)) AS i
+        FROM t WHERE len(tok) >= 7)),
+st AS (
+  SELECT gram, COUNT(DISTINCT src) AS n_src, COUNT(*) AS n_doc
+  FROM g GROUP BY gram),
+capped AS (
+  SELECT g.src, g.doc, g.gram
+  FROM g JOIN st USING (gram)
+  WHERE st.n_src BETWEEN 2 AND 50 AND st.n_doc <= 50),
+flagged AS (
+  SELECT source_a, source_b, doc_a, doc_b, pair_rank FROM (
+    SELECT a.src AS source_a, b.src AS source_b,
+           a.doc AS doc_a, b.doc AS doc_b,
+           ROW_NUMBER() OVER (PARTITION BY a.src, b.src
+             ORDER BY COUNT(*) DESC, a.doc, b.doc) AS pair_rank
+    FROM capped a JOIN capped b USING (gram)
+    WHERE a.src < b.src
+    GROUP BY a.src, b.src, a.doc, b.doc)
+  WHERE pair_rank <= 5),
+pg AS (
+  SELECT doc_id AS doc, CAST(i AS INTEGER) AS pos,
+         array_to_string(tok[i : i + 6], ' ') AS gram
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - 5)) AS i
+        FROM t WHERE len(tok) >= 7)
+  WHERE doc_id IN (SELECT doc_a FROM flagged
+                   UNION SELECT doc_b FROM flagged)),
+m AS (
+  SELECT f.source_a, f.source_b, f.doc_a, f.doc_b, f.pair_rank,
+         a.pos AS start_a, b.pos AS start_b,
+         a.pos - b.pos AS diag
+  FROM flagged f
+  JOIN pg a ON a.doc = f.doc_a
+  JOIN pg b ON b.doc = f.doc_b AND b.gram = a.gram),
+isl AS (
+  SELECT *, start_a - ROW_NUMBER() OVER (
+      PARTITION BY source_a, source_b, doc_a, doc_b, diag
+      ORDER BY start_a) AS island
+  FROM m),
+runs AS (
+  SELECT source_a, source_b, doc_a, doc_b, pair_rank,
+         MIN(start_a) AS s_a, MIN(start_b) AS s_b,
+         COUNT(*) + 6 AS run_tokens
+  FROM isl
+  GROUP BY source_a, source_b, doc_a, doc_b, pair_rank, diag, island),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source_a, source_b, doc_a, doc_b
+      ORDER BY run_tokens DESC, s_a, s_b) AS run_rank
+  FROM runs),
+cuts AS (
+  SELECT doc_b AS cid, s_b AS s, run_tokens AS l
+  FROM rk WHERE run_rank <= 10),
+aff AS (SELECT DISTINCT cid FROM cuts),
+tkp AS (
+  SELECT doc_id, source, CAST(i AS INTEGER) AS pos, tok[i] AS tk
+  FROM (SELECT doc_id, source, tok, unnest(range(1, len(tok) + 1)) AS i
+        FROM t)
+  WHERE doc_id IN (SELECT cid FROM aff)),
+kept AS (
+  SELECT * FROM tkp p WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c
+    WHERE c.cid = p.doc_id AND p.pos >= c.s AND p.pos < c.s + c.l)),
+clean AS (
+  SELECT doc_id, source, COUNT(*) AS n_kept,
+         string_agg(tk, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id, source)
+SELECT d.doc_id, d.source,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(0 AS INTEGER) AS n_removed,
+       d.text AS clean_text
+FROM documents d WHERE d.doc_id NOT IN (SELECT cid FROM aff)
+UNION ALL
+SELECT d.doc_id, d.source,
+       CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(c.n_kept, 0)
+            AS INTEGER) AS n_removed,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM documents d
+JOIN aff ON aff.cid = d.doc_id
+LEFT JOIN clean c ON c.doc_id = d.doc_id
+""",
+
     # declared-profile TV drift: same integer-ppm floors as the full
     # monitor, reference masses from the generated VALUES list (the
     # Python-side Q_tot scalar is inlined, mirroring the Spark query)

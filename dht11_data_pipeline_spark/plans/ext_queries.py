@@ -2288,6 +2288,19 @@ def cur_contamination_pos_spans(spark: SparkSession,
     return textops.contamination_pos_spans(docs)
 
 
+def cur_contamination_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span-level decontamination (operators/textops.
+    contamination_cut): remove exactly the copied token runs the
+    positional drill-down located (cut falls on the lexicographically
+    later source under the default no-protected-sources policy) and
+    return the FULL cleaned corpus — (doc_id, source, n_tokens,
+    n_removed, clean_text), untouched docs passing through verbatim.
+    Flagged runs and affected docs are tiny pinned frames; no
+    corpus-sized shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.contamination_cut(docs)
+
+
 def cur_epoch_plan_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fertility-aware epoch planning: the budget unit is tokenizer
     SYMBOLS, not words — per-source costs come from text_bpe_fertility
@@ -2353,6 +2366,7 @@ EXT_QUERIES = {
     # newest first: the external correctness harness verifies keys in
     # declaration order and has a bounded per-round budget
     "cur_contamination_pos_spans": cur_contamination_pos_spans,
+    "cur_contamination_cut": cur_contamination_cut,
     "cur_contamination_gate": cur_contamination_gate,
     "cur_epoch_plan_fertility": cur_epoch_plan_fertility,
     "cur_contamination_pairs": cur_contamination_pairs,

@@ -231,3 +231,58 @@ def test_pack_budgeted_rejects_duplicate_ids(spark):
         "source string, doc_id long, n_symbols long")
     rows = curation.pack_budgeted(clean, budget=16).collect()
     assert sum(r.sym_in_bin for r in rows) == 60
+
+
+# ---------------------------------------------------------------------------
+# surgical span cut (drill-down completion: matrix→pairs→spans→gate→cut)
+# ---------------------------------------------------------------------------
+
+def _cut_corpus(spark):
+    copy = "c1 c2 c3 c4 c5 c6 c7 c8"
+    return spark.createDataFrame(
+        [(1, "A", f"x1 x2 {copy} y1"),
+         (2, "B", f"z1 {copy} w1 w2")],
+        "doc_id long, source string, text string"), copy
+
+
+def test_contamination_cut_default_policy_cuts_later_source(spark):
+    """With no protected sources, the lexicographically later source
+    (B) pays: doc 2 loses exactly the 8 copied tokens, doc 1 passes
+    through verbatim."""
+    df, copy = _cut_corpus(spark)
+    rows = {r.doc_id: r for r in
+            textops.contamination_cut(df).collect()}
+    assert rows[1].n_removed == 0
+    assert rows[1].clean_text == f"x1 x2 {copy} y1"
+    assert rows[2].n_removed == 8
+    assert rows[2].clean_text == "z1 w1 w2"
+    assert rows[2].n_tokens == 11
+
+
+def test_contamination_cut_protected_reverses_victim(spark):
+    """Declaring B protected (it is the benchmark) flips the cut onto
+    A's doc; protecting BOTH keeps every span (config error surfaced
+    by zero removals, not silent mutilation)."""
+    df, copy = _cut_corpus(spark)
+    rows = {r.doc_id: r for r in
+            textops.contamination_cut(df, protected=["B"]).collect()}
+    assert rows[2].n_removed == 0
+    assert rows[1].n_removed == 8
+    assert rows[1].clean_text == "x1 x2 y1"
+    both = {r.doc_id: r for r in textops.contamination_cut(
+        df, protected=["A", "B"]).collect()}
+    assert both[1].n_removed == 0 and both[2].n_removed == 0
+
+
+def test_contamination_cut_fully_cut_doc_yields_empty_text(spark):
+    """A doc that IS the copied span comes back with clean_text = ''
+    and n_removed = n_tokens."""
+    copy = "c1 c2 c3 c4 c5 c6 c7"
+    df = spark.createDataFrame(
+        [(1, "A", f"pre {copy} post"),
+         (2, "B", copy)],
+        "doc_id long, source string, text string")
+    rows = {r.doc_id: r for r in
+            textops.contamination_cut(df).collect()}
+    assert rows[2].clean_text == "" and rows[2].n_removed == 7
+    assert rows[1].n_removed == 0
