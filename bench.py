@@ -220,6 +220,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     conditions = _run_conditions()  # sample BEFORE our own JVM starts
+    # if a SparkSession already lives in THIS process, getOrCreate()
+    # below reuses its JVM and session.py's extraJavaOptions (the
+    # 512 MB code cache) silently never apply — the exact inheritance
+    # failure suspected behind the r12 driver rep's late-key spike
+    # cluster (sim_label_knn_audit 5.1x on a 1.25x-drift rep). Record
+    # the seam so the artifact itself names the mechanism.
+    try:
+        from pyspark.sql import SparkSession as _SS
+        conditions["preexisting_session"] = _SS.getActiveSession() is not None
+    except Exception:  # noqa: BLE001 — conditions are best-effort
+        pass
     spark = get_spark("bench")
 
     import __spark_entry__ as entrymod
@@ -282,6 +293,16 @@ def main() -> None:
         conditions["other_jvms_at_end"] = -1
     conditions["load1_at_end"] = load_end
     conditions.update(_jvm_code_cache(spark))
+    want_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m")
+    flag = conditions.get("code_cache_flag")
+    if "code_cache_flag" in conditions and (
+            flag is None or not str(flag).endswith(f"={want_cache}")):
+        print(f"WARNING bench.py: live JVM runs {flag!r} but session.py "
+              f"asked for ReservedCodeCacheSize={want_cache} — a "
+              f"pre-existing session/JVM swallowed the flag; late-key "
+              f"timings in this rep may carry code-cache deopt "
+              f"(preexisting_session="
+              f"{conditions.get('preexisting_session')})", file=sys.stderr)
     conditions.update(_untouched_vs_prev(
         timings, sf, getattr(entrymod, "CHANGED_THIS_ROUND", [])))
     # drift gate (round-11 verdict item 2): a rep whose untouched keys

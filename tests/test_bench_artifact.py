@@ -58,6 +58,32 @@ def test_bench_latest_end_of_run_load_sampled():
         assert "load1_at_end" in cond and "other_jvms_at_end" in cond
 
 
+def test_bench_latest_code_cache_evidence():
+    """Once an artifact carries the round-13 code-cache diagnostics,
+    they must be coherent: the flag that reached the live JVM is the
+    one session.py configures (a mismatch means a pre-existing JVM
+    swallowed it — the r12 driver-rep spike mechanism — and such a rep
+    must not ship as the committed evidence), and the recorded heap
+    usage stays below max (saturation = the deopt regime the 512 MB
+    setting exists to prevent)."""
+    cond = _latest().get("conditions", {})
+    if "code_cache_flag" not in cond:
+        return  # pre-round-13 artifact
+    flag = cond["code_cache_flag"]
+    assert flag and "ReservedCodeCacheSize=" in flag, (
+        "committed rep ran WITHOUT the code-cache flag — a vanilla or "
+        "reused JVM; re-run bench.py in a fresh process")
+    heaps = cond.get("code_heaps_mb", {})
+    for name, h in heaps.items():
+        if h.get("max_mb", 0) > 0:
+            assert h["used_mb"] <= h["max_mb"], name
+            # the committed rep must not have run saturated
+            assert h["used_mb"] < 0.98 * h["max_mb"], (
+                f"{name} ended at {h['used_mb']}/{h['max_mb']} MB — "
+                "code cache effectively full; bump "
+                "SPARK_GRAFT_CODE_CACHE and re-measure")
+
+
 def test_bench_latest_drift_gate_requires_notes_addendum():
     """A committed rep whose untouched-median ratio exceeds the 1.3
     drift gate must be NAMED in the round's bench notes — the
