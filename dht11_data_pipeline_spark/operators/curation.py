@@ -574,6 +574,16 @@ def pack_sequences(df: DataFrame, budget: int = 256,
     on the group column; each group packs independently, which is
     exactly how shard-parallel packing runs at 100 TB (no global
     coordination). Bin boundaries are deterministic in (group, id).
+
+    Skew note (r12 verdict watch item): the per-group window is one
+    task per GROUP — fine for many comparable sources, serialized on
+    a single giant one. The standard fix preserves these exact
+    boundaries: pre-shard the giant group into deterministic id
+    ranges (e.g. ``doc_id DIV shard_span``), window per (group,
+    shard) to get shard-local cum-sums, then add each shard's total
+    offset (a tiny #shards-row prefix frame, the ``epoch_plan``
+    global-scalar discipline) before cutting bins — same arithmetic,
+    parallelism = #shards. Applies identically to ``pack_budgeted``.
     """
     n_tokens = F.size(F.split(F.col(text_col), " "))
     w = (Window.partitionBy(group_col).orderBy(id_col)
