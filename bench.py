@@ -269,16 +269,38 @@ def main() -> None:
             pass  # warmup is best-effort; the timed run will surface errors
 
     # best-of-2: one measurement can absorb a GC pause or OS scheduling
-    # blip; the minimum is the reproducible compute time
+    # blip; the minimum is the reproducible compute time. Both reps are
+    # kept so the artifact can discriminate spike mechanisms: a key
+    # whose two back-to-back reps disagree 3x points at a JVM event
+    # (deopt/recompile storm) or a transient host burst DURING that
+    # key, while two agreeing slow reps mean the cost is real.
     timings: dict[str, float] = {}
+    rep_ratio: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        reps = []
         for _ in range(2):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(min(reps), 3)
+        if min(reps) > 0:
+            rep_ratio[name] = round(max(reps) / min(reps), 2)
 
+    # end-of-run single-core probe: the start-only probes made a
+    # mid-run host burst invisible — a co-scheduled noisy neighbor
+    # arriving after start hits the widest-parallel (late-running
+    # sim_*) keys hardest while the narrow median barely moves, which
+    # is indistinguishable from a JVM deopt storm without a second
+    # host sample (round-13 spike decomposition). The 32-way probe is
+    # deliberately NOT re-run here: it would measure our own JVM's
+    # leftover activity, not the host.
+    conditions["cpu_probe_ms_at_end"] = _cpu_probe_ms()
+    # the 10 most rep-asymmetric keys: max/min ratio of the two
+    # back-to-back reps (see the timing loop) — a spiked key with
+    # ratio ~1 was slow in BOTH reps (sustained cause); ratio >>1
+    # means one transient event inside a ~2-second window
+    conditions["rep_ratio_top"] = dict(
+        sorted(rep_ratio.items(), key=lambda kv: -kv[1])[:10])
     _, load_end = _load_sample()
     # the start sample runs before our own JVM exists, so every java
     # PID it sees is foreign; at end our session's JVM (plus any
