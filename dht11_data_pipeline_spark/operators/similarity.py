@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dht11_data_pipeline_spark.functions.vectors import (
-    cosine, hyperplane_sign_bits, make_planes,
+    dot, hyperplane_sign_bits, make_planes, norm,
 )
 from dht11_data_pipeline_spark.functions.partitioning import right_size
 
@@ -33,13 +33,27 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Similarity is rounded to 4 decimals *for the ranking* so that
     cross-engine float jitter can't reorder near-ties; rank ties break
     on neighbor id — fully deterministic output.
+
+    Norms are projected ON EACH SIDE before the pair join (r13): a
+    row's norm does not depend on the pair, so evaluating
+    ``cosine(qv, cv)`` per pair paid 3 interpreted array folds per
+    candidate where one (the dot) suffices — the O(Q·N) stage now does
+    1/3 the vector math, and the emitted double is the IDENTICAL
+    expression ``dot/(norm_q · norm_c)`` in the identical order, so
+    results are bit-for-bit unchanged (oracle-verified at 3 SFs).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = right_size(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       norm(F.col(vec_col)).alias("_qn"))
+    c = right_size(corpus).select(F.col(id_col).alias("neighbor_id"),
+                                  F.col(vec_col).alias("cv"),
+                                  norm(F.col(vec_col)).alias("_cn"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn("sim", F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("_qn") * F.col("_cn")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -68,15 +82,21 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
-                       F.col(label_col).alias("q_label"))
+                       F.col(label_col).alias("q_label"),
+                       norm(F.col(vec_col)).alias("_qn"))
     c = right_size(corpus).select(F.col(id_col).alias("neighbor_id"),
                                   F.col(vec_col).alias("cv"),
-                                  F.col(label_col).alias("n_label"))
+                                  F.col(label_col).alias("n_label"),
+                                  norm(F.col(vec_col)).alias("_cn"))
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter((F.col("query_id") != F.col("neighbor_id"))
                 & ~F.col("q_label").eqNullSafe(F.col("n_label")))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        # side-projected norms (see cosine_topk): identical expression,
+        # 1/3 the per-pair array folds
+        .withColumn("sim", F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("_qn") * F.col("_cn")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id"))
@@ -149,11 +169,16 @@ def semantic_contamination(corpus: DataFrame, probes: DataFrame,
     verified pairs the same way.
     """
     p = probes.select(F.col(id_col).alias("probe_id"),
-                      F.col(vec_col).alias("pv"))
-    c = right_size(corpus).select(F.col(id_col), F.col(vec_col).alias("cv"))
+                      F.col(vec_col).alias("pv"),
+                      norm(F.col(vec_col)).alias("_pn"))
+    c = right_size(corpus).select(F.col(id_col), F.col(vec_col).alias("cv"),
+                                  norm(F.col(vec_col)).alias("_cn"))
+    # side-projected norms (see cosine_topk): identical expression,
+    # 1/3 the per-pair array folds in the O(N·Q) scoring pass
     scored = (c.crossJoin(F.broadcast(p))
               .select(id_col,
-                      F.round(cosine(F.col("cv"), F.col("pv")), 4)
+                      F.round(dot(F.col("cv"), F.col("pv"))
+                              / (F.col("_cn") * F.col("_pn")), 4)
                       .alias("sim")))
     hit = F.when(F.col("sim") >= threshold, 1).otherwise(0)
     return (scored.groupBy(id_col)
@@ -174,15 +199,21 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = right_size(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
+    # side-projected norms (see cosine_topk): identical expression,
+    # 1/3 the per-candidate array folds
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn("sim", F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("_qn") * F.col("_cn")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -196,15 +227,25 @@ def _normalized(corpus: DataFrame, id_col: str, vec_col: str,
                 out_id: str, out_vec: str) -> DataFrame:
     """Pre-normalize once per row so the pair loop is a single dot
     product instead of dot + two norms (3× less array work — the pair
-    stage is the O(N²) part, the normalize pass is O(N))."""
-    from dht11_data_pipeline_spark.functions.vectors import norm
+    stage is the O(N²) part, the normalize pass is O(N)).
+
+    The divisor rides an ``array_repeat`` (r13): the previous
+    ``transform(_v, x -> x / _n)`` form let CollapseProject inline the
+    norm AGGREGATE into the per-element lambda, where the interpreted
+    HOF path re-evaluates it for EVERY element — an O(d²)-per-row trap
+    (measured 20.8 s/1M rows at d=64 vs 0.7 s for this form).
+    ``array_repeat``'s argument is a plain row-level expression, so the
+    norm computes once per row however the optimizer collapses the
+    projections; the per-element division (same operands, same order)
+    is bit-identical."""
     with_norm = right_size(corpus).select(
         F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
     )
     return with_norm.select(
         out_id,
-        F.transform("_v", lambda x: x.cast("double") / F.col("_n")).alias(out_vec),
+        F.zip_with("_v", F.array_repeat(F.col("_n"), F.size("_v")),
+                   lambda x, n: x.cast("double") / n).alias(out_vec),
     )
 
 
@@ -218,7 +259,6 @@ def embedding_near_duplicates(corpus: DataFrame, threshold: float = 0.95,
     ``embedding_near_duplicates_multiprobe`` (high recall, the
     canonical near-dup query) or ``embedding_near_duplicates_lsh``
     (single-table)."""
-    from dht11_data_pipeline_spark.functions.vectors import dot
     if brute_limit is not None:
         n = corpus.count()
         if n > brute_limit:
@@ -264,28 +304,35 @@ def embedding_near_duplicates_multiprobe(
     readings are JIT-state variance of the interpreted zip_with dot
     (higher-order lambdas never codegen), addressed at the session
     level (ReservedCodeCacheSize — see session.py), not by re-planning.
+
+    Round-13 restructure (measured, results identical): the L
+    per-table self-joins are ONE self-join keyed on (table, bucket) —
+    each row posexplodes its L bucket ids, so the same candidate
+    multiset comes out of a single exchange pair instead of 2L
+    exchanges and L AQE-planned joins (plan: 6 Exchange → 2, and the
+    two join children are canonically identical so one ReusedExchange
+    serves both). Verify count, sims and the final distinct are
+    unchanged — this is NOT the rejected distinct-first variant (the
+    vectors still ride the join; there are no join-backs).
     """
-    from dht11_data_pipeline_spark.functions.vectors import dot
     base = _normalized(corpus, id_col, vec_col, "id", "v").persist()
-    per_table = []
-    for t in range(n_tables):
-        planes = make_planes(n_planes, dim, seed=123456789 + t)
-        side = base.withColumn("bucket",
-                               hyperplane_sign_bits(F.col("v"), planes))
-        a = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                        "bucket")
-        b = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                        "bucket")
-        per_table.append(
-            a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")), 4))
-            .filter(F.col("sim") >= threshold)
-            .select("id_a", "id_b", "sim")
-        )
-    out = per_table[0]
-    for nxt in per_table[1:]:
-        out = out.unionByName(nxt)
+    buckets = F.array(*[
+        hyperplane_sign_bits(F.col("v"),
+                             make_planes(n_planes, dim, seed=123456789 + t))
+        for t in range(n_tables)
+    ])
+    side = base.select("id", "v", F.posexplode(buckets).alias("t", "bucket"))
+    a = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    "t", "bucket")
+    b = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    "t", "bucket")
+    out = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
     # eager checkpoint of the REDUCED pair list releases the normalized
     # corpus cache immediately (a lazy return leaked one pinned cache
     # entry per call — six graph queries each call this generator)
@@ -329,19 +376,27 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     else:
         h = F.expr(CENTROID_HASH_SQL.format(id="cent_id"))
         cent = base.orderBy(h, F.col("cent_id")).limit(n_centroids)
+    # centroid norms once per centroid (C rows), row norms once per row:
+    # the O(N·C) assign pass then pays one dot per pair instead of
+    # dot + two norms — identical expression/order, bit-identical sims
+    # (the cosine_topk side-norm discipline)
+    cent = cent.select("cent_id", "cent_v", norm(F.col("cent_v")).alias("_cn"))
 
     def nearest_centroid(df: DataFrame, out_id: str, n: int = 1) -> DataFrame:
         scored = (
             right_size(df).select(F.col(id_col).alias(out_id),
-                                  F.col(vec_col).alias("_v"))
+                                  F.col(vec_col).alias("_v"),
+                                  norm(F.col(vec_col)).alias("_vn"))
             .crossJoin(F.broadcast(cent))
-            .withColumn("_csim", F.round(cosine(F.col("_v"), F.col("cent_v")), 4))
+            .withColumn("_csim", F.round(
+                dot(F.col("_v"), F.col("cent_v"))
+                / (F.col("_vn") * F.col("_cn")), 4))
         )
         w = Window.partitionBy(out_id).orderBy(
             F.col("_csim").desc(), F.col("cent_id"))
         return (scored.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= n)
-                .select(out_id, "cent_id", "_v"))
+                .select(out_id, "cent_id", "_v", "_vn"))
 
     lists = nearest_centroid(corpus, "neighbor_id")
     if queries_from_corpus and nprobe == 1:
@@ -356,11 +411,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     else:
         probes = nearest_centroid(queries, "query_id", n=nprobe)
     scored = (
-        probes.select("query_id", "cent_id", F.col("_v").alias("qv"))
-        .join(lists.select("neighbor_id", "cent_id", F.col("_v").alias("cv")),
+        probes.select("query_id", "cent_id", F.col("_v").alias("qv"),
+                      F.col("_vn").alias("_qn"))
+        .join(lists.select("neighbor_id", "cent_id", F.col("_v").alias("cv"),
+                           F.col("_vn").alias("_nn")),
               "cent_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .withColumn("sim", F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("_qn") * F.col("_nn")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     out = (
@@ -382,7 +441,6 @@ def embedding_near_duplicates_lsh(corpus: DataFrame, threshold: float = 0.95,
     p planes the recall for similarity s is (1 - acos(s)/π)^p, ~0.95+
     for true near-dups at p=4), deterministic given the fixed planes."""
     planes = make_planes(n_planes, dim)
-    from dht11_data_pipeline_spark.functions.vectors import dot
     a = _normalized(corpus, id_col, vec_col, "id_a", "va").withColumn(
         "bucket", hyperplane_sign_bits(F.col("va"), planes))
     b = _normalized(corpus, id_col, vec_col, "id_b", "vb").withColumn(
@@ -423,10 +481,15 @@ def prototype_prune(corpus: DataFrame, group_col: str = "label",
         .groupBy("g")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sm"))
         .select("g", F.transform("sm", lambda s: s["m"]).alias("cv"))
+        # centroid norm once per GROUP (broadcast side), not once per
+        # corpus row — the cosine_topk side-norm discipline
+        .select("g", "cv", norm(F.col("cv")).alias("_gn"))
     )
     scored = (
         e.join(F.broadcast(cent), "g")
-        .withColumn("sim", F.round(cosine(F.col("v"), F.col("cv")), 4))
+        .withColumn("sim", F.round(
+            dot(F.col("v"), F.col("cv"))
+            / (norm(F.col("v")) * F.col("_gn")), 4))
     )
     w = Window.partitionBy("g").orderBy(F.col("sim").desc(), F.col("vid"))
     return (
@@ -460,16 +523,26 @@ def matryoshka_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     oracle mirrors both windows bit-for-bit.
 
     Output: (query_id, neighbor_id, prefix_sim, sim, rank <= k)."""
+    # prefix and full norms are per-ROW quantities: project them on
+    # each side once (the cosine_topk side-norm discipline) so the
+    # O(Q·N) stage-1 scan pays one prefix dot per pair instead of
+    # dot + two prefix norms, and stage 2 reuses the carried full
+    # norms — identical expressions/order, bit-identical sims
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv"),
+                       norm(F.slice(vec_col, 1, prefix_dim)).alias("_qpn"),
+                       norm(F.col(vec_col)).alias("_qn"))
     c = right_size(corpus).select(F.col(id_col).alias("neighbor_id"),
-                                  F.col(vec_col).alias("cv"))
+                                  F.col(vec_col).alias("cv"),
+                                  norm(F.slice(vec_col, 1, prefix_dim))
+                                  .alias("_cpn"),
+                                  norm(F.col(vec_col)).alias("_cn"))
     staged = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("prefix_sim", F.round(
-            cosine(F.slice("qv", 1, prefix_dim),
-                   F.slice("cv", 1, prefix_dim)), 4))
+            dot(F.slice("qv", 1, prefix_dim), F.slice("cv", 1, prefix_dim))
+            / (F.col("_qpn") * F.col("_cpn")), 4))
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("prefix_sim").desc(), F.col("neighbor_id"))
@@ -478,7 +551,9 @@ def matryoshka_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     wf = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        cand.withColumn("sim", F.round(
+            dot(F.col("qv"), F.col("cv"))
+            / (F.col("_qn") * F.col("_cn")), 4))
         .withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "prefix_sim", "sim", "rank")
