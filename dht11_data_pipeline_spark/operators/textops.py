@@ -325,22 +325,30 @@ def bigram_rarity(df: DataFrame, text_col: str = "text",
     C1(a)*1_000_000 DIV C2(ab)  (= 1e6 / p(b|a), floored) and the doc
     score is SUM(rarity) DIV n_bigrams. No log, no float.
 
-    Shape: the bigram explode is a codegen'd map stage (transform over
-    sequence + substring — no Python); the model is ONE groupBy on the
-    bigram key whose output is vocabulary-sized (≤ charset², ~10⁴ for
-    ASCII) → broadcast back onto the stream; the doc score is one
-    aggregate keyed by doc id. At 100 TB: train the model with a
-    partial-aggregated pass (map-side combine makes it charset²-bounded
-    per task), broadcast it, and the scoring pass is embarrassingly
-    parallel.
+    Shape: the bigram build is one zip_with over two offset slices of
+    the char array — O(len) per document. (The previous
+    ``transform(sequence(1, len-1), i -> substring(text, i, 2))`` form
+    was O(len²) per doc: UTF8String ``substring`` walks bytes from the
+    START to find the code-point offset, so position i costs O(i) —
+    the r13 optimization round measured the fix and it produces the
+    identical bigram multiset, since ``concat(chars[i], chars[i+1]) ==
+    substring(text, i, 2)`` code point for code point.) The model is
+    ONE groupBy on the bigram key whose output is vocabulary-sized
+    (≤ charset², ~10⁴ for ASCII) → broadcast back onto the stream; the
+    doc score is one aggregate keyed by doc id. At 100 TB: train the
+    model with a partial-aggregated pass (map-side combine makes it
+    charset²-bounded per task), broadcast it, and the scoring pass is
+    embarrassingly parallel.
     """
+    chars = F.split(F.col(text_col), "")
+    m = F.char_length(F.col(text_col)) - 1
     bg = (right_size(df)
           .filter(F.char_length(F.col(text_col)) >= 2)
           .select(
               F.col(id_col),
-              F.explode(F.expr(
-                  f"transform(sequence(1, char_length({text_col}) - 1), "
-                  f"i -> substring({text_col}, i, 2))")).alias("bigram"))
+              F.explode(F.zip_with(
+                  F.slice(chars, 1, m), F.slice(chars, 2, m),
+                  lambda a, b: F.concat(a, b))).alias("bigram"))
           .withColumn("pre", F.substring(F.col("bigram"), 1, 1))
           .persist())
     c2 = (bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
@@ -757,8 +765,51 @@ def quality_classifier_score(df: DataFrame, weights: dict[int, int],
 # Capped-round distributed BPE vocabulary induction
 # ---------------------------------------------------------------------------
 
+# Vocabulary-size gate for the driver-tier merge loop: the k merge
+# rounds run on the DISTINCT-WORD frequency table, which is bounded by
+# vocabulary, not corpus — under this many distinct words the rounds
+# run driver-side over one Arrow collect (the graph/kmeans hybrid-tier
+# contract: a bounded collect replacing a chain of tiny sequential
+# jobs), above it the distributed per-round loop runs unchanged.
+BPE_DRIVER_VOCAB_LIMIT = 1_000_000
+
+
+def _bpe_merges_driver(word_freqs: list[tuple[str, int]],
+                       k: int) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE merge rounds — semantics IDENTICAL to the
+    distributed loop in ``bpe_vocab`` (and to the ``_ref_bpe`` test
+    reference): overlapping pair counts weighted by word frequency,
+    ties (count DESC, pair lexicographic ASC — UTF-8 byte order equals
+    code-point order, which is what both Spark's binary string
+    comparison and Python ``str`` comparison implement), merges applied
+    as non-overlapping left-to-right string replaces on the padded
+    symbol string (Python ``str.replace`` == Spark/DuckDB ``replace``).
+    Cost is O(k · total symbols) dict work — milliseconds at any
+    realistic vocabulary size under the gate."""
+    import re
+    cur = [(" " + re.sub(r"(.)", r"\1 ", w), int(f)) for w, f in word_freqs]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        counts: dict[str, int] = {}
+        for syms, freq in cur:
+            parts = syms.strip(" ").split(" ")
+            for i in range(len(parts) - 1):
+                p = parts[i] + " " + parts[i + 1]
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, counts[pair]))
+        pat, rep = f" {pair} ", f" {merged} "
+        cur = [(s.replace(pat, rep), f) for s, f in cur]
+    return merges
+
+
 def bpe_vocab(df: DataFrame, k: int = 6,
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+              text_col: str = "text", id_col: str = "doc_id",
+              driver_vocab_limit: int | None = BPE_DRIVER_VOCAB_LIMIT,
+              ) -> DataFrame:
     """Byte-pair-encoding vocabulary induction, capped at ``k`` merge
     rounds — the tokenizer-side operator between the text statistics
     and ``curation.chunk_tokens``: each round counts every adjacent
@@ -793,6 +844,16 @@ def bpe_vocab(df: DataFrame, k: int = 6,
     driver holds exactly k (merge, count) tuples. Stops early if no
     pairs remain (every word fully merged).
 
+    Hybrid tiers (r13): the merge rounds are vocabulary-bounded work,
+    so under ``driver_vocab_limit`` distinct words the k rounds run
+    DRIVER-SIDE over one Arrow collect of the (word, freq) table
+    (``_bpe_merges_driver`` — bit-identical semantics, pinned against
+    the distributed tier in tests), replacing 2 driver-round-trip jobs
+    per round (pair-count collect + eager checkpoint) with one collect.
+    Above the gate the distributed loop below runs unchanged — the
+    100 TB path when the vocabulary itself outgrows the driver. Pass
+    ``driver_vocab_limit=None`` to force the distributed tier.
+
     Returns one row per merge: (merge_rank, pair, merged, pair_count).
     """
     from dht11_data_pipeline_spark.functions.text import shingles
@@ -806,10 +867,23 @@ def bpe_vocab(df: DataFrame, k: int = 6,
              .filter(F.col("word") != "")
              .groupBy("word")
              .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    out_schema = "merge_rank int, pair string, merged string, pair_count bigint"
+    if driver_vocab_limit is not None:
+        words = words.persist()
+        n_words = words.count()
+        if n_words <= driver_vocab_limit:
+            pdf = words.toPandas()  # Arrow: two narrow columns
+            words.unpersist()
+            merges = _bpe_merges_driver(
+                list(zip(pdf["word"].tolist(), pdf["freq"].tolist())),
+                int(k))
+            return spark.createDataFrame(merges, out_schema)
     cur = words.select(
         F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
         .alias("syms"),
         "freq").localCheckpoint(eager=True)
+    if driver_vocab_limit is not None:
+        words.unpersist()  # the checkpoint above was its last consumer
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, int(k) + 1):
@@ -830,9 +904,7 @@ def bpe_vocab(df: DataFrame, k: int = 6,
                       F.lit(f" {merged} ")).alias("syms"),
             "freq").localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, pair string, merged string, pair_count bigint")
+    return spark.createDataFrame(merges, out_schema)
 
 
 def bpe_encode(df: DataFrame, k: int = 6,
