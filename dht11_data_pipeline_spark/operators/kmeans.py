@@ -172,6 +172,7 @@ def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
                  max_iter: int = 5,
                  tol: float = 1e-6,
                  init_centroids: list[tuple[int, list[float]]] | None = None,
+                 init_assigned: DataFrame | None = None,
                  ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Returns (assignments, centroids) after convergence or max_iter.
 
@@ -195,6 +196,16 @@ def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
     (localCheckpointed / persisted) when they run more than one pass
     over it — every Lloyd round re-reads the input, and re-scanning
     source parquet per round is the dominant avoidable cost.
+
+    ``init_assigned`` (r13, same driver-round-trip economy): the
+    round-0 assignment under ``init_centroids``, if the caller already
+    materialized it (sim_kmeans_clusters computes the initial inertia
+    from exactly this frame). Round 1 consumes it instead of
+    re-scoring the corpus against the identical centroids — one full
+    N×k Arrow pass saved per call, bit-identical because
+    ``assign_clusters`` is deterministic given (corpus, centroids).
+    Only meaningful together with ``init_centroids``; the caller owns
+    the persist/unpersist of the handed-in frame.
     """
     if init_centroids is not None:
         centroids = sorted((int(c), [float(x) for x in v])
@@ -206,8 +217,11 @@ def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
             (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
     else:
         centroids = select_centroids(corpus, k, id_col, vec_col)
-    for _ in range(max_iter):
-        assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    for it in range(max_iter):
+        if it == 0 and init_assigned is not None and init_centroids is not None:
+            assigned = init_assigned
+        else:
+            assigned = assign_clusters(corpus, centroids, id_col, vec_col)
         new_centroids = _recompute(assigned, vec_col)
         kept = dict(centroids)
         shift = max(

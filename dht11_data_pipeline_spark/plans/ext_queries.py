@@ -597,10 +597,18 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True))
     init = select_centroids(base, k=50)
     seed_ids = {cid for cid, _ in init}
-    init_inertia = inertia(assign_clusters(base, init))
+    # (d) r13: the round-0 assignment serves BOTH the initial-inertia
+    # aggregate and Lloyd round 1 — assign_clusters is deterministic
+    # given (corpus, centroids), so handing the persisted frame to
+    # lloyd_kmeans saves one full N×k Arrow scoring pass per run with
+    # bit-identical results
+    assigned0 = assign_clusters(base, init).persist()
+    init_inertia = inertia(assigned0)
 
     assigned, _ = lloyd_kmeans(spark, base, k=50, max_iter=3,
-                               init_centroids=init)
+                               init_centroids=init,
+                               init_assigned=assigned0)
+    assigned0.unpersist()
     stats = assigned.agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.sum(F.when(F.col("cluster_id").isNull(), 1).otherwise(0)).alias("n_null"),
