@@ -154,16 +154,68 @@ def assign_clusters_exact(corpus: DataFrame,
 
 
 def _recompute(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
-    """New centroid = element-wise mean per cluster (N·d scalar shuffle)."""
-    dims = assigned.select(
-        "cluster_id", F.posexplode(vec_col).alias("dim", "val"))
-    means = (dims.groupBy("cluster_id", "dim")
-             .agg(F.avg(F.col("val").cast("double")).alias("m")))
-    rows = (means.groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster_id", F.col("dm.m").alias("vec"))
-            .collect())
-    return sorted((r["cluster_id"], list(r["vec"])) for r in rows)
+    """New centroid = element-wise mean per cluster, via per-task numpy
+    partial sums (r14, guide §4.2): one narrow Arrow pass over
+    (cluster_id, vec) yields ≤ k rows of (partition, cluster, count,
+    sum-vector) per task, and the driver merges partials in partition
+    order and divides — deterministic given the input partitioning.
+
+    This replaces the posexplode-N·d-rows form (explode → (cluster,
+    dim) hash aggregate → per-cluster collect_list sort → collect): the
+    N·d row fan-out, both shuffles and the JVM hash-agg per element are
+    gone; what crosses the Python boundary back is k·n_tasks bounded
+    rows. Float note: summation order changes (numpy per-partition
+    partials vs Spark's Average merge), so centroids can move in the
+    last ulps — sim_kmeans_clusters' declared output is invariant
+    verdicts (monotonicity with 1e-9 headroom), which hold under any
+    summation order; equivalence vs the explode form is pinned to
+    1e-12 relative in tests/test_r14_optimizations.py."""
+    import numpy as np
+
+    def _psum(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        acc_n: dict[int, int] = {}
+        acc_s: dict[int, object] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cs = pdf["cluster_id"].to_numpy()
+            for cid in np.unique(cs):
+                mask = cs == cid
+                s = x[mask].sum(axis=0)
+                c = int(cid)
+                if c in acc_s:
+                    acc_s[c] = acc_s[c] + s
+                    acc_n[c] += int(mask.sum())
+                else:
+                    acc_s[c] = s
+                    acc_n[c] = int(mask.sum())
+        ctx = TaskContext.get()
+        pid = int(ctx.partitionId()) if ctx is not None else 0
+        cids = sorted(acc_s)
+        yield pd.DataFrame({
+            "pid": [pid] * len(cids),
+            "cluster_id": [int(c) for c in cids],
+            "n": [acc_n[c] for c in cids],
+            "s": [acc_s[c].tolist() for c in cids],
+        })
+
+    partials = assigned.select("cluster_id", vec_col).mapInPandas(
+        _psum, schema="pid int, cluster_id long, n long, s array<double>")
+    rows = sorted(partials.collect(),
+                  key=lambda r: (r["cluster_id"], r["pid"]))
+    totals: dict[int, tuple[int, object]] = {}
+    for r in rows:
+        cid = int(r["cluster_id"])
+        s = np.array(r["s"], dtype=np.float64)
+        if cid in totals:
+            n0, s0 = totals[cid]
+            totals[cid] = (n0 + int(r["n"]), s0 + s)
+        else:
+            totals[cid] = (int(r["n"]), s)
+    return sorted((cid, (s / n).tolist()) for cid, (n, s) in totals.items())
 
 
 def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
@@ -207,6 +259,15 @@ def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
     Only meaningful together with ``init_centroids``; the caller owns
     the persist/unpersist of the handed-in frame.
     """
+    if init_assigned is not None and init_centroids is None:
+        # ADVICE r13: a handed-in assignment is only meaningful as the
+        # round-0 frame OF the handed-in centroids — without them it
+        # would be silently ignored (or worse, trusted against a
+        # different init). Fail loudly instead.
+        raise ValueError(
+            "lloyd_kmeans: init_assigned requires init_centroids — the "
+            "assignment must be the round-0 frame computed under "
+            "exactly those centroids")
     if init_centroids is not None:
         centroids = sorted((int(c), [float(x) for x in v])
                            for c, v in init_centroids)

@@ -200,48 +200,57 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
     qmat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)  # (Q, d)
     qnorm = np.sqrt((qmat ** 2).sum(axis=1))  # (Q,)
 
-    # per-subspace: code-id remap + dot/norm lookup tables
+    # per-subspace: subvector codebook matrices + dot/norm lookup tables
     if qmat.shape[1] % m != 0:
         raise ValueError(
             f"query width {qmat.shape[1]} not divisible by m={m}")
     subdim = qmat.shape[1] // m
-    remap = {}
-    dot_tabs, normsq_tabs = [], []
+    sub_mats, dot_tabs, normsq_tabs = [], [], []
     for s in range(m):
         cb = sorted(codebooks[s])
-        remap[s] = {code: i for i, (code, _) in enumerate(cb)}
         cmat = np.array([v for _, v in cb], dtype=np.float64)  # (k, subdim)
+        sub_mats.append(cmat)
         qsub = qmat[:, s * subdim:(s + 1) * subdim]            # (Q, subdim)
         dot_tabs.append(qsub @ cmat.T)                         # (Q, k)
         normsq_tabs.append((cmat ** 2).sum(axis=1))            # (k,)
 
-    codes_df = encode_pq(corpus, codebooks, m, id_col, vec_col)
+    # r14 fused encode+ADC (guide §4): one Arrow pass slices each
+    # vector into its m subspaces, takes the per-subspace argmin (the
+    # encode — identical float64 arithmetic to _assign_codes, so the
+    # codebook indices are bit-identical to encode_pq's codes) and
+    # scores via the same table lookups. The encode's groupBy
+    # collect_list shuffle and the second Python stage are gone; the
+    # per-row approx_cos is lookup arithmetic on identical indices, so
+    # the emitted doubles are bit-identical to the two-pass form.
+    _check_divisible(corpus, m, vec_col)
 
-    def _score(batches):
+    def _encode_score(batches):
         import pandas as pd
         for pdf in batches:
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
-            idx = np.empty_like(codes)
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (n, d)
+            n = len(pdf)
+            dots = np.zeros((n, len(qids)))
+            nsq = np.zeros(n)
             for s in range(m):
-                rm = remap[s]
-                idx[:, s] = [rm[c] for c in codes[:, s]]
-            dots = np.zeros((len(pdf), len(qids)))
-            nsq = np.zeros(len(pdf))
-            for s in range(m):
-                dots += dot_tabs[s][:, idx[:, s]].T   # (n, Q)
-                nsq += normsq_tabs[s][idx[:, s]]
+                xs = x[:, s * subdim:(s + 1) * subdim]
+                d2 = ((xs[:, None, :] - sub_mats[s][None, :, :]) ** 2) \
+                    .sum(axis=2)
+                idx = d2.argmin(axis=1)
+                dots += dot_tabs[s][:, idx].T   # (n, Q)
+                nsq += normsq_tabs[s][idx]
             xnorm = np.sqrt(nsq)  # (n,)
             cos = dots / (xnorm[:, None] * qnorm[None, :])
-            n = len(pdf)
-            out = pd.DataFrame({
+            yield pd.DataFrame({
                 "query_id": np.repeat(qids[None, :], n, axis=0).ravel(),
                 "neighbor_id": np.repeat(pdf[id_col].to_numpy(), len(qids)),
                 "approx_cos": cos.ravel(),
             })
-            yield out
 
-    scored = codes_df.mapInPandas(
-        _score, schema="query_id long, neighbor_id long, approx_cos double")
+    scored = right_size(corpus).select(id_col, vec_col).mapInPandas(
+        _encode_score,
+        schema="query_id long, neighbor_id long, approx_cos double")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cos"), "neighbor_id")
     return (scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -269,8 +278,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
     """
     import numpy as np
 
-    from dht11_data_pipeline_spark.operators.kmeans import (
-        assign_clusters, select_centroids)
+    from dht11_data_pipeline_spark.operators.kmeans import select_centroids
 
     if centroid_mod is not None:
         cent_rows = sorted(
@@ -300,34 +308,44 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
             cell_to_q.setdefault(int(cell), []).append(qi)
 
     subdim = qmat.shape[1] // m
-    remap, dot_tabs, normsq_tabs = {}, [], []
+    sub_mats, dot_tabs, normsq_tabs = [], [], []
     for s in range(m):
         cb = sorted(codebooks[s])
-        remap[s] = {code: i for i, (code, _) in enumerate(cb)}
         sub_c = np.array([v for _, v in cb], dtype=np.float64)
+        sub_mats.append(sub_c)
         dot_tabs.append(qmat[:, s * subdim:(s + 1) * subdim] @ sub_c.T)
         normsq_tabs.append((sub_c ** 2).sum(axis=1))
 
-    cells = assign_clusters(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col), F.col("cluster_id").alias("cell_id"))
-    codes = encode_pq(corpus, codebooks, m, id_col, vec_col)
-    indexed = codes.join(cells, id_col)
+    # r14 fused cell-assign + encode + ADC (guide §4): ONE Arrow pass
+    # replaces the three-frame shape (assign_clusters pass + encode_pq
+    # pass + groupBy collect_list + id-keyed join). Per batch: the cell
+    # is the full-vector squared-L2 argmin (identical float64
+    # arithmetic to assign_clusters), each subspace code is the subvec
+    # argmin (identical to _assign_codes), and the ADC lookups consume
+    # those indices directly — every emitted double is bit-identical
+    # to the old chain's, and per-row results are batch-independent,
+    # so the multiset out is unchanged.
+    _check_divisible(corpus, m, vec_col)
 
     def _score(batches):
         import pandas as pd
         for pdf in batches:
-            outs = []
-            cells_np = pdf["cell_id"].to_numpy()
-            codes_np = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (n, d)
             ids_np = pdf[id_col].to_numpy()
-            idx = np.empty_like(codes_np)
-            for s in range(m):
-                rm = remap[s]
-                idx[:, s] = [rm[c] for c in codes_np[:, s]]
+            cd2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            cells_np = cids[cd2.argmin(axis=1)]
+            idx = np.empty((len(pdf), m), dtype=np.int64)
             nsq = np.zeros(len(pdf))
             for s in range(m):
+                xs = x[:, s * subdim:(s + 1) * subdim]
+                d2 = ((xs[:, None, :] - sub_mats[s][None, :, :]) ** 2) \
+                    .sum(axis=2)
+                idx[:, s] = d2.argmin(axis=1)
                 nsq += normsq_tabs[s][idx[:, s]]
             xnorm = np.sqrt(nsq)
+            outs = []
             for cell, qlist in cell_to_q.items():
                 mask = cells_np == cell
                 if not mask.any():
@@ -343,12 +361,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, codebooks: Codebooks,
                     "neighbor_id": np.repeat(ids_np[mask], len(qs)),
                     "approx_cos": cos.ravel(),
                 }))
-            yield (pd.concat(outs) if outs else
-                   pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "approx_cos": pd.Series(dtype="float64")}))
+            if outs:
+                yield pd.concat(outs)
 
-    scored = indexed.mapInPandas(
+    scored = right_size(corpus).select(id_col, vec_col).mapInPandas(
         _score, schema="query_id long, neighbor_id long, approx_cos double")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_cos"), "neighbor_id")

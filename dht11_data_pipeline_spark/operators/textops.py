@@ -773,6 +773,14 @@ def quality_classifier_score(df: DataFrame, weights: dict[int, int],
 # jobs), above it the distributed per-round loop runs unchanged.
 BPE_DRIVER_VOCAB_LIMIT = 1_000_000
 
+# Work-budget companion to the vocab gate (ADVICE r13): the driver
+# rounds cost O(k · total symbols) single-threaded Python, so a large
+# vocabulary is only driver-eligible when k is small — gate on the
+# PRODUCT k·n_words, not the vocabulary size alone (at the cap below,
+# worst-case driver work is ~10⁸ char ops ≈ a couple of seconds; the
+# distributed tier takes over beyond it).
+BPE_DRIVER_KN_LIMIT = 8_000_000
+
 
 def _bpe_merges_driver(word_freqs: list[tuple[str, int]],
                        k: int) -> list[tuple[int, str, str, int]]:
@@ -784,10 +792,21 @@ def _bpe_merges_driver(word_freqs: list[tuple[str, int]],
     comparison and Python ``str`` comparison implement), merges applied
     as non-overlapping left-to-right string replaces on the padded
     symbol string (Python ``str.replace`` == Spark/DuckDB ``replace``).
-    Cost is O(k · total symbols) dict work — milliseconds at any
-    realistic vocabulary size under the gate."""
+    Cost is O(k · total symbols) dict work, bounded by the k·n_words
+    gate in ``bpe_vocab``.
+
+    The symbol padding mirrors JAVA regex dot semantics (ADVICE r13):
+    the distributed tier pads with ``regexp_replace(word, '(.)', ...)``
+    whose dot excludes ALL line terminators (\\n \\r \\x85 \\u2028
+    \\u2029), while Python's ``.`` excludes only \\n — a word carrying
+    a bare CR (CRLF corpora survive ``tokens``' space-only split)
+    would otherwise pad differently per tier and break the documented
+    bit-identical-tiers contract. The negated class below is exactly
+    Java's default-dot complement."""
     import re
-    cur = [(" " + re.sub(r"(.)", r"\1 ", w), int(f)) for w, f in word_freqs]
+    _java_dot = "([^\\n\\r\\x85\\u2028\\u2029])"
+    cur = [(" " + re.sub(_java_dot, r"\1 ", w), int(f))
+           for w, f in word_freqs]
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
         counts: dict[str, int] = {}
@@ -845,13 +864,19 @@ def bpe_vocab(df: DataFrame, k: int = 6,
     pairs remain (every word fully merged).
 
     Hybrid tiers (r13): the merge rounds are vocabulary-bounded work,
-    so under ``driver_vocab_limit`` distinct words the k rounds run
-    DRIVER-SIDE over one Arrow collect of the (word, freq) table
-    (``_bpe_merges_driver`` — bit-identical semantics, pinned against
-    the distributed tier in tests), replacing 2 driver-round-trip jobs
-    per round (pair-count collect + eager checkpoint) with one collect.
-    Above the gate the distributed loop below runs unchanged — the
-    100 TB path when the vocabulary itself outgrows the driver. Pass
+    so under the driver gate the k rounds run DRIVER-SIDE over one
+    Arrow collect of the (word, freq) table (``_bpe_merges_driver`` —
+    bit-identical semantics, pinned against the distributed tier in
+    tests), replacing 2 driver-round-trip jobs per round (pair-count
+    collect + eager checkpoint) with one collect. The gate (ADVICE
+    r13) is two-sided: ``driver_vocab_limit`` bounds the collect size
+    AND ``BPE_DRIVER_KN_LIMIT`` bounds the single-threaded merge work
+    k·n_words — a 1M-word vocabulary is driver-eligible at k=6 but
+    not at k=64. Gating costs one persist + count() job on every call
+    (also on runs that end up distributed); that is the price of not
+    collecting an unbounded frame blind. Above the gate the
+    distributed loop below runs unchanged — the 100 TB path when the
+    vocabulary itself outgrows the driver. Pass
     ``driver_vocab_limit=None`` to force the distributed tier.
 
     Returns one row per merge: (merge_rank, pair, merged, pair_count).
@@ -871,7 +896,8 @@ def bpe_vocab(df: DataFrame, k: int = 6,
     if driver_vocab_limit is not None:
         words = words.persist()
         n_words = words.count()
-        if n_words <= driver_vocab_limit:
+        if (n_words <= driver_vocab_limit
+                and int(k) * n_words <= BPE_DRIVER_KN_LIMIT):
             pdf = words.toPandas()  # Arrow: two narrow columns
             words.unpersist()
             merges = _bpe_merges_driver(
@@ -1459,6 +1485,39 @@ def contamination_pos_spans(df: DataFrame, n: int = 7, top_k: int = 5,
     copied span includes any boilerplate grams inside it — capping
     here would split runs at every common phrase.
     """
+    runs, _ = _pos_spans_runs(
+        df, n=n, top_k=top_k, runs_per_pair=runs_per_pair,
+        group_col=group_col, text_col=text_col, id_col=id_col,
+        max_sources_per_gram=max_sources_per_gram,
+        max_docs_per_gram=max_docs_per_gram, index=index)
+    return runs
+
+
+def _pos_spans_runs(df: DataFrame, n: int, top_k: int,
+                    runs_per_pair: int, group_col: str, text_col: str,
+                    id_col: str, max_sources_per_gram: int,
+                    max_docs_per_gram: int,
+                    index: DataFrame | None,
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Shared core of ``contamination_pos_spans`` / ``contamination_cut``
+    (r14): returns (runs, fdocs) where ``runs`` is the positional-run
+    frame and ``fdocs`` the pinned (id, group, text) projection of the
+    FLAGGED docs — ``contamination_cut`` derives its affected-doc pass
+    from ``fdocs`` instead of re-reading the corpus a third time.
+
+    r14 job-count restructure (guide §5 — the drill-down's cost at
+    sf0.1 was job orchestration, 18 jobs for pos_spans, not compute):
+    the flagged pairs are a bounded tiny frame (≤ top_k ×
+    #source-pairs), so they are COLLECTED once and re-enter the plan as
+    a broadcast local relation, and the flagged doc ids become a
+    pushed-down IN filter on the corpus scan. This replaces the two
+    eager checkpoints (flagged, pg), the doc-id union+distinct and two
+    broadcast-exchange jobs per call; the positional explode recomputes
+    per match-join side from the tiny ``fdocs`` checkpoint instead of
+    pinning a second frame. Semantics identical: collect + literal
+    relation ≡ checkpoint + broadcast for a deterministic bounded frame
+    (same rows, and every consumer is a join — row order free).
+    """
     from pyspark.sql.window import Window
 
     from dht11_data_pipeline_spark.functions.text import shingles
@@ -1466,31 +1525,31 @@ def contamination_pos_spans(df: DataFrame, n: int = 7, top_k: int = 5,
     if runs_per_pair < 1:
         raise ValueError("contamination_pos_spans: runs_per_pair must "
                          "be >= 1")
-    flagged = (contamination_pairs(
+    spark = df.sparkSession
+    ranked = (contamination_pairs(
         df, n=n, top_k=top_k, group_col=group_col, text_col=text_col,
         id_col=id_col, max_sources_per_gram=max_sources_per_gram,
         max_docs_per_gram=max_docs_per_gram, index=index)
-        .select("source_a", "source_b", "doc_a", "doc_b", "pair_rank")
-        # tiny (≤ top_k per source pair) and consumed twice below
-        # (doc-id extraction + the match join) — pin it so the pair
-        # ranking runs once
-        .localCheckpoint())
-    docids = (flagged.select(F.col("doc_a").alias(id_col))
-              .union(flagged.select(F.col("doc_b").alias(id_col)))
-              .distinct())
-    pg = (df.join(F.broadcast(docids), id_col)
-          .select(F.col(id_col).alias("doc"),
-                  F.posexplode(shingles(tokens(text_col), n))
-                  .alias("pos", "gram"))
+        .select("source_a", "source_b", "doc_a", "doc_b", "pair_rank"))
+    # ONE job: the pair ranking executes exactly once and its (tiny,
+    # cap-bounded) result re-enters the plan as a local relation
+    flagged_rows = ranked.collect()
+    flagged = F.broadcast(spark.createDataFrame(flagged_rows,
+                                                ranked.schema))
+    docids = sorted({r["doc_a"] for r in flagged_rows}
+                    | {r["doc_b"] for r in flagged_rows})
+    # flagged-docs corpus read: a pushed-down IN filter (parquet
+    # row-group pruning at scale), pinned once for all consumers
+    fdocs = (df.filter(F.col(id_col).isin(docids) if docids
+                       else F.lit(False))
+             .select(id_col, group_col, text_col)
+             .localCheckpoint())
+    pg = (fdocs.select(F.col(id_col).alias("doc"),
+                       F.posexplode(shingles(tokens(text_col), n))
+                       .alias("pos", "gram"))
           # 1-based token offset of the gram's first word (mirrors the
           # oracle's unnest(range(1, len-5)) generator)
-          .withColumn("pos", (F.col("pos") + 1).cast("int"))
-          # the positional frame feeds BOTH match-join sides; without
-          # pinning, each side re-scans the corpus (two broadcast-
-          # filtered parquet passes — verified on the plan). The frame
-          # is flagged-docs-only, so the checkpoint is tiny and the
-          # corpus re-read happens exactly once.
-          .localCheckpoint())
+          .withColumn("pos", (F.col("pos") + 1).cast("int")))
     pa = pg.select(F.col("doc").alias("doc_a"),
                    F.col("pos").alias("start_a"), "gram")
     pb = pg.select(F.col("doc").alias("doc_b"),
@@ -1512,12 +1571,13 @@ def contamination_pos_spans(df: DataFrame, n: int = 7, top_k: int = 5,
     rw = (Window.partitionBy("source_a", "source_b", "doc_a", "doc_b")
           .orderBy(F.desc("run_tokens"), F.asc("start_a"),
                    F.asc("start_b")))
-    return (runs.withColumn("run_rank",
-                            F.row_number().over(rw).cast("int"))
-            .filter(F.col("run_rank") <= runs_per_pair)
-            .select("source_a", "source_b", "doc_a", "doc_b",
-                    "pair_rank", "start_a", "start_b", "run_tokens",
-                    "run_rank"))
+    out = (runs.withColumn("run_rank",
+                           F.row_number().over(rw).cast("int"))
+           .filter(F.col("run_rank") <= runs_per_pair)
+           .select("source_a", "source_b", "doc_a", "doc_b",
+                   "pair_rank", "start_a", "start_b", "run_tokens",
+                   "run_rank"))
+    return out, fdocs
 
 
 def contamination_cut(df: DataFrame, n: int = 7, top_k: int = 5,
@@ -1547,21 +1607,26 @@ def contamination_cut(df: DataFrame, n: int = 7, top_k: int = 5,
     the run is kept (cutting a benchmark to protect a benchmark is a
     config error worth surfacing by count, not silent mutilation).
 
-    Shape: the flagged runs are tiny (≤ runs_per_pair × top_k ×
-    #source-pairs) and pinned; affected docs are broadcast-semi-
-    joined out of the corpus ONCE and pinned (tiny); token positions
-    are dropped by an anti-join against the cut ranges; text rebuilds
-    with an ordered array_join. Untouched docs pass through with
-    their original text from one column-pruned corpus scan — no
-    corpus-sized shuffle anywhere. Returns the FULL cleaned corpus:
-    (id, group, n_tokens, n_removed, clean_text), n_removed = 0 for
-    untouched docs, clean_text = '' for a fully-cut doc.
+    Shape (r14 job-count restructure, guide §5): the flagged runs are
+    tiny (≤ runs_per_pair × top_k × #source-pairs) — the cut list is
+    COLLECTED once and re-enters the plan as a broadcast local
+    relation; affected docs are a filter over the flagged-docs frame
+    the positional pass already pinned (``_pos_spans_runs``'s
+    ``fdocs``), so the corpus is scanned exactly TWICE end to end (the
+    index build and the untouched pass-through; the flagged-doc read
+    is a pushed-down IN-filter scan). Token positions are dropped by
+    an anti-join against the cut ranges; text rebuilds with an ordered
+    array_join. No corpus-sized shuffle anywhere. Returns the FULL
+    cleaned corpus: (id, group, n_tokens, n_removed, clean_text),
+    n_removed = 0 for untouched docs, clean_text = '' for a fully-cut
+    doc.
     """
     if protected is not None and not all(
             isinstance(s, str) for s in protected):
         raise ValueError("contamination_cut: protected must be a list "
                          "of source names")
-    runs = contamination_pos_spans(
+    spark = df.sparkSession
+    runs, fdocs = _pos_spans_runs(
         df, n=n, top_k=top_k, runs_per_pair=runs_per_pair,
         group_col=group_col, text_col=text_col, id_col=id_col,
         max_sources_per_gram=max_sources_per_gram,
@@ -1569,29 +1634,31 @@ def contamination_cut(df: DataFrame, n: int = 7, top_k: int = 5,
     prot = [s for s in (protected or [])]
     pa = F.col("source_a").isin(prot) if prot else F.lit(False)
     pb = F.col("source_b").isin(prot) if prot else F.lit(False)
-    cuts = (runs
-            .filter(~(pa & pb))
-            .withColumn("_cut_b", ~pb)
-            .select(F.when(F.col("_cut_b"), F.col("doc_b"))
-                    .otherwise(F.col("doc_a")).alias("_cid"),
-                    F.when(F.col("_cut_b"), F.col("start_b"))
-                    .otherwise(F.col("start_a")).alias("_s"),
-                    F.col("run_tokens").alias("_l"))
-            # tiny; consumed three times below (affected ids, the
-            # anti-join, nothing corpus-sized) — pin it
-            .localCheckpoint())
-    affected = cuts.select(F.col("_cid").alias(id_col)).distinct()
-    # ONE broadcast-filtered corpus read serves both the token explode
-    # and the affected-doc stats (two consumers ⇒ pin; tiny frame)
-    aff = (df.join(F.broadcast(affected), id_col)
-           .select(id_col, group_col, text_col)
-           .localCheckpoint())
+    cuts_plan = (runs
+                 .filter(~(pa & pb))
+                 .withColumn("_cut_b", ~pb)
+                 .select(F.when(F.col("_cut_b"), F.col("doc_b"))
+                         .otherwise(F.col("doc_a")).alias("_cid"),
+                         F.when(F.col("_cut_b"), F.col("start_b"))
+                         .otherwise(F.col("start_a")).alias("_s"),
+                         F.col("run_tokens").alias("_l")))
+    # ONE job: the run extraction executes exactly once; the bounded
+    # cut list re-enters the plan as a broadcast local relation (the
+    # _pos_spans_runs collect discipline)
+    cuts_rows = cuts_plan.collect()
+    cuts = F.broadcast(spark.createDataFrame(cuts_rows,
+                                             cuts_plan.schema))
+    affected = sorted({r["_cid"] for r in cuts_rows})
+    # affected ⊆ flagged docs: filter the already-pinned fdocs frame —
+    # no third corpus read, no checkpoint job
+    aff = fdocs.filter(F.col(id_col).isin(affected) if affected
+                       else F.lit(False))
     toks = (aff.select(id_col, group_col,
                        F.posexplode(tokens(text_col))
                        .alias("_pos", "_tok"))
             .withColumn("_pos", (F.col("_pos") + 1).cast("int")))
     kept = toks.join(
-        F.broadcast(cuts),
+        cuts,
         (F.col(id_col) == F.col("_cid"))
         & (F.col("_pos") >= F.col("_s"))
         & (F.col("_pos") < F.col("_s") + F.col("_l")),
@@ -1613,7 +1680,13 @@ def contamination_cut(df: DataFrame, n: int = 7, top_k: int = 5,
                        .cast("int").alias("n_removed"),
                        F.coalesce(F.col("_clean"), F.lit(""))
                        .alias("clean_text")))
-    untouched = (df.join(F.broadcast(affected), id_col, "left_anti")
+    # untouched docs: a narrow NOT-IN filter over the corpus scan (the
+    # affected list is bounded by the flagged-pair caps) — no broadcast
+    # anti-join exchange. NULL-id rows coalesce to kept, matching the
+    # anti-join this replaces (NULL never equals a cut id).
+    untouched = (df.filter(F.coalesce(~F.col(id_col).isin(affected),
+                                      F.lit(True)) if affected
+                           else F.lit(True))
                  .select(id_col, group_col,
                          n_tok.alias("n_tokens"),
                          F.lit(0).cast("int").alias("n_removed"),

@@ -66,6 +66,20 @@ def get_spark(app_name: str = "dht11_data_pipeline_spark",
         .config("spark.executor.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize="
                 + os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m"))
+        # Generated-CLASS cache (the Janino/codegen source→class map,
+        # static conf, default 100 entries): the 199-query registry
+        # generates far more than 100 distinct codegen sources, so at
+        # the default every bench rep and every later query evicts and
+        # RECOMPILES classes that were just built — the compile half of
+        # the late-key cost the 512 MB code cache (above) addresses on
+        # the JIT side (r14 A/B: second-rep times on checkpoint-heavy
+        # keys drop measurably; see BENCH_NOTES_r14.md). Sized to hold
+        # the registry with headroom; class metadata lives in metaspace
+        # (~100s of MB at 8 GB driver). Same reasoning applies on a
+        # long-lived cluster driver running a many-query workload.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES",
+                               "5000"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
