@@ -37,16 +37,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list limited to keys whose code or oracle actually changed in
 # the round's diff (round-5 verdict item 3).
 CHANGED_THIS_ROUND: list[str] = [
-    "cur_contamination_pos_spans",  # NEW: token-offset runs per flagged pair
-    "cur_contamination_gate",    # NEW: audit-time gate off the shared index
-    "cur_contamination_cut",     # NEW: surgical span removal (cleaned corpus)
-    "cur_epoch_plan_fertility",  # NEW: symbol-unit water-filling plan
-    "cur_epoch_plan",            # delegates to epoch_plan_from_sizes (hash-stable)
-    "cur_contamination_pairs",   # one-pass contamination_index refactor
-    "cur_contamination_spans",   # same refactor (hash-stable by design)
-    "cur_contamination_matrix",  # accepts the shared index (optional arg)
-    "text_source_divergence",    # vocab totals: broadcast scalars, not windows
-    "cur_bpe_pack",              # duplicate-(group,id) guard in pack_budgeted
+    # --- r14 optimization-touched keys (results pinned identical) ---
+    "cur_contamination_pos_spans",  # shared flagged-docs frame (keep_docs)
+    "cur_contamination_cut",     # fdocs reuse + NOT-IN pass-through
+    "sim_kmeans_clusters",       # partial-sum centroid recompute
+    "sim_pq_ann",                # fused encode+ADC single Arrow pass
+    "sim_ivfpq_ann",             # fused cell-assign+encode+ADC pass
+    "dedup_minhash_lsh",         # shuffle-free HOF minhash signatures
+    "dedup_clusters",            # (minhash signature chain)
+    "dedup_incremental",         # (minhash signature chain + sigstore)
+    "dedup_cascade",             # (minhash signature chain)
+    "cur_end_to_end",            # (minhash signature chain)
+    "cur_survivorship",          # (minhash signature chain)
+    "mm_cross_modal_audit",      # (minhash signature chain)
+    "text_bpe_vocab",            # k·n_words driver gate + Java-dot padding
+    "text_bpe_encode",           # (bpe_vocab gate)
+    "text_bpe_fertility",        # (bpe_vocab gate)
+    "cur_bpe_pack",              # (bpe_vocab gate)
+    "cur_epoch_plan_fertility",  # (bpe_vocab gate)
+    # --- r13-touched keys the r13 driver window never re-checked
+    #     (round-13 verdict item 3: stale CHANGED_THIS_ROUND) ---
+    "sim_label_knn_audit",
+    "cur_semantic_decontaminate",
+    "sim_ivf_ann",
+    "sim_ivf_ann_nprobe",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "sim_hard_negatives",
+    "sim_prototype_prune",
+    "sim_lsh_ann",
+    "sim_embedding_near_dup",
+    "sim_embedding_near_dup_lsh",
+    "mm_audio_ann",
+    "sim_cosine_topk",
+    "text_bigram_rarity",
 ]
 
 

@@ -157,32 +157,37 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     total, with the k seeded values derived by exact integer
     arithmetic (see MINHASH_* constants).
 
-    Shape: explode shingles → one projection computing the base hash
-    once per shingle → ONE codegen'd groupBy computing all k mins
-    (map-side partial agg). The higher-order-function variant
-    (k transforms over the array) is shuffle-free but interpreted —
-    it was 4× slower at sf0.1; the explode pays one shuffle on id and
-    hashes each shingle exactly ONCE in whole-stage codegen."""
+    Shape (r14): SHUFFLE-FREE per-row fold — the base hashes are
+    projected ONCE as their own array column (a separate Project, so
+    CollapseProject cannot inline the sha256 into the k lambdas), then
+    each of the k signatures is ``array_min`` of a cheap integer
+    ``transform`` over that array. The earlier explode + groupBy-min
+    form paid an id-keyed exchange plus a k-way hash-agg update per
+    shingle; with the hash OUTSIDE the lambdas the interpreted integer
+    transforms are far cheaper than that aggregate (measured 1.56 s →
+    0.44 s at sf0.1, bit-identical — min over the same integer
+    multiset; an earlier fused attempt WITH the hash inside the lambda
+    was 4× slower, which is why this was explode-shaped until now)."""
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes <= {len(MINHASH_A)} (fixed "
                          f"oracle-shared hash family); got {num_hashes}")
+
     # 15 hex chars = 60 bits: always positive in BIGINT (ANSI-safe)
-    base = F.pmod(
-        F.conv(F.substring(F.sha2(F.col("shingle"), 256), 1, 15), 16, 10)
-        .cast("bigint"), F.lit(MINHASH_P))
-    inv = (_doc_shingles(df, text_col, id_col, n)
-           .select(F.col(id_col), F.explode("shingle_set").alias("shingle"))
-           .select(F.col(id_col), base.alias("_base")))
-    mins = [
-        F.min((F.col("_base") * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P)
-        .alias(f"_h{s}")
-        for s in range(num_hashes)
-    ]
-    return (
-        inv.groupBy(id_col).agg(*mins)
-        .select(F.col(id_col),
-                F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("signature"))
-    )
+    def _base(s: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10)
+            .cast("bigint"), F.lit(MINHASH_P))
+
+    def _seeded(s: int):
+        return lambda b: (b * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P
+
+    staged = (_doc_shingles(df, text_col, id_col, n)
+              .select(F.col(id_col),
+                      F.transform("shingle_set", _base).alias("_bases")))
+    return staged.select(
+        F.col(id_col),
+        F.array(*[F.array_min(F.transform("_bases", _seeded(s)))
+                  for s in range(num_hashes)]).alias("signature"))
 
 
 def _band_rows(signatures: DataFrame, id_col: str,

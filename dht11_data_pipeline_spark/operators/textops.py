@@ -1498,25 +1498,23 @@ def _pos_spans_runs(df: DataFrame, n: int, top_k: int,
                     id_col: str, max_sources_per_gram: int,
                     max_docs_per_gram: int,
                     index: DataFrame | None,
-                    ) -> tuple[DataFrame, DataFrame]:
+                    keep_docs: bool = False,
+                    ) -> tuple[DataFrame, DataFrame | None]:
     """Shared core of ``contamination_pos_spans`` / ``contamination_cut``
     (r14): returns (runs, fdocs) where ``runs`` is the positional-run
-    frame and ``fdocs`` the pinned (id, group, text) projection of the
-    FLAGGED docs — ``contamination_cut`` derives its affected-doc pass
-    from ``fdocs`` instead of re-reading the corpus a third time.
+    frame and — under ``keep_docs`` — ``fdocs`` is the pinned
+    (id, group, text) projection of the FLAGGED docs, so
+    ``contamination_cut`` derives its affected-doc pass from it instead
+    of re-reading the corpus a third time. With ``keep_docs=False`` the
+    plan is the r13 shape unchanged (the flagged-doc read feeds the
+    positional explode directly).
 
-    r14 job-count restructure (guide §5 — the drill-down's cost at
-    sf0.1 was job orchestration, 18 jobs for pos_spans, not compute):
-    the flagged pairs are a bounded tiny frame (≤ top_k ×
-    #source-pairs), so they are COLLECTED once and re-enter the plan as
-    a broadcast local relation, and the flagged doc ids become a
-    pushed-down IN filter on the corpus scan. This replaces the two
-    eager checkpoints (flagged, pg), the doc-id union+distinct and two
-    broadcast-exchange jobs per call; the positional explode recomputes
-    per match-join side from the tiny ``fdocs`` checkpoint instead of
-    pinning a second frame. Semantics identical: collect + literal
-    relation ≡ checkpoint + broadcast for a deterministic bounded frame
-    (same rows, and every consumer is a join — row order free).
+    Seam note (r14, measured): re-entering the collected flagged pairs
+    as a createDataFrame local relation was TRIED and REVERTED — the
+    parallelize + broadcast of a collected frame costs more than the
+    eager checkpoint it replaced (the same collect+createDataFrame seam
+    the graph driver tiers carry). Checkpoints stay; the wins kept are
+    downstream in ``contamination_cut``.
     """
     from pyspark.sql.window import Window
 
@@ -1525,31 +1523,40 @@ def _pos_spans_runs(df: DataFrame, n: int, top_k: int,
     if runs_per_pair < 1:
         raise ValueError("contamination_pos_spans: runs_per_pair must "
                          "be >= 1")
-    spark = df.sparkSession
-    ranked = (contamination_pairs(
+    flagged = (contamination_pairs(
         df, n=n, top_k=top_k, group_col=group_col, text_col=text_col,
         id_col=id_col, max_sources_per_gram=max_sources_per_gram,
         max_docs_per_gram=max_docs_per_gram, index=index)
-        .select("source_a", "source_b", "doc_a", "doc_b", "pair_rank"))
-    # ONE job: the pair ranking executes exactly once and its (tiny,
-    # cap-bounded) result re-enters the plan as a local relation
-    flagged_rows = ranked.collect()
-    flagged = F.broadcast(spark.createDataFrame(flagged_rows,
-                                                ranked.schema))
-    docids = sorted({r["doc_a"] for r in flagged_rows}
-                    | {r["doc_b"] for r in flagged_rows})
-    # flagged-docs corpus read: a pushed-down IN filter (parquet
-    # row-group pruning at scale), pinned once for all consumers
-    fdocs = (df.filter(F.col(id_col).isin(docids) if docids
-                       else F.lit(False))
-             .select(id_col, group_col, text_col)
-             .localCheckpoint())
-    pg = (fdocs.select(F.col(id_col).alias("doc"),
-                       F.posexplode(shingles(tokens(text_col), n))
-                       .alias("pos", "gram"))
+        .select("source_a", "source_b", "doc_a", "doc_b", "pair_rank")
+        # tiny (≤ top_k per source pair) and consumed twice below
+        # (doc-id extraction + the match join) — pin it so the pair
+        # ranking runs once
+        .localCheckpoint())
+    docids = (flagged.select(F.col("doc_a").alias(id_col))
+              .union(flagged.select(F.col("doc_b").alias(id_col)))
+              .distinct())
+    fdocs = None
+    if keep_docs:
+        # pin the flagged-doc read once with (id, group, text) so the
+        # caller's affected-doc pass is a filter over this frame
+        fdocs = (df.join(F.broadcast(docids), id_col)
+                 .select(id_col, group_col, text_col)
+                 .localCheckpoint())
+        pg_src = fdocs
+    else:
+        pg_src = df.join(F.broadcast(docids), id_col)
+    pg = (pg_src
+          .select(F.col(id_col).alias("doc"),
+                  F.posexplode(shingles(tokens(text_col), n))
+                  .alias("pos", "gram"))
           # 1-based token offset of the gram's first word (mirrors the
           # oracle's unnest(range(1, len-5)) generator)
-          .withColumn("pos", (F.col("pos") + 1).cast("int")))
+          .withColumn("pos", (F.col("pos") + 1).cast("int"))
+          # the positional frame feeds BOTH match-join sides; without
+          # pinning, each side re-runs the interpreted shingle build
+          # (the drill-down's only real per-row cost — measured +0.6 s
+          # at sf0.1 when recomputed per side)
+          .localCheckpoint())
     pa = pg.select(F.col("doc").alias("doc_a"),
                    F.col("pos").alias("start_a"), "gram")
     pb = pg.select(F.col("doc").alias("doc_b"),
@@ -1625,32 +1632,32 @@ def contamination_cut(df: DataFrame, n: int = 7, top_k: int = 5,
             isinstance(s, str) for s in protected):
         raise ValueError("contamination_cut: protected must be a list "
                          "of source names")
-    spark = df.sparkSession
     runs, fdocs = _pos_spans_runs(
         df, n=n, top_k=top_k, runs_per_pair=runs_per_pair,
         group_col=group_col, text_col=text_col, id_col=id_col,
         max_sources_per_gram=max_sources_per_gram,
-        max_docs_per_gram=max_docs_per_gram, index=index)
+        max_docs_per_gram=max_docs_per_gram, index=index,
+        keep_docs=True)
     prot = [s for s in (protected or [])]
     pa = F.col("source_a").isin(prot) if prot else F.lit(False)
     pb = F.col("source_b").isin(prot) if prot else F.lit(False)
-    cuts_plan = (runs
-                 .filter(~(pa & pb))
-                 .withColumn("_cut_b", ~pb)
-                 .select(F.when(F.col("_cut_b"), F.col("doc_b"))
-                         .otherwise(F.col("doc_a")).alias("_cid"),
-                         F.when(F.col("_cut_b"), F.col("start_b"))
-                         .otherwise(F.col("start_a")).alias("_s"),
-                         F.col("run_tokens").alias("_l")))
-    # ONE job: the run extraction executes exactly once; the bounded
-    # cut list re-enters the plan as a broadcast local relation (the
-    # _pos_spans_runs collect discipline)
-    cuts_rows = cuts_plan.collect()
-    cuts = F.broadcast(spark.createDataFrame(cuts_rows,
-                                             cuts_plan.schema))
-    affected = sorted({r["_cid"] for r in cuts_rows})
-    # affected ⊆ flagged docs: filter the already-pinned fdocs frame —
-    # no third corpus read, no checkpoint job
+    cuts = (runs
+            .filter(~(pa & pb))
+            .withColumn("_cut_b", ~pb)
+            .select(F.when(F.col("_cut_b"), F.col("doc_b"))
+                    .otherwise(F.col("doc_a")).alias("_cid"),
+                    F.when(F.col("_cut_b"), F.col("start_b"))
+                    .otherwise(F.col("start_a")).alias("_s"),
+                    F.col("run_tokens").alias("_l"))
+            # tiny; consumed twice below (affected-id pull + the
+            # anti-join) — pin it so run extraction executes once
+            .localCheckpoint())
+    # affected ids pulled off the PINNED cuts frame (one tiny no-shuffle
+    # job) — the distinct+broadcast exchange and the second
+    # broadcast-filtered corpus read of the r13 shape are gone:
+    # affected ⊆ flagged docs, so aff filters the already-pinned fdocs
+    affected = sorted({r["_cid"]
+                       for r in cuts.select("_cid").collect()})
     aff = fdocs.filter(F.col(id_col).isin(affected) if affected
                        else F.lit(False))
     toks = (aff.select(id_col, group_col,
@@ -1658,7 +1665,7 @@ def contamination_cut(df: DataFrame, n: int = 7, top_k: int = 5,
                        .alias("_pos", "_tok"))
             .withColumn("_pos", (F.col("_pos") + 1).cast("int")))
     kept = toks.join(
-        cuts,
+        F.broadcast(cuts),
         (F.col(id_col) == F.col("_cid"))
         & (F.col("_pos") >= F.col("_s"))
         & (F.col("_pos") < F.col("_s") + F.col("_l")),

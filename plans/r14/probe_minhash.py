@@ -30,10 +30,11 @@ def hof_signature(df, text_col="text", id_col="doc_id", n=3, num_hashes=8):
     staged = (_doc_shingles(df, text_col, id_col, n)
               .select(F.col(id_col),
                       F.transform("shingle_set", base).alias("_bases")))
+    def _seeded(s):
+        return lambda b: (b * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P
+
     sig = F.array(*[
-        F.array_min(F.transform(
-            "_bases",
-            lambda b, s=s: (b * MINHASH_A[s] + MINHASH_B[s]) % MINHASH_P))
+        F.array_min(F.transform("_bases", _seeded(s)))
         for s in range(num_hashes)])
     return staged.select(F.col(id_col), sig.alias("signature"))
 
