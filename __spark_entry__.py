@@ -55,6 +55,8 @@ CHANGED_THIS_ROUND: list[str] = [
     "text_bpe_fertility",        # (bpe_vocab gate)
     "cur_bpe_pack",              # (bpe_vocab gate)
     "cur_epoch_plan_fertility",  # (bpe_vocab gate)
+    "graph_adamic_adar",         # numpy wedge kernel (driver tier)
+    "graph_link_prediction",     # numpy wedge kernel (driver tier)
     # --- r13-touched keys the r13 driver window never re-checked
     #     (round-13 verdict item 3: stale CHANGED_THIS_ROUND) ---
     "sim_label_knn_audit",

@@ -629,11 +629,111 @@ def _pair_similarity_driver(edge_rows: list[tuple],
                             aa_weights: bool) -> list[tuple] | None:
     """Driver-side wedge enumeration shared by ``neighbor_jaccard``
     (aa_weights=False) and ``adamic_adar`` (True) — the identical
-    capped center loop as the distributed self-join, as plain dict
-    counters, returned as a pandas frame (columns v, w, ...) so the
-    caller rides the Arrow createDataFrame path. Returns None when the
-    capped wedge volume exceeds ``DRIVER_WEDGE_LIMIT`` (the caller
-    falls back to distributed)."""
+    capped center loop as the distributed self-join, returned as a
+    pandas frame (columns v, w, ...) so the caller rides the Arrow
+    createDataFrame path. Returns None when the capped wedge volume
+    exceeds ``DRIVER_WEDGE_LIMIT`` (the caller falls back to
+    distributed).
+
+    r14 (guide §4.2): integer node ids take a VECTORIZED numpy kernel
+    (segment-pairs wedge enumeration + bincount aggregation — all
+    exact int64/float64-integer arithmetic, bit-identical multisets to
+    the dict loop, pinned in tests/test_r14_optimizations.py); any
+    other id type keeps the dict loop below."""
+    if edge_rows:
+        x0, y0 = edge_rows[0]
+        import numpy as np
+        if (isinstance(x0, (int, np.integer))
+                and not isinstance(x0, bool)
+                and isinstance(y0, (int, np.integer))
+                and not isinstance(y0, bool)):
+            return _pair_similarity_numpy(
+                np.asarray(edge_rows, dtype=np.int64), cap, aa_weights)
+    return _pair_similarity_dicts(edge_rows, cap, aa_weights)
+
+
+def _pair_similarity_numpy(e, cap: int | None, aa_weights: bool):
+    """Vectorized wedge enumeration over an (m, 2) int64 canonical
+    edge array. Same semantics as ``_pair_similarity_dicts``, kernel
+    by kernel:
+
+    - degrees: bincount over the symmetrized endpoint list == len of
+      each adjacency set (edges are x<y DISTINCT by the
+      ``_canonical_edges`` contract — the same distinctness the
+      distributed groupBy-count path already relies on);
+    - eligible centers (deg <= cap) and the identical wedge-volume
+      budget check against ``DRIVER_WEDGE_LIMIT``;
+    - all i<j neighbor pairs per center via the segment-pairs
+      construction (repeat/cumsum index arithmetic — no Python loop);
+      neighbors are pre-sorted ascending inside each center block, so
+      pair keys come out (v < w) by node value exactly like the dict
+      loop's sorted(adjacency) iteration;
+    - aggregation by np.unique on the composite key v_idx·n + w_idx
+      (ids remapped to 0..n-1; n ≤ 2·SMALL_EDGE_LIMIT so the key fits
+      int64 with 10 orders of magnitude to spare). unique returns keys
+      ASCENDING, which is the dict form's sorted(cn) output order.
+    - Adamic-Adar sums via bincount(weights=1e6 DIV deg(center)):
+      every partial sum is an integer ≤ DRIVER_WEDGE_LIMIT · 1e6
+      (5·10¹²) < 2⁵³, so the float64 accumulation is EXACT and the
+      int64 cast is lossless. Jaccard ppm is pure int64 arithmetic.
+    """
+    import numpy as np
+    import pandas as pd
+    xs, ys = e[:, 0], e[:, 1]
+    nodes, u_idx = np.unique(np.concatenate([xs, ys]), return_inverse=True)
+    n = int(len(nodes))
+    v_idx = np.concatenate([u_idx[len(xs):], u_idx[:len(xs)]])
+    deg = np.bincount(u_idx, minlength=n).astype(np.int64)
+    elig = np.ones(n, dtype=bool) if cap is None else (deg <= int(cap))
+    dd = deg[elig]
+    if int((dd * (dd - 1) // 2).sum()) > DRIVER_WEDGE_LIMIT:
+        return None
+    mask = elig[u_idx]
+    cu = u_idx[mask]
+    cv = v_idx[mask]
+    order = np.lexsort((cv, cu))
+    cu = cu[order]
+    cv = cv[order]
+    mrows = int(len(cu))
+    _, starts, seg = np.unique(cu, return_index=True, return_counts=True)
+    block_of = np.repeat(np.arange(len(seg)), seg)
+    local = np.arange(mrows, dtype=np.int64) - starts[block_of]
+    reps = (seg[block_of] - 1 - local).astype(np.int64)
+    total = int(reps.sum())
+    first = np.repeat(np.arange(mrows, dtype=np.int64), reps)
+    run_starts = (np.concatenate(([0], np.cumsum(reps)[:-1]))
+                  if mrows else np.zeros(0, dtype=np.int64))
+    second = (np.arange(total, dtype=np.int64)
+              - np.repeat(run_starts, reps) + first + 1)
+    a_i = cv[first]
+    b_i = cv[second]
+    ukeys, kinv, cn = np.unique(a_i * n + b_i,
+                                return_inverse=True, return_counts=True)
+    cn = cn.astype(np.int64)
+    va = ukeys // n
+    wb = ukeys % n
+    flag = np.where(
+        np.isin(ukeys, u_idx[:len(xs)] * n + u_idx[len(xs):]), "Y", "N")
+    if aa_weights:
+        w_pair = (1_000_000 // deg)[cu[first]]
+        aa = np.bincount(kinv, weights=w_pair,
+                         minlength=len(ukeys)).astype(np.int64)
+        return pd.DataFrame({"v": nodes[va], "w": nodes[wb],
+                             "n_common": cn, "aa_ppm": aa,
+                             "is_edge": flag})
+    da = deg[va]
+    db = deg[wb]
+    return pd.DataFrame({"v": nodes[va], "w": nodes[wb], "n_common": cn,
+                         "deg_a": da, "deg_b": db,
+                         "jaccard_ppm": cn * 1_000_000 // (da + db - cn),
+                         "is_edge": flag})
+
+
+def _pair_similarity_dicts(edge_rows: list[tuple],
+                           cap: int | None,
+                           aa_weights: bool):
+    """The plain-dict center loop (pre-r14 form, kept as the
+    non-integer-id tier and as the equivalence reference in tests)."""
     adj = _adjacency(edge_rows)
     deg = {n: len(adj[n]) for n in adj}
     centers = [n for n in adj if cap is None or deg[n] <= cap]

@@ -70,13 +70,15 @@ def get_spark(app_name: str = "dht11_data_pipeline_spark",
         # static conf, default 100 entries): the 199-query registry
         # generates far more than 100 distinct codegen sources, so at
         # the default every bench rep and every later query evicts and
-        # RECOMPILES classes that were just built — the compile half of
-        # the late-key cost the 512 MB code cache (above) addresses on
-        # the JIT side (r14 A/B: second-rep times on checkpoint-heavy
-        # keys drop measurably; see BENCH_NOTES_r14.md). Sized to hold
-        # the registry with headroom; class metadata lives in metaspace
-        # (~100s of MB at 8 GB driver). Same reasoning applies on a
-        # long-lived cluster driver running a many-query workload.
+        # RECOMPILES classes that were just built. r14 full-bench A/B
+        # (same code, fresh JVM each): 202.3 s at 5000 entries vs
+        # 206.4 s at the default 100, per-key geomean ~5% in favor of
+        # 5000, end-of-run JIT code heaps equal (88+76 vs 84+69 MB) —
+        # a small win inside the host noise band, kept because the
+        # recompile churn it removes is pure waste on any long-lived
+        # many-query driver (see BENCH_NOTES_r14.md for both reps).
+        # Class metadata lives in metaspace (~100s of MB at 8 GB
+        # driver).
         .config("spark.sql.codegen.cache.maxEntries",
                 os.environ.get("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES",
                                "5000"))

@@ -198,6 +198,64 @@ def test_bpe_kn_gate_falls_through_to_distributed(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# graph: numpy wedge kernel == the dict center loop, row for row
+# ---------------------------------------------------------------------------
+
+def _wedge_frames_equal(pdf_a, pdf_b):
+    assert list(pdf_a.columns) == list(pdf_b.columns)
+    assert len(pdf_a) == len(pdf_b)
+    for col in pdf_a.columns:
+        av = list(pdf_a[col])
+        bv = list(pdf_b[col])
+        assert av == bv, col
+
+
+def test_wedge_numpy_kernel_matches_dict_loop():
+    """Dense random-ish graph with hubs past the center cap: the
+    vectorized kernel must reproduce the dict loop's rows, values AND
+    row order for both flavors (AA weights / jaccard)."""
+    import numpy as np
+    from dht11_data_pipeline_spark.operators import graph
+    rng = [(a * 7919 + b * 104729) % 97 for a in range(40) for b in range(3)]
+    edges = set()
+    nodes = list(range(1, 30)) + [1000, 2000]  # 2 hub ids
+    for i, r in enumerate(rng):
+        a = nodes[r % len(nodes)]
+        b = nodes[(r // 7 + i) % len(nodes)]
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    # wire the hubs to most nodes so the cap actually excludes them
+    for m in nodes[:20]:
+        edges.add((min(m, 1000), max(m, 1000)))
+        edges.add((min(m, 2000), max(m, 2000)))
+    edge_rows = sorted(edges)
+    for aa in (True, False):
+        for cap in (None, 10):
+            ref = graph._pair_similarity_dicts(edge_rows, cap, aa)
+            got = graph._pair_similarity_numpy(
+                np.asarray(edge_rows, dtype=np.int64), cap, aa)
+            _wedge_frames_equal(got, ref)
+
+
+def test_wedge_driver_falls_back_to_dicts_for_string_ids():
+    from dht11_data_pipeline_spark.operators import graph
+    edge_rows = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")]
+    got = graph._pair_similarity_driver(edge_rows, None, False)
+    ref = graph._pair_similarity_dicts(edge_rows, None, False)
+    _wedge_frames_equal(got, ref)
+
+
+def test_wedge_numpy_respects_wedge_limit(monkeypatch):
+    import numpy as np
+    from dht11_data_pipeline_spark.operators import graph
+    edge_rows = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    monkeypatch.setattr(graph, "DRIVER_WEDGE_LIMIT", 1)
+    assert graph._pair_similarity_numpy(
+        np.asarray(edge_rows, dtype=np.int64), None, True) is None
+    assert graph._pair_similarity_dicts(edge_rows, None, True) is None
+
+
+# ---------------------------------------------------------------------------
 # contamination: the shared flagged-docs frame changes no rows
 # ---------------------------------------------------------------------------
 
