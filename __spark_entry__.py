@@ -57,6 +57,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "cur_epoch_plan_fertility",  # (bpe_vocab gate)
     "graph_adamic_adar",         # numpy wedge kernel (driver tier)
     "graph_link_prediction",     # numpy wedge kernel (driver tier)
+    "text_rake_keywords",        # one doc_id shuffle up front (8→3 exch)
     # --- r13-touched keys the r13 driver window never re-checked
     #     (round-13 verdict item 3: stale CHANGED_THIS_ROUND) ---
     "sim_label_knn_audit",

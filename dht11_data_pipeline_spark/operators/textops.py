@@ -594,16 +594,24 @@ def rake_keywords(df: DataFrame, text_col: str = "text",
 
     All scoring is integer ppm (deg·1e6 DIV freq, summed as BIGINT) so
     there is no float accumulation order to drift cross-engine, and
-    the final ranking ties on the phrase text. Shape: two narrow
-    explodes (segments, words), one per-doc window for phrase
-    grouping, two per-(doc,word) aggregations — everything keyed by
-    doc_id, so the whole operator is one shuffle family on the doc
-    key with no corpus-global state."""
+    the final ranking ties on the phrase text. Shape (r14, guide
+    §2.1/§2.2): ONE hash shuffle of the UNEXPLODED docs on doc_id up
+    front — every downstream window, aggregation and self-join below
+    is keyed on a doc_id-superset, so HashPartitioning(doc_id)
+    satisfies all of their required distributions and the plan runs
+    exchange-free after the explodes. Before r14 the first shuffle sat
+    AFTER the word explode and each of the six doc_id-subset
+    operations re-shuffled (6 Exchanges moving exploded words; now 1
+    Exchange moving whole docs — hundreds of times fewer shuffle
+    rows)."""
     from dht11_data_pipeline_spark.functions.text import STOPWORDS
     from pyspark.sql.window import Window
 
-    d = right_size(df.select(F.col(id_col).alias("doc_id"),
-                             F.lower(F.col(text_col)).alias("t")))
+    # hash-repartition REPLACES right_size here: one shuffle both
+    # spreads the single-split small-parquet read across cores AND
+    # establishes the doc_id clustering every downstream op reuses
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  F.lower(F.col(text_col)).alias("t")).repartition("doc_id")
     segs = d.select(
         "doc_id",
         F.posexplode(F.split(F.col("t"), "[^a-z0-9 ]+"))
