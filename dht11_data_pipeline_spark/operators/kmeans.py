@@ -204,10 +204,16 @@ def _recompute(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]
 
     partials = assigned.select("cluster_id", vec_col).mapInPandas(
         _psum, schema="pid int, cluster_id long, n long, s array<double>")
-    rows = sorted(partials.collect(),
-                  key=lambda r: (r["cluster_id"], r["pid"]))
+    return _merge_partials(partials.collect())
+
+
+def _merge_partials(rows) -> list[tuple[int, list[float]]]:
+    """Driver merge shared by ``_recompute`` and ``_assign_recompute``:
+    partials added in (cluster, partition) order, then one divide."""
+    import numpy as np
+
     totals: dict[int, tuple[int, object]] = {}
-    for r in rows:
+    for r in sorted(rows, key=lambda r: (r["cluster_id"], r["pid"])):
         cid = int(r["cluster_id"])
         s = np.array(r["s"], dtype=np.float64)
         if cid in totals:
@@ -216,6 +222,71 @@ def _recompute(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]
         else:
             totals[cid] = (int(r["n"]), s)
     return sorted((cid, (s / n).tolist()) for cid, (n, s) in totals.items())
+
+
+def _assign_recompute(corpus: DataFrame,
+                      centroids: list[tuple[int, list[float]]],
+                      id_col: str, vec_col: str
+                      ) -> list[tuple[int, list[float]]]:
+    """Fused Lloyd round (r14, guide §4/§5): ONE Arrow pass computes
+    each row's nearest centroid — the same float64 broadcast op,
+    argmin and lowest-id tie rule as ``assign_clusters`` — and folds
+    it straight into the per-partition partial sums ``_recompute``
+    would take over the materialized assignment. The intermediate
+    (id, vec, cluster, dist) frame never exists, so each intermediate
+    Lloyd round costs ONE sequential job instead of two (this operator
+    is the registry's most driver-latency-sensitive; round-11 verdict).
+
+    Arithmetic parity: the corpus vector column is array<float>, which
+    ``assign_clusters`` echoes unchanged, so the fused pass sees the
+    bit-same values the two-pass chain fed ``_recompute``; per-row
+    assignment is bit-identical, partitioning identical (mapInPandas
+    preserves partitions). The only freedom left is Arrow batch
+    boundaries (the two-pass chain re-batches between its two Python
+    stages), which can move the float addition tree by last-ulps —
+    the same caveat class as the r14 partial-sum change, pinned at
+    1e-12 relative in tests; the declared sim_kmeans_clusters outputs
+    are invariant verdicts with 1e-9 headroom."""
+    import numpy as np
+
+    centroids = sorted(centroids)
+    cid_arr = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+
+    def _pass(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        acc_n: dict[int, int] = {}
+        acc_s: dict[int, object] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            cs = cid_arr[d2.argmin(axis=1)]
+            for cid in np.unique(cs):
+                mask = cs == cid
+                s = x[mask].sum(axis=0)
+                c = int(cid)
+                if c in acc_s:
+                    acc_s[c] = acc_s[c] + s
+                    acc_n[c] += int(mask.sum())
+                else:
+                    acc_s[c] = s
+                    acc_n[c] = int(mask.sum())
+        ctx = TaskContext.get()
+        pid = int(ctx.partitionId()) if ctx is not None else 0
+        cids = sorted(acc_s)
+        yield pd.DataFrame({
+            "pid": [pid] * len(cids),
+            "cluster_id": [int(c) for c in cids],
+            "n": [acc_n[c] for c in cids],
+            "s": [acc_s[c].tolist() for c in cids],
+        })
+
+    partials = right_size(corpus).select(id_col, vec_col).mapInPandas(
+        _pass, schema="pid int, cluster_id long, n long, s array<double>")
+    return _merge_partials(partials.collect())
 
 
 def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
@@ -280,10 +351,14 @@ def lloyd_kmeans(spark: SparkSession, corpus: DataFrame,
         centroids = select_centroids(corpus, k, id_col, vec_col)
     for it in range(max_iter):
         if it == 0 and init_assigned is not None and init_centroids is not None:
-            assigned = init_assigned
+            # the caller's persisted round-0 frame: partial-sum it
+            # directly (cache read, no assign pass)
+            new_centroids = _recompute(init_assigned, vec_col)
         else:
-            assigned = assign_clusters(corpus, centroids, id_col, vec_col)
-        new_centroids = _recompute(assigned, vec_col)
+            # fused assign+partial-sum: one sequential job per round
+            # instead of assign_clusters -> _recompute's two
+            new_centroids = _assign_recompute(corpus, centroids,
+                                              id_col, vec_col)
         kept = dict(centroids)
         shift = max(
             (sum((a - b) ** 2 for a, b in zip(kept[cid], vec))

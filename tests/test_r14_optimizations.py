@@ -90,6 +90,22 @@ def test_kmeans_partial_sum_recompute_matches_explode_form(spark, sf_dir):
         np.testing.assert_allclose(gv, rv, rtol=1e-12, atol=0)
 
 
+def test_fused_assign_recompute_matches_two_pass(spark, sf_dir):
+    """The fused one-job Lloyd round must reproduce the two-pass
+    assign_clusters -> _recompute centroids (bit-identical per-row
+    arithmetic; only Arrow batch boundaries may move the addition
+    tree, bounded at 1e-12 relative like the partial-sum pin)."""
+    from dht11_data_pipeline_spark.operators.kmeans import (
+        _assign_recompute, _recompute, assign_clusters, select_centroids)
+    emb = _emb(spark, sf_dir).localCheckpoint()
+    cents = select_centroids(emb, k=10)
+    ref = _recompute(assign_clusters(emb, cents), "embedding")
+    got = _assign_recompute(emb, cents, "vec_id", "embedding")
+    assert [c for c, _ in got] == [c for c, _ in ref]
+    for (_, gv), (_, rv) in zip(got, ref):
+        np.testing.assert_allclose(gv, rv, rtol=1e-12, atol=0)
+
+
 def test_lloyd_rejects_assigned_without_centroids(spark, sf_dir):
     import pytest
     from dht11_data_pipeline_spark.operators.kmeans import (
