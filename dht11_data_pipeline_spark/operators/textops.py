@@ -1301,14 +1301,54 @@ def contamination_index(df: DataFrame, n: int = 7,
 
     Returns (gram, src, doc, n_docs_gram); cost beyond the corpus
     scan is one vocab-sized gram aggregate joined back.
-    """
-    from dht11_data_pipeline_spark.functions.text import shingles
 
+    Gram build (r14, guide §4): the (src, doc, gram) rows are emitted
+    by ONE Arrow pass with a per-doc set dedup instead of the
+    interpreted zip_with shingle fold + explode — Python builds the
+    identical strings (``split(' ')``/``' '.join`` are exactly Spark's
+    ``split(text, ' ')``/chained ``concat_ws(' ')`` on never-null
+    tokens; docs shorter than n emit nothing in both forms; pinned
+    row-for-row in tests/test_r14_optimizations.py, including
+    multi-space/trailing-space/empty-text edges). The downstream
+    ``.distinct()`` is kept so operator semantics under duplicate
+    (src, doc) input rows are unchanged — it is nearly free once the
+    map side is already per-doc deduped. Measured: the index build
+    drops ~1 s at sf0.1, shared by all six contamination keys.
+    """
     if n < 2:
         raise ValueError("contamination_index: gram width n must be >= 2")
-    sdg = (df.select(F.col(group_col).alias("src"),
-                     F.col(id_col).alias("doc"),
-                     F.explode(shingles(tokens(text_col), n)).alias("gram"))
+
+    sdg_schema = (f"src {df.schema[group_col].dataType.simpleString()}, "
+                  f"doc {df.schema[id_col].dataType.simpleString()}, "
+                  f"gram string")
+
+    def _sdg_pass(batches):
+        import pandas as pd
+        for pdf in batches:
+            srcs: list = []
+            docs: list = []
+            grams: list = []
+            for s_, d_, t_ in zip(pdf["src"], pdf["doc"], pdf["_t"]):
+                if t_ is None:
+                    continue
+                toks = t_.split(" ")
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i:i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        srcs.append(s_)
+                        docs.append(d_)
+                        grams.append(g)
+            yield pd.DataFrame({"src": srcs, "doc": docs, "gram": grams})
+
+    sdg = (right_size(df)
+           .select(F.col(group_col).alias("src"),
+                   F.col(id_col).alias("doc"),
+                   F.col(text_col).alias("_t"))
+           .mapInPandas(_sdg_pass, schema=sdg_schema)
            .distinct())
     stats = (sdg.groupBy("gram")
              .agg(F.count_distinct("src").alias("_n_src"),

@@ -275,6 +275,63 @@ def test_wedge_numpy_respects_wedge_limit(monkeypatch):
 # contamination: the shared flagged-docs frame changes no rows
 # ---------------------------------------------------------------------------
 
+def _sdg_expression_ref(df, n=7, group_col="source", text_col="text",
+                        id_col="doc_id"):
+    """The pre-r14 expression form of the index's (src, doc, gram)
+    explode — kept as the reference the Arrow pass must match."""
+    from dht11_data_pipeline_spark.functions.text import shingles
+    from dht11_data_pipeline_spark.operators.textops import tokens
+    return (df.select(F.col(group_col).alias("src"),
+                      F.col(id_col).alias("doc"),
+                      F.explode(shingles(tokens(text_col), n)).alias("gram"))
+            .distinct())
+
+
+def test_contamination_index_gram_pass_matches_expression_form(spark, sf_dir):
+    """The Python split/join gram builder must emit exactly the rows
+    the zip_with/concat_ws expression form emits — on the fixture
+    corpus AND on split()-semantics edge cases (multi-space runs,
+    leading/trailing spaces, empty text, short docs)."""
+    from dht11_data_pipeline_spark.operators import textops
+    docs = _docs(spark, sf_dir)
+    idx = textops.contamination_index(docs)
+    # the index's sdg rows are (src, doc, gram) of the banded join —
+    # compare at the raw explode level instead, via a tiny shim of the
+    # same _sdg_pass wiring: rebuild the index from the reference
+    # explode and require identical output rows
+    from dht11_data_pipeline_spark.operators.textops import (
+        MAX_SOURCES_PER_GRAM)
+    sdg_ref = _sdg_expression_ref(docs)
+    stats = (sdg_ref.groupBy("gram")
+             .agg(F.count_distinct("src").alias("_n_src"),
+                  F.count(F.lit(1)).alias("n_docs_gram")))
+    ref = sdg_ref.join(
+        stats.filter(F.col("_n_src").between(2, MAX_SOURCES_PER_GRAM))
+        .select("gram", "n_docs_gram"), "gram")
+    assert idx.exceptAll(ref).count() == 0
+    assert ref.exceptAll(idx).count() == 0
+
+    edge = spark.createDataFrame(
+        [(1, "A", "a  b c d e f g h"),      # double space -> empty token
+         (2, "A", " a b c d e f g"),         # leading space
+         (3, "B", "a b c d e f g "),         # trailing space
+         (4, "B", ""),                        # empty text
+         (5, "C", "a b c"),                   # shorter than n
+         (6, "C", "a b c d e f g"),           # exactly n
+         (7, "A", "a b c d e f g")],          # duplicate-content doc
+        "doc_id long, source string, text string")
+    got = textops.contamination_index(edge, n=7)
+    sdg_e = _sdg_expression_ref(edge, n=7)
+    stats_e = (sdg_e.groupBy("gram")
+               .agg(F.count_distinct("src").alias("_n_src"),
+                    F.count(F.lit(1)).alias("n_docs_gram")))
+    ref_e = sdg_e.join(
+        stats_e.filter(F.col("_n_src").between(2, MAX_SOURCES_PER_GRAM))
+        .select("gram", "n_docs_gram"), "gram")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, ref_e.collect()))
+
+
 def test_pos_spans_keep_docs_variant_is_row_identical(spark):
     copy = "c1 c2 c3 c4 c5 c6 c7 c8"
     df = spark.createDataFrame(
